@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Relational helper operators re-expressing the reference's combinator
+  * surface (SURVEY.md §2.A/§2.B) as plan-level DataFrame transforms.
+  */
+object Ops {
+
+  /** `lapply(.SD, f)` ≈ aggregate every (numeric) column by group
+    * (reference README.md:221-224, tests/tests-06-readme.R:244-253).
+    * Single shuffle; all partial aggregates computed map-side.
+    */
+  def aggAllNumeric(
+      df: DataFrame,
+      by: Seq[String],
+      f: Column => Column = sum,
+      roundTo: Int = -1
+  ): DataFrame = {
+    val numCols = df.schema.fields
+      .filter(fld => fld.dataType.isInstanceOf[NumericType] && !by.contains(fld.name))
+      .map(_.name)
+    val aggs = numCols.map { c =>
+      // cast to double pre-agg so the result type matches the oracle's
+      // round() (DuckDB round → DOUBLE) regardless of the input type
+      val a = if (roundTo >= 0) round(f(col(c).cast("double")), roundTo) else f(col(c))
+      a.as(c)
+    }
+    df.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `rbindlapply` / rbindlist with idcol ≈ union-by-name with an id tag
+    * (reference R/big.data.table.R:341-343; B19). `allowMissing` maps to
+    * data.table's `fill=TRUE`.
+    */
+  def unionWithId(
+      dfs: Seq[(String, DataFrame)],
+      idCol: String = "id",
+      allowMissing: Boolean = false
+  ): DataFrame =
+    dfs
+      .map { case (id, d) => d.withColumn(idCol, lit(id)) }
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = allowMissing))
+
+  /** Ordered top-k ≈ head/tail of a keyed table (B18). Spark turns this
+    * into TakeOrderedAndProject — no full sort, no full shuffle.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Deterministic per-partition generation helper (B24): mixes a seed
+    * with the partition id so each shard draws an independent,
+    * reproducible stream — the reference's `set.seed` per node
+    * (tests/tests-04-sub-.big.data.table.R:11-14).
+    */
+  def seededRand(seed: Long): Column = {
+    // splitmix64-style mix of (seed, partition id, row id) — pure Column
+    // arithmetic, codegen-friendly, no UDF.
+    val x = (spark_partition_id().cast("long") * lit(0x9E3779B97F4A7C15L)) +
+      (monotonically_increasing_id() * lit(0xBF58476D1CE4E5B9L)) + lit(seed)
+    abs(xxhash64(x)) / lit(Long.MaxValue).cast("double")
+  }
+}
