@@ -3,6 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Deterministic generated row for the generator-source query (B24):
+  * pure arithmetic so the DuckDB oracle can reproduce it exactly.
+  */
+final case class GenRow(pid: Int, i: Int, v: Long)
+
 /** Driver contract — queries + DuckDB oracles for every implemented
   * operator (SURVEY.md §2). Each Q below keeps the Spark implementation and
   * its oracle SQL adjacent; column names/types are aligned on both sides
@@ -195,6 +200,307 @@ object SparkEntry {
           .select("p_partkey", "p_brand", "p_retailprice")
           .toLocalDF(),
       Some("SELECT p_partkey, p_brand, p_retailprice FROM part")
+    ),
+    // B11 anti-join `x[!k]` (reference R/big.data.table.R:241)
+    Q(
+      "q11_join_anti",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    ),
+    // B11 inner-join filter `nomatch=0L` as semi-join (reference
+    // R/big.data.table.R:197)
+    Q(
+      "q12_join_semi",
+      (s, d) =>
+        customer(s, d)
+          .join(
+            orders(s, d).filter(col("o_totalprice") > 200000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi"
+          )
+          .select("c_custkey", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_totalprice > 200000)""".stripMargin)
+    ),
+    // B12 cross join `CJ(...)` (reference README.md:117)
+    Q(
+      "q14_cross_join",
+      (s, d) => region(s, d).crossJoin(nation(s, d)).select("r_name", "n_name"),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")
+    ),
+    // B14 computed scalar expressions in `j` (reference README.md:230-231)
+    Q(
+      "q15_expr_cols",
+      (s, d) =>
+        lineitem(s, d).select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          // no rounding: row-level IEEE arithmetic is bitwise identical
+          // across engines; rounding short-decimal products is NOT
+          // (HALF_UP on shortest-repr vs binary-value rounding).
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("disc_price"),
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("flag"),
+          format_string("q=%.1f", col("l_quantity")).as("qty_label")
+        ),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       l_extendedprice * (1 - l_discount) AS disc_price,
+             |       l_returnflag || '/' || l_linestatus AS flag,
+             |       printf('q=%.1f', l_quantity) AS qty_label
+             |FROM lineitem""".stripMargin)
+    ),
+    // B15 update-by-reference `:=` — immutable rebind via
+    // BigDataTable.update (reference R/big.data.table.R:108, 301)
+    Q(
+      "q16_update_col",
+      (s, d) =>
+        BigDataTable
+          .fromDF(orders(s, d), "orders_q16")
+          .update(
+            "price_band",
+            when(col("o_totalprice") < 50000, "low")
+              .when(col("o_totalprice") < 150000, "mid")
+              .otherwise("high")
+          )
+          .query(
+            j = Seq(
+              count(lit(1)).as("n"),
+              round(avg(col("o_totalprice")), 2).as("avg_price")
+            ),
+            by = Seq(col("price_band"))
+          ),
+      Some("""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+             |            WHEN o_totalprice < 150000 THEN 'mid'
+             |            ELSE 'high' END AS price_band,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(avg(o_totalprice), 2) AS avg_price
+             |FROM orders GROUP BY 1""".stripMargin)
+    ),
+    // B17 chained queries (reference README.md:168): distributed agg
+    // re-aggregated — Catalyst fuses the two levels into one plan.
+    Q(
+      "q17_chained",
+      (s, d) => {
+        val yearly = lineitem(s, d)
+          .groupBy(year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+        yearly.agg(
+          round(avg(col("rev")), 2).as("avg_yearly_rev"),
+          round(max(col("rev")), 2).as("max_yearly_rev"),
+          count(lit(1)).as("n_years")
+        )
+      },
+      Some("""SELECT round(avg(rev), 2) AS avg_yearly_rev,
+             |       round(max(rev), 2) AS max_yearly_rev,
+             |       CAST(count(*) AS BIGINT) AS n_years
+             |FROM (SELECT year(l_shipdate) AS y, sum(l_extendedprice) AS rev
+             |      FROM lineitem GROUP BY 1)""".stripMargin)
+    ),
+    // B18 ordered top-k (head/tail analog) — TakeOrderedAndProject, no
+    // full sort at scale.
+    Q(
+      "q18_topn",
+      (s, d) =>
+        operators.Ops.topK(
+          orders(s, d).select("o_orderkey", "o_totalprice"),
+          10,
+          col("o_totalprice").desc,
+          col("o_orderkey").asc
+        ),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+    // B19 union-by-name with idcol (reference R/big.data.table.R:341-343)
+    Q(
+      "q19_union_id",
+      (s, d) =>
+        operators.Ops.unionWithId(
+          Seq(
+            "big" -> orders(s, d)
+              .filter(col("o_totalprice") > 250000)
+              .select("o_orderkey", "o_totalprice"),
+            "urgent" -> orders(s, d)
+              .filter(col("o_orderpriority") === "1-URGENT")
+              .select("o_orderkey", "o_totalprice")
+          ),
+          idCol = "src"
+        ),
+      Some("""SELECT o_orderkey, o_totalprice, 'big' AS src FROM orders
+             |WHERE o_totalprice > 250000
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, 'urgent' AS src FROM orders
+             |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    ),
+    // B18 keyed head (deterministic `head(x, n)`)
+    Q(
+      "q20_head_keyed",
+      (s, d) =>
+        nation(s, d).orderBy(col("n_nationkey")).limit(5),
+      Some("SELECT * FROM nation ORDER BY n_nationkey LIMIT 5")
+    ),
+    // A19 dim/nrow/ncol (reference R/big.data.table.R:36-47)
+    Q(
+      "q21_dims",
+      (s, d) => {
+        val bdt = BigDataTable.fromDF(lineitem(s, d), "lineitem_q21")
+        val (r, c) = bdt.dims
+        val spark = s
+        import spark.implicits._
+        Seq((r, c)).toDF("n_rows", "n_cols")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(11 AS INT) AS n_cols FROM lineitem""".stripMargin)
+    ),
+    // B1/B23 raw per-node partials (reference README "4 rows, one per
+    // node"; tests-06-readme.R:198) — partition-dependent, no SQL oracle.
+    Q(
+      "q22_per_node",
+      (s, d) =>
+        BigDataTable
+          .fromDF(lineitem(s, d), "lineitem_q22")
+          .query(
+            j = Seq(round(sum(col("l_quantity")), 2).as("partial_qty")),
+            outer = OuterAgg.PerNode
+          ),
+      None
+    ),
+    // B24/A15 generator source with per-partition determinism (reference
+    // R/as.big.data.table.R:35-45; set.seed per node B24). Pure-arithmetic
+    // pseudo-randoms so DuckDB reproduces them bit-for-bit.
+    Q(
+      "q23_generator",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        BigDataTable
+          .fromGenerator(spark, 4, "gen_q23") { pid =>
+            (0 until 1000).iterator.map { i =>
+              GenRow(pid, i, (pid * 100000L + i) * 2654435761L % 97L)
+            }
+          }
+          .query(
+            j = Seq(
+              count(lit(1)).as("n"),
+              sum(col("v")).as("sum_v")
+            ),
+            by = Seq(col("pid"))
+          )
+      },
+      Some("""SELECT CAST(pid AS INT) AS pid,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum((pid * 100000 + i) * 2654435761 % 97) AS BIGINT) AS sum_v
+             |FROM range(4) t(pid), range(1000) u(i)
+             |GROUP BY 1""".stripMargin)
+    ),
+    // B10 co-partitioned join (reference README.md:226-227: join "within
+    // the scope of node" after keyed partitioning) — both sides
+    // repartitioned on the key, then joined shuffle-free.
+    Q(
+      "q24_join_copart",
+      (s, d) => {
+        val li = BigDataTable
+          .fromDF(lineitem(s, d), "lineitem_q24", partitionBy = Seq("l_orderkey"))
+        val os = orders(s, d).repartition(col("o_orderkey"))
+        li.toLocalDF()
+          .join(os, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""SELECT o_orderpriority,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)
+    ),
+    // A9 outer.aggregate-as-function (reference R/big.data.table.R:141-143):
+    // explicit per-node partials + user-supplied final combine.
+    Q(
+      "q25_outer_agg_fn",
+      (s, d) =>
+        BigDataTable
+          .fromDF(lineitem(s, d), "lineitem_q25")
+          .query(
+            j = Seq(sum(col("l_quantity")).as("partial_qty")),
+            by = Seq(col("l_returnflag")),
+            outer = OuterAgg.Fn(partials =>
+              partials
+                .groupBy(col("l_returnflag"))
+                .agg(round(sum(col("partial_qty")), 2).as("sum_qty"))
+            )
+          ),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    // JSON field extraction from the events props column (B14-adjacent;
+    // semi-structured columns are table stakes for a 100 TB pipeline).
+    Q(
+      "q27_json_extract",
+      (s, d) =>
+        events(s, d)
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_val")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("k_val")).as("sum_k")
+          ),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY 1""".stripMargin)
+    ),
+    // --- event-time operators (north-star; streaming shapes in batch) ---
+    Q(
+      "e01_window_hourly",
+      (s, d) => streaming.EventOps.hourlyAgg(events(s, d)),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "e02_window_5min",
+      (s, d) => streaming.EventOps.tumblingAgg(events(s, d), "5 minutes"),
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+             |       event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2""".stripMargin)
+    ),
+    Q(
+      "e03_sessionize",
+      (s, d) => streaming.EventOps.sessionStats(events(s, d), gapSec = 1800),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             |              THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |c AS (
+             |  SELECT user_id,
+             |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                             ROWS UNBOUNDED PRECEDING) AS sess_id
+             |  FROM s)
+             |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+             |       CAST(count(*) AS BIGINT) AS n_events
+             |FROM c GROUP BY 1""".stripMargin)
     )
   )
 
