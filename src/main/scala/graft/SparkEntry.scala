@@ -501,6 +501,214 @@ object SparkEntry {
              |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM c GROUP BY 1""".stripMargin)
+    ),
+    // ---- text analysis (north-star; documents fixture) -----------------
+    // token counting: whitespace + BPE-ish regex
+    Q(
+      "t01_token_count",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          functions.TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish")
+        ),
+      Some("""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '[^ ]+')) AS INT) AS n_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_bpeish
+             |FROM documents""".stripMargin)
+    ),
+    // quality scoring: length / type-token ratio / mean token length
+    Q(
+      "t02_quality",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          functions.TextFunctions.nChars(col("text")).as("n_chars_calc"),
+          size(split(col("text"), " ")).as("n_words"),
+          functions.TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+          functions.TextFunctions.meanTokenLength(col("text")).as("mean_tok_len")
+        ),
+      Some("""SELECT doc_id,
+             |       CAST(length(text) AS INT) AS n_chars_calc,
+             |       CAST(len(split(text, ' ')) AS INT) AS n_words,
+             |       len(list_distinct(split(text, ' '))) / len(split(text, ' ')) AS ttr,
+             |       list_sum(list_transform(split(text, ' '), x -> length(x))) / len(split(text, ' ')) AS mean_tok_len
+             |FROM documents""".stripMargin)
+    ),
+    // language ID: marker-word argmax (same heuristic mirrored in SQL)
+    Q(
+      "t03_lang_id",
+      (s, d) =>
+        documents(s, d)
+          .select(
+            col("doc_id"),
+            functions.TextFunctions.langId(col("text")).as("lang_pred")
+          ),
+      Some {
+        val scoreSql = functions.TextFunctions.langMarkers.map {
+          case (lang, ms) =>
+            val terms = ms
+              .map { w =>
+                val m = s" $w "
+                s"(length(' '||text||' ') - length(replace(' '||text||' ', '$m', ''))) / ${m.length}"
+              }
+              .mkString(" + ")
+            s"$terms AS s_$lang"
+        }.mkString(", ")
+        val langs = functions.TextFunctions.langMarkers.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        s"""SELECT doc_id,
+           |       CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id, text, $scoreSql FROM documents)""".stripMargin
+      }
+    ),
+    // document fingerprinting: md5 + polynomial rolling hash
+    Q(
+      "t04_fingerprint",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          functions.TextFunctions.fingerprintMd5(col("text")).as("fp_md5"),
+          functions.TextFunctions.fingerprintRolling(col("text")).as("fp_roll")
+        ),
+      Some("""SELECT doc_id, md5(text) AS fp_md5,
+             |       list_reduce(list_transform(split(text, ''), x -> CAST(ord(x) AS BIGINT)),
+             |                   (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+             |FROM documents""".stripMargin)
+    ),
+    // ---- deduplication (north-star) ------------------------------------
+    // exact dedup groups via md5 fingerprint
+    Q(
+      "d01_dedup_exact",
+      (s, d) =>
+        operators.Dedup.exactGroups(documents(s, d), "text", "doc_id"),
+      Some("""SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin)
+    ),
+    // MinHash+LSH near-dup candidates, Jaccard-verified (hash-seed
+    // dependent — no SQL oracle; rows-only)
+    Q(
+      "d02_minhash_neardup",
+      (s, d) =>
+        operators.Dedup
+          .minHashNearDups(documents(s, d), "text", "doc_id", threshold = 0.4)
+          .select(col("id_a"), col("id_b")),
+      None
+    ),
+    // SimHash near-dup pairs (hash-dependent; rows-only)
+    Q(
+      "d03_simhash_neardup",
+      (s, d) =>
+        operators.Dedup
+          .simHashNearDups(documents(s, d), "text", "doc_id", maxHamming = 10)
+          .select(col("id_a"), col("id_b")),
+      None
+    ),
+    // exact n-gram Jaccard pairs, brute force — oracle-expressible via
+    // DuckDB list functions (shingles built identically in SQL)
+    Q(
+      "d04_jaccard_pairs",
+      (s, d) =>
+        operators.Dedup
+          .jaccardPairsBrute(documents(s, d), "text", "doc_id", threshold = 0.2)
+          .select(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.2""".stripMargin)
+    ),
+    // embedding-cosine near-dup pairs (threshold far from any pair's
+    // cosine: margin ≈ 7e-5 at sf0.01, so engine float noise can't flip)
+    Q(
+      "d05_embedding_neardup",
+      (s, d) =>
+        operators.Dedup.embeddingNearDupsBrute(
+          embeddings(s, d),
+          "embedding",
+          "vec_id",
+          threshold = 0.3
+        ),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |FROM embeddings a, embeddings b
+             |WHERE a.vec_id < b.vec_id
+             |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3""".stripMargin)
+    ),
+    // ---- similarity search (north-star) --------------------------------
+    // brute-force cosine top-k of one query vector; output ids+rank only
+    // (ranks stable: adjacent-cosine gaps ~1e-3 at sf0.01)
+    Q(
+      "s01_knn_brute",
+      (s, d) =>
+        operators.Similarity
+          .knn(embeddings(s, d), "embedding", "vec_id", queryId = 0L, k = 5),
+      Some("""SELECT vec_id AS neighbor_id,
+             |       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+             |FROM (
+             |  SELECT e.vec_id,
+             |         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+             |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+             |  WHERE e.vec_id != 0)
+             |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)
+    ),
+    // LSH-bucketed ANN top-k (bucket-dependent; rows-only)
+    Q(
+      "s02_ann_lsh",
+      (s, d) =>
+        operators.Similarity.annTopK(
+          embeddings(s, d),
+          "embedding",
+          "vec_id",
+          queryId = 0L,
+          k = 5,
+          nPlanes = 6
+        ),
+      None
+    ),
+    // ---- multimodal plumbing (north-star) ------------------------------
+    // binary payload + metadata projection
+    Q(
+      "m01_binary_meta",
+      (s, d) =>
+        operators.Multimodal
+          .metadata(operators.Multimodal.toMedia(documents(s, d)))
+          .select(col("doc_id"), col("kind"), col("n_bytes")),
+      Some("""SELECT doc_id, 'text' AS kind,
+             |       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+             |FROM documents""".stripMargin)
+    ),
+    // batched decode stub: typed mapPartitions pipeline (features are
+    // deterministic byte stats; decode itself is stubbed — codecs absent)
+    Q(
+      "m02_decode_stub",
+      (s, d) =>
+        operators.Multimodal
+          .decodeStub(s, operators.Multimodal.toMedia(documents(s, d)))
+          .toDF()
+          .select(col("doc_id"), col("n_bytes"), col("checksum")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |       list_reduce(list_transform(split(text, ''), x -> CAST(ord(x) AS BIGINT)),
+             |                   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+             |FROM documents""".stripMargin)
+    ),
+    // frame sampling over binary payloads (pure column slicing)
+    Q(
+      "m03_frame_sample",
+      (s, d) =>
+        operators.Multimodal
+          .frameSample(operators.Multimodal.toMedia(documents(s, d)), frameBytes = 64, every = 2)
+          .select(col("doc_id"), size(col("sampled_frames")).as("n_sampled"), col("n_frames")),
+      Some("""SELECT doc_id,
+             |       CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS INT) AS n_sampled,
+             |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+             |FROM documents""".stripMargin)
     )
   )
 

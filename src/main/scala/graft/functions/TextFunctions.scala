@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines
+  * (north-star extension beyond the reference surface; SURVEY.md §7.2 M6).
+  *
+  * Everything here is pure `Column` expression composition — codegen'd,
+  * no UDFs, embarrassingly parallel per row: the shapes survive 100 TB
+  * unchanged because they add no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Single-space split (keeps parity with engines
+    * whose `string_split` is literal, and with the fixtures' single-spaced
+    * text).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count via regex — robust to repeated whitespace. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("[^ ]+"))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * punctuation — the usual pre-tokenizer regex shape.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+
+  /** Word k-shingles (for MinHash / Jaccard dedup). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0)) ),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+    )
+  }
+
+  /** Distinct word k-shingles as a set. */
+  def shingleSet(text: Column, k: Int): Column =
+    array_distinct(wordShingles(text, k))
+
+  /** MD5 document fingerprint (engine-portable exact-dup key). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over characters: h = (h*31 + code) mod p.
+    * Sequential left-to-right — order-sensitive, unlike MD5 of the
+    * whole string this is cheap to compute incrementally at scale.
+    */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L
+    )
+
+  /** Occurrences of a marker word (space-delimited) in the text. */
+  def markerCount(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val marker = s" $word "
+    (length(padded) - length(replace(padded, lit(marker), lit("")))) /
+      lit(marker.length)
+  }
+
+  /** Per-language marker words (public high-frequency function words). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo")
+  )
+
+  /** Marker-word score for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => markerCount(text, w)).reduce(_ + _)
+
+  /** N-gram-heuristic language ID: argmax of per-language marker scores,
+    * ties resolved by fixed language order, zero score → "und".
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val chain = scores.foldLeft(when(best <= 0, "und")) {
+      case (acc, (lang, s)) => acc.when(s === best, lang)
+    }
+    chain.otherwise("und")
+  }
+
+  /** Quality metrics as individual columns: character count, token count,
+    * type-token ratio, mean token length, stopword ratio, punctuation
+    * count. Composable into any scoring formula downstream.
+    */
+  def nChars(text: Column): Column = length(text)
+
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0), _ + _).cast("double") /
+      size(toks)
+  }
+
+  def stopwordRatio(text: Column): Column =
+    langScore(text, langMarkers.head._2) / tokenCount(text)
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?]"))
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora (north-star extension;
+  * BASELINE.json). Each has a small-scale exact form and a scale path:
+  * candidate generation is always an equi-join on a bucket key (shuffle on
+  * the bucket hash — never an O(n²) cross join), and verification runs
+  * only on candidate pairs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup groups: fingerprint → keeper id + multiplicity.
+    * Single hash-aggregate; at 100 TB this is the cheapest possible
+    * shape (map-side partial aggregation on the md5 key).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the lowest id per identical text. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(TextFunctions.fingerprintMd5(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  // ---------------------------------------------------------- MinHash LSH
+
+  /** MinHash signature: k-shingles → per-seed min of xxhash64.
+    * Empty shingle sets fall back to a hash of the whole text so short
+    * docs still land in exactly one bucket per band.
+    */
+  def minHashSignature(
+      text: Column,
+      numHashes: Int,
+      shingleSize: Int
+  ): Column = {
+    val sh = TextFunctions.shingleSet(text, shingleSize)
+    array((0 until numHashes).map { i =>
+      coalesce(
+        array_min(transform(sh, x => xxhash64(x, lit(i)))),
+        xxhash64(text, lit(i))
+      )
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, hash each band to a bucket,
+    * self-join per (band, bucket). Returns distinct (id_a < id_b) pairs.
+    * The join key is (band index, band hash) — a plain shuffle join that
+    * AQE can skew-split; no cross join anywhere.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minHashSignature(col(textCol), numHashes, shingleSize)
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(slice(sig, b * r + 1, r), lit(b))
+    }: _*)
+    val banded = df
+      .select(col(idCol).as("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bucket") === col("b._bucket") &&
+          col("a._id") < col("b._id")
+      )
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard on distinct word shingles. */
+  def jaccard(aSh: Column, bSh: Column): Column =
+    size(array_intersect(aSh, bSh)).cast("double") /
+      size(array_union(aSh, bSh))
+
+  /** MinHash LSH near-dup pairs, verified: candidates from banding, then
+    * exact shingle-Jaccard ≥ threshold. Two broadcast-able dimension
+    * lookups of (id, shingles) against the candidate pair list.
+    */
+  def minHashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val cands =
+      minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+    val sh = df.select(
+      col(idCol).as("_sid"),
+      TextFunctions.shingleSet(col(textCol), shingleSize).as("_sh")
+    )
+    cands
+      .join(sh.as("sa"), col("id_a") === col("sa._sid"))
+      .join(sh.as("sb"), col("id_b") === col("sb._sid"))
+      .withColumn("jaccard", jaccard(col("sa._sh"), col("sb._sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Brute-force pairwise shingle-Jaccard (small-scale oracle form; the
+    * scale path is [[minHashNearDups]]).
+    */
+  def jaccardPairsBrute(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleSize: Int = 3
+  ): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("_sid"),
+      TextFunctions.shingleSet(col(textCol), shingleSize).as("_sh")
+    )
+    sh.as("a")
+      .join(sh.as("b"), col("a._sid") < col("b._sid"))
+      .withColumn("jacc", jaccard(col("a._sh"), col("b._sh")))
+      .filter(col("jacc") >= threshold)
+      .select(
+        col("a._sid").as("id_a"),
+        col("b._sid").as("id_b"),
+        col("jacc")
+      )
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over distinct tokens: per-bit majority vote of token
+    * hashes, packed into a long. Pure per-row expression — no shuffle.
+    */
+  def simHash(text: Column, numBits: Int = 64): Column = {
+    val toks = array_distinct(TextFunctions.tokens(text))
+    val bits = (0 until numBits).map { b =>
+      val vote = aggregate(
+        toks,
+        lit(0),
+        (acc, t) =>
+          acc + when(
+            shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L,
+            1
+          ).otherwise(-1)
+      )
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
+    * Hamming distance ≤ 3 of a 64-bit hash shares at least one of 4
+    * chunks), then verify with bit_count(xor). Bucket join, no cross
+    * join.
+    */
+  def simHashNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = 4
+    val withSim = df.select(
+      col(idCol).as("_id"),
+      simHash(col(textCol)).as("_simhash")
+    )
+    val chunked = withSim.select(
+      col("_id"),
+      col("_simhash"),
+      posexplode(
+        array((0 until chunks).map { c =>
+          shiftrightunsigned(col("_simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))
+        }: _*)
+      ).as(Seq("_chunk", "_val"))
+    )
+    chunked
+      .as("a")
+      .join(
+        chunked.as("b"),
+        col("a._chunk") === col("b._chunk") &&
+          col("a._val") === col("b._val") &&
+          col("a._id") < col("b._id")
+      )
+      .select(
+        col("a._id").as("id_a"),
+        col("b._id").as("id_b"),
+        bit_count(col("a._simhash").bitwiseXOR(col("b._simhash")))
+          .as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-dup pairs, brute-force form (exact; oracle-
+    * checkable). The scale path is [[Similarity.lshNearDups]] which
+    * blocks on hyperplane-sign buckets first.
+    */
+  def embeddingNearDupsBrute(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = df.select(
+      col(idCol).as("_vid"),
+      graft.functions.VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+    )
+    v.as("a")
+      .join(v.as("b"), col("a._vid") < col("b._vid"))
+      .withColumn(
+        "cos",
+        graft.functions.VectorFunctions.dot(col("a._nv"), col("b._nv"))
+      )
+      .filter(col("cos") > threshold)
+      .select(col("a._vid").as("id_a"), col("b._vid").as("id_b"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal asset: opaque binary payload + typed metadata. */
+final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoder output: deterministic features per asset. */
+final case class DecodedRow(
+    doc_id: Long,
+    n_bytes: Int,
+    checksum: Long,
+    features: Array[Double]
+)
+
+/** Multimodal column plumbing (north-star extension): image/audio/video as
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample as batched per-partition transforms.
+  *
+  * The decode step is a STUB — the real image/audio codecs are not in this
+  * container — but the Spark-side plumbing is real and tested: schema
+  * (binary + metadata), partition-local batched iteration (the shape a GPU
+  * or native decoder needs), and deterministic fake features so the
+  * pipeline is verifiable end-to-end.
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as media rows: payload = utf-8 bytes. Stands in
+    * for `spark.read.format("binaryFile")` assets in this container.
+    */
+  def toMedia(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      lit("text").as("kind"),
+      col(textCol).cast("binary").as("payload")
+    )
+
+  /** Binary metadata projection — pure column expressions over the blob. */
+  def metadata(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("kind"),
+      length(col("payload")).as("n_bytes"),
+      substring(col("payload"), 1, 4).as("magic")
+    )
+
+  /** Batched decode: partition-local, batches of `batchSize` rows — the
+    * iterator shape a real vectorized decoder (or Arrow/pandas bridge)
+    * consumes. STUB: features are deterministic byte statistics standing
+    * in for pixel/sample features.
+    */
+  def decodeStub(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64
+  ): Dataset[DecodedRow] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real decoder would process `batch` as one vectorized call
+          batch.iterator.map { m =>
+            val bytes = m.payload
+            var h = 0L
+            var i = 0
+            while (i < bytes.length) {
+              h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
+              i += 1
+            }
+            DecodedRow(
+              m.doc_id,
+              bytes.length,
+              h,
+              Array(bytes.length.toDouble, (h % 256).toDouble)
+            )
+          }
+        }
+      }
+  }
+
+  /** Frame sampling: slice the payload into fixed-size frames and keep
+    * every `every`-th — the video-keyframe access pattern, expressed as a
+    * pure column transform (no decode needed for the slicing itself).
+    */
+  def frameSample(
+      media: DataFrame,
+      frameBytes: Int,
+      every: Int
+  ): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
+    media.select(
+      col("doc_id"),
+      transform(
+        sequence(lit(0), greatest((nFrames - 1).cast("int"), lit(0))),
+        i => substring(col("payload"), lit(1) + i * frameBytes, lit(frameBytes))
+      ).as("frames"),
+      nFrames.cast("int").as("n_frames")
+    ).select(
+      col("doc_id"),
+      filter(col("frames"), (_, i) => i % every === 0).as("sampled_frames"),
+      col("n_frames")
+    )
+  }
+}
