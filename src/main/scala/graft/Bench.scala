@@ -1,24 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR.
+  *
+  * Method: one warm pass over the headline set at the target SF (C2 JIT +
+  * codegen + page cache), then a timed pass — steady-state engine cost,
+  * not JVM warm-up. Materialization goes through the noop sink (a bare
+  * `.count()` lets Catalyst collapse projections to parquet row-group
+  * counts and would under-measure scans).
+  */
 object Bench {
+
+  /** Representative subset: one per operator family, scale-path variants
+    * only (brute-force O(n²) oracle forms d04/d05 are excluded — their
+    * production counterparts d02/s02 are in).
+    */
+  private val headline: Seq[String] = Seq(
+    "q01_global_agg", "q03_group_multi", "q05_count_groups", "q07_uniqueN",
+    "q08_distinct", "q09_filter", "q10_join_agg", "q14_cross_join",
+    "q15_expr_cols", "q17_chained", "q18_topn", "q24_join_copart",
+    "q27_json_extract", "e01_window_hourly", "e03_sessionize",
+    "t01_token_count", "t03_lang_id", "t04_fingerprint",
+    "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
+    "s01_knn_brute", "s02_ann_lsh", "m01_binary_meta"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    // warm pass at the target SF: C2 JIT + codegen cache + page cache —
+    // the timed pass below measures steady-state engine cost
+    names.foreach { n =>
+      try materialize(n, sfDir)
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(name, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

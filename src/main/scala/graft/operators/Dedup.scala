@@ -68,12 +68,23 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minHashSignature(col(textCol), numHashes, shingleSize)
+    // materialize the signature ONCE per row (higher-order exprs are
+    // interpreted — inlining it into all `bands` band hashes would
+    // recompute the whole signature per band), and spread the CPU-heavy
+    // per-row compute across cores (a single parquet file would otherwise
+    // pin it to one task)
+    val spread = df
+      .select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val withSig = spread.withColumn(
+      "_sig",
+      minHashSignature(col("_text"), numHashes, shingleSize)
+    )
     val bandHashes = array((0 until bands).map { b =>
-      xxhash64(slice(sig, b * r + 1, r), lit(b))
+      xxhash64(slice(col("_sig"), b * r + 1, r), lit(b))
     }: _*)
-    val banded = df
-      .select(col(idCol).as("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    val banded = withSig
+      .select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
     banded
       .as("a")
       .join(
@@ -106,10 +117,13 @@ object Dedup {
   ): DataFrame = {
     val cands =
       minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
-    val sh = df.select(
-      col(idCol).as("_sid"),
-      TextFunctions.shingleSet(col(textCol), shingleSize).as("_sh")
-    )
+    val sh = df
+      .select(col(idCol).as("_sid"), col(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("_sid"),
+        TextFunctions.shingleSet(col("_t"), shingleSize).as("_sh")
+      )
     cands
       .join(sh.as("sa"), col("id_a") === col("sa._sid"))
       .join(sh.as("sb"), col("id_b") === col("sb._sid"))
@@ -128,10 +142,15 @@ object Dedup {
       threshold: Double,
       shingleSize: Int = 3
   ): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("_sid"),
-      TextFunctions.shingleSet(col(textCol), shingleSize).as("_sh")
-    )
+    // left side spread across cores: the nested-loop join's parallelism
+    // is the stream side's partition count
+    val sh = df
+      .select(col(idCol).as("_sid"), col(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("_sid"),
+        TextFunctions.shingleSet(col("_t"), shingleSize).as("_sh")
+      )
     sh.as("a")
       .join(sh.as("b"), col("a._sid") < col("b._sid"))
       .withColumn("jacc", jaccard(col("a._sh"), col("b._sh")))
@@ -177,10 +196,12 @@ object Dedup {
       maxHamming: Int = 3
   ): DataFrame = {
     val chunks = 4
-    val withSim = df.select(
-      col(idCol).as("_id"),
-      simHash(col(textCol)).as("_simhash")
-    )
+    // spread the 64-bit-vote per-row compute (interpreted HOFs) across
+    // cores before evaluating it
+    val withSim = df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("_id"), simHash(col("_t")).as("_simhash"))
     val chunked = withSim.select(
       col("_id"),
       col("_simhash"),
@@ -220,10 +241,13 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
-    val v = df.select(
-      col(idCol).as("_vid"),
-      graft.functions.VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
-    )
+    val v = df
+      .select(col(idCol).as("_vid"), col(vecCol).as("_raw"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col("_vid"),
+        graft.functions.VectorFunctions.l2Normalize(col("_raw")).as("_nv")
+      )
     v.as("a")
       .join(v.as("b"), col("a._vid") < col("b._vid"))
       .withColumn(

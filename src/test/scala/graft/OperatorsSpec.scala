@@ -1,0 +1,192 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Doc(doc_id: Long, text: String)
+final case class Vec(vec_id: Long, embedding: Array[Float])
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------- text
+
+  test("tokenCount / bpeishTokenCount") {
+    val df = Seq(Doc(1, "hello big  world"), Doc(2, "a-b c! 42")).toDS.toDF
+    val m = df.select($"doc_id", TextFunctions.tokenCount($"text"), TextFunctions.bpeishTokenCount($"text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) === ((3, 3)))       // 'hello', 'big', 'world'
+    assert(m(2L) === ((3, 6)))       // bpe-ish: a, -, b, c, !, 42
+  }
+
+  test("wordShingles builds n-2 trigrams; short docs collapse to one") {
+    val df = Seq(Doc(1, "a b c d e"), Doc(2, "x y")).toDS.toDF
+    val m = df
+      .select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+      .toMap
+    assert(m(1L) === Seq("a b c", "b c d", "c d e"))
+    assert(m(2L) === Seq("x y"))
+  }
+
+  test("langId picks the marker-dominant language") {
+    val df = Seq(
+      Doc(1, "the cat and the dog of the house is to go"),
+      Doc(2, "el gato y la casa de que el perro y la"),
+      Doc(3, "der hund und die katze das ist der und die"),
+      Doc(4, "zzz qqq www")
+    ).toDS.toDF
+    val m = df
+      .select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(m(1L) === "en")
+    assert(m(2L) === "es")
+    assert(m(3L) === "de")
+    assert(m(4L) === "und")
+  }
+
+  test("rolling fingerprint matches the polynomial definition") {
+    val df = Seq(Doc(1, "abc")).toDS.toDF
+    val got = df.select(TextFunctions.fingerprintRolling($"text")).collect().head.getLong(0)
+    val want = "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    assert(got === want)
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  test("exactGroups/exactDedup collapse identical texts") {
+    val df = Seq(Doc(1, "same text"), Doc(2, "same text"), Doc(3, "other")).toDS.toDF
+    val groups = Dedup.exactGroups(df, "text", "doc_id").collect()
+    assert(groups.length === 2)
+    assert(groups.map(_.getLong(2)).sorted === Array(1L, 2L))
+    val kept = Dedup.exactDedup(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L))
+  }
+
+  test("minHashNearDups finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val other = "completely different content about spark query engines and shuffles"
+    val df = Seq(Doc(1, base), Doc(2, near), Doc(3, other)).toDS.toDF
+    val pairs = Dedup
+      .minHashNearDups(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("simHash: identical text → distance 0; near text → small distance") {
+    val df = Seq(
+      Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(2, "alpha beta gamma delta epsilon zeta eta theta"),
+      Doc(3, "alpha beta gamma delta epsilon zeta eta iota")
+    ).toDS.toDF
+    val sims = df.select($"doc_id", Dedup.simHash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L))
+    val hamming = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    assert(hamming > 0 && hamming <= 16, s"hamming=$hamming")
+    val pairs = Dedup.simHashNearDups(df, "text", "doc_id", maxHamming = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard exact: known set overlap") {
+    val df = Seq(Doc(1, "a b c d"), Doc(2, "b c d e")).toDS.toDF
+    // trigrams: {a b c, b c d}, {b c d, c d e} → intersect 1, union 3
+    val j = Dedup.jaccardPairsBrute(df, "text", "doc_id", threshold = 0.0)
+      .select("jacc").collect().head.getDouble(0)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  // ------------------------------------------------- vectors/similarity
+
+  test("cosine: identity 1, orthogonal 0") {
+    val df = Seq(
+      Vec(1, Array(1f, 0f)),
+      Vec(2, Array(0f, 1f))
+    ).toDS.toDF
+    val self = df.filter($"vec_id" === 1)
+      .select(VectorFunctions.cosine($"embedding", $"embedding")).collect().head.getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+    val cross = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.vec_id" === 1 && $"b.vec_id" === 2)
+      .select(VectorFunctions.cosine($"a.embedding", $"b.embedding"))
+      .collect().head.getDouble(0)
+    assert(math.abs(cross) < 1e-12)
+  }
+
+  test("knn ranks by cosine: crafted vectors in known order") {
+    val df = Seq(
+      Vec(0, Array(1f, 0f, 0f)),
+      Vec(1, Array(0.9f, 0.1f, 0f)),
+      Vec(2, Array(0.5f, 0.5f, 0f)),
+      Vec(3, Array(0f, 1f, 0f)),
+      Vec(4, Array(-1f, 0f, 0f))
+    ).toDS.toDF
+    val got = Similarity.knn(df, "embedding", "vec_id", queryId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got === Array((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("annTopK returns plausible neighbors through LSH buckets") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 100L).map { i =>
+      Vec(i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val df = vecs.toDS.toDF
+    val ann = Similarity.annTopK(df, "embedding", "vec_id", 0L, 5, nPlanes = 4, dim = 16)
+      .collect()
+    assert(ann.nonEmpty && ann.length <= 5)
+    assert(ann.map(_.getInt(1)).toSeq === (1 to ann.length))
+  }
+
+  // -------------------------------------------------------- multimodal
+
+  test("decodeStub: checksum matches the byte-polynomial; batching preserves rows") {
+    val df = Seq(Doc(1, "abc"), Doc(2, "defg")).toDS.toDF
+    val media = Multimodal.toMedia(df)
+    val decoded = Multimodal.decodeStub(spark, media, batchSize = 1).collect()
+    assert(decoded.length === 2)
+    val m = decoded.map(d => d.doc_id -> d).toMap
+    assert(m(1L).n_bytes === 3)
+    assert(m(1L).checksum === "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L))
+    assert(m(2L).features(0) === 4.0)
+  }
+
+  test("frameSample: counts follow ceil arithmetic") {
+    val df = Seq(Doc(1, "x" * 130)).toDS.toDF // 130 bytes, 64-byte frames → 3 frames
+    val got = Multimodal.frameSample(Multimodal.toMedia(df), frameBytes = 64, every = 2)
+      .select($"n_frames", size($"sampled_frames")).collect().head
+    assert(got.getInt(0) === 3)
+    assert(got.getInt(1) === 2) // frames 0 and 2
+  }
+
+  // -------------------------------------------------------------- ops
+
+  test("aggAllNumeric equals per-column manual aggregation") {
+    val df = Seq((1, 2.0, "a"), (3, 4.0, "a"), (5, 6.0, "b")).toDF("x", "y", "g")
+    val got = Ops.aggAllNumeric(df, Seq("g")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") === ((4L, 6.0)))
+    assert(got("b") === ((5L, 6.0)))
+  }
+
+  test("unionWithId tags provenance; topK takes ordered head") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq((2, "y")).toDF("k", "v")
+    val u = Ops.unionWithId(Seq("A" -> a, "B" -> b), "src").collect()
+      .map(r => (r.getInt(0), r.getString(2))).toSet
+    assert(u === Set((1, "A"), (2, "B")))
+    val t = Ops.topK(Seq(3, 1, 2).toDF("k"), 2, col("k").desc).collect().map(_.getInt(0))
+    assert(t === Array(3, 2))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.streaming.{EventOps, Streams}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def t(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("sessionize: crafted gaps produce known session boundaries") {
+    val events = Seq(
+      Ev(1, t(0), 1), Ev(1, t(10), 1), Ev(1, t(50), 1), // gap 40min → 2 sessions
+      Ev(2, t(5), 1) // single event → 1 session
+    ).toDS.toDF
+    val got = EventOps.sessionStats(events, gapSec = 1800)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 3L)))
+    assert(got(2L) === ((1L, 1L)))
+  }
+
+  test("tumblingAgg buckets are epoch-aligned") {
+    val events = Seq(
+      Ev(1, t(0, 30), 1), Ev(1, t(4, 59), 1), // window 00:00
+      Ev(1, t(5, 0), 1) // window 00:05
+    ).toDS.toDF.withColumn("event_type", lit("e"))
+    val got = EventOps.tumblingAgg(events, "5 minutes")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(got("2024-01-01 00:00:00.0") === 2L)
+    assert(got("2024-01-01 00:05:00.0") === 1L)
+  }
+
+  test("streaming windowed counts == batch windowed counts on the fixture") {
+    val dir = SparkTestSession.sfDir
+    val stream = Streams.eventStream(spark, dir)
+    val q = Streams.runToMemory(
+      Streams.windowedCounts(stream, "5 minutes", "10 minutes"),
+      "stream_out"
+    )
+    try {
+      val streamed = spark.table("stream_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = EventOps.tumblingAgg(Tables.events(spark, dir), "5 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
