@@ -35,23 +35,18 @@ object Dedup {
 
   // ---------------------------------------------------------- MinHash LSH
 
-  /** MinHash signature: k-shingles → per-seed min of xxhash64.
-    * Empty shingle sets fall back to a hash of the whole text so short
-    * docs still land in exactly one bucket per band.
+  /** MinHash signature: k-shingles → per-seed min hash, computed by the
+    * compiled [[graft.functions.HashExpressions.MinHashSig]] expression
+    * (the HOF formulation is interpreted and ~100× slower). Short docs
+    * hash the whole text as one shingle, so every doc lands in exactly
+    * one bucket per band.
     */
   def minHashSignature(
       text: Column,
       numHashes: Int,
       shingleSize: Int
-  ): Column = {
-    val sh = TextFunctions.shingleSet(text, shingleSize)
-    array((0 until numHashes).map { i =>
-      coalesce(
-        array_min(transform(sh, x => xxhash64(x, lit(i)))),
-        xxhash64(text, lit(i))
-      )
-    }: _*)
-  }
+  ): Column =
+    graft.functions.HashExpressions.minhash_sig(text, numHashes, shingleSize)
 
   /** LSH candidate pairs: band the signature, hash each band to a bucket,
     * self-join per (band, bucket). Returns distinct (id_a < id_b) pairs.
@@ -165,24 +160,12 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over distinct tokens: per-bit majority vote of token
-    * hashes, packed into a long. Pure per-row expression — no shuffle.
+    * hashes, packed into a long. Computed by the compiled
+    * [[graft.functions.HashExpressions.SimHash64]] expression (one pass
+    * over tokens; no shuffle).
     */
-  def simHash(text: Column, numBits: Int = 64): Column = {
-    val toks = array_distinct(TextFunctions.tokens(text))
-    val bits = (0 until numBits).map { b =>
-      val vote = aggregate(
-        toks,
-        lit(0),
-        (acc, t) =>
-          acc + when(
-            shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L,
-            1
-          ).otherwise(-1)
-      )
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def simHash(text: Column): Column =
+    graft.functions.HashExpressions.simhash64(text)
 
   /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
     * Hamming distance ≤ 3 of a 64-bit hash shares at least one of 4
