@@ -237,6 +237,18 @@ final class BigDataTable private (
   def perPartitionTagged(exprs: Column*): DataFrame =
     df.groupBy(spark_partition_id().as("_node")).agg(exprs.head, exprs.tail: _*)
 
+  /** Scalar-vector simplification (B27, reference R/big.data.table.R:
+    * 149-151): one scalar per node → a node-indexed vector on the client
+    * (the reference names entries by port; partition id is our node id,
+    * SURVEY.md §7.4.1).
+    */
+  def perPartitionScalar(expr: Column): Seq[(Int, Any)] =
+    perPartitionTagged(expr.as("_v"))
+      .orderBy(col("_node"))
+      .collect()
+      .map(r => r.getInt(0) -> r.get(1))
+      .toSeq
+
   // ---------------------------------------------------------------- gather
 
   /** ≈ `as.data.table.big.data.table` (reference R/as.big.data.table.R:

@@ -698,6 +698,108 @@ object SparkEntry {
              |                   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
              |FROM documents""".stripMargin)
     ),
+    // B20 CSV scan & sink: write through CSV, read back, aggregate — the
+    // distributed replacement for per-node fread/write.csv
+    Q(
+      "q28_csv_roundtrip",
+      (s, d) => {
+        val tmp = s"/root/repo/target/tmp/q28_csv_${d.replaceAll("[^0-9.]", "")}"
+        val rt = sources.Sources.roundTrip(
+          nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          tmp,
+          "csv"
+        )
+        rt.groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("n"), max(col("n_name")).as("max_name"))
+      },
+      Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+             |       max(n_name) AS max_name
+             |FROM nation GROUP BY 1""".stripMargin)
+    ),
+    // window functions (beyond-reference extra): top-3 orders per market
+    // segment by value, deterministic tie-break
+    Q(
+      "q30_window_rank",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(s, d)
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+             |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+             |             row_number() OVER (PARTITION BY c_mktsegment
+             |                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |      FROM orders JOIN customer ON o_custkey = c_custkey)
+             |WHERE rn <= 3""".stripMargin)
+    ),
+    // rollup / grouping sets (beyond-reference extra)
+    Q(
+      "q31_rollup",
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty")
+          )
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"),
+            col("sum_qty")
+          ),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+    ),
+    // set operations (beyond-reference extra): segment/flag combinations
+    // present in early years but absent later
+    Q(
+      "q32_setops",
+      (s, d) => {
+        val early = lineitem(s, d)
+          .filter(year(col("l_shipdate")) <= 1997)
+          .select(col("l_returnflag"), col("l_linestatus"))
+        val late = lineitem(s, d)
+          .filter(year(col("l_shipdate")) >= 1998)
+          .select(col("l_returnflag"), col("l_linestatus"))
+        early.intersect(late).unionByName(
+          early.except(late).withColumn("l_returnflag", concat(lit("only:"), col("l_returnflag")))
+        )
+      },
+      Some("""SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) <= 1997
+             |INTERSECT
+             |SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) >= 1998
+             |UNION ALL
+             |SELECT 'only:' || l_returnflag, l_linestatus FROM
+             |  (SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) <= 1997
+             |   EXCEPT
+             |   SELECT l_returnflag, l_linestatus FROM lineitem WHERE year(l_shipdate) >= 1998)""".stripMargin)
+    ),
+    // conditional aggregation / manual pivot (beyond-reference extra)
+    Q(
+      "q33_pivot_case",
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+            sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")
+          ),
+      Some("""SELECT o_orderpriority,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM orders GROUP BY 1""".stripMargin)
+    ),
     // frame sampling over binary payloads (pure column slicing)
     Q(
       "m03_frame_sample",

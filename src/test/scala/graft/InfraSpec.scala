@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+/** Async fan-out (A3/A5), observability (A26), scalar simplification
+  * (B27), source round-trips (B20).
+  */
+class InfraSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fireAndCollect: parallel actions == sequential results; failures isolated (A3/A5)") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(10, 20).toDF("x")
+    // fails at RUNTIME (assert_true), not analysis — the async path must
+    // carry execution failures back as values, like rscl.collect's try
+    val bad = Seq(1).toDF("x").select(expr("assert_true(x > 5)").as("x"))
+    val results = AsyncOps.fireAndCollect(Seq(a, b, bad), 2.minutes)
+    assert(results(0).get.map(_.getInt(0)).sorted === Array(1, 2, 3))
+    assert(results(1).get.map(_.getInt(0)).sorted === Array(10, 20))
+    assert(results(2).isFailure) // one dead node still lets others report
+  }
+
+  test("QueryLog captures success with rows/duration and failure with error (A26)") {
+    val log = Observability.attach(spark)
+    try {
+      log.clear()
+      Seq(1, 2, 3).toDF("x").filter($"x" > 1).collect()
+      // listener callbacks are async — wait briefly
+      var tries = 0
+      while (log.entries.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val ok = log.entries.find(_.status == "success")
+      assert(ok.nonEmpty)
+      assert(ok.get.durationNs > 0)
+    } finally Observability.detach(spark, log)
+  }
+
+  test("perPartitionScalar: one scalar per node, node-indexed (B27)") {
+    val bdt = BigDataTable.fromLocal(
+      spark,
+      (1 to 100).map(i => GenTestRow(2011, "a", i.toDouble)),
+      "t_pps",
+      numShards = 4
+    )
+    val counts = bdt.perPartitionScalar(count(lit(1)))
+    assert(counts.map(_._2.asInstanceOf[Long]).sum === 100L)
+    assert(counts.map(_._1) === counts.map(_._1).sorted)
+  }
+
+  test("CSV and JSON round-trips preserve data (B20)") {
+    val df = Seq((1, "a", 1.5), (2, "b", -2.25)).toDF("k", "s", "v")
+    for (fmt <- Seq("csv", "json", "parquet")) {
+      val back = Sources.roundTrip(df, s"/root/repo/target/tmp/rt_$fmt", fmt)
+      val got = back
+        .collect()
+        .map(r => (r.get(back.columns.indexOf("k")).toString.toInt,
+          r.getString(back.columns.indexOf("s")),
+          r.get(back.columns.indexOf("v")).toString.toDouble))
+        .sortBy(_._1)
+      assert(got === Array((1, "a", 1.5), (2, "b", -2.25)), s"format $fmt")
+    }
+  }
+}
