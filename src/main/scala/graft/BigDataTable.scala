@@ -217,6 +217,19 @@ final class BigDataTable private (
     new BigDataTable(nd, name, keys)
   }
 
+  /** Keyed + sorted shards ≈ data.table's `setkeyv` semantics (B22,
+    * reference R/as.big.data.table.R:10): co-locate by key AND sort
+    * within each shard — the layout that makes per-shard merge joins and
+    * range scans cheap (Spark's bucketed-sorted-table shape).
+    */
+  def keyBy(keys: String*): BigDataTable = {
+    val nd = df
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    nd.createOrReplaceTempView(name)
+    new BigDataTable(nd, name, keys)
+  }
+
   // ------------------------------------------------------- per-node escape
 
   /** ≈ `[[.big.data.table` expr mode (reference R/big.data.table.R:310-324)

@@ -54,6 +54,16 @@ object Cluster {
   def lsStr(spark: SparkSession): Map[String, String] =
     ls(spark).map(n => n -> spark.table(n).schema.treeString).toMap
 
+  /** ≈ `rscl.assign` (reference R/rscl.R:80-89): make one value visible
+    * to every node. In Spark that is a broadcast variable — shipped once
+    * per executor, torrent-distributed, not once per task.
+    */
+  def assign[T: scala.reflect.ClassTag](
+      spark: SparkSession,
+      value: T
+  ): org.apache.spark.broadcast.Broadcast[T] =
+    spark.sparkContext.broadcast(value)
+
   /** ≈ `rscl.require` (reference R/rscl.R:145-158). The engine is
     * compiled into the application jar, so per-node package loading is a
     * no-op; kept for API parity and returns whether the class is present.

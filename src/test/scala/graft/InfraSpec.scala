@@ -52,6 +52,26 @@ class InfraSpec extends AnyFunSuite {
     assert(counts.map(_._1) === counts.map(_._1).sorted)
   }
 
+  test("assign broadcasts a value visible in tasks (A4)") {
+    val b = Cluster.assign(spark, Map("factor" -> 2))
+    val got = spark.range(4).rdd.map(i => i * b.value("factor")).collect().sorted
+    assert(got === Array(0L, 2L, 4L, 6L))
+    b.destroy()
+  }
+
+  test("keyBy produces key-pure, within-shard-sorted partitions (B22)") {
+    val rows = scala.util.Random.shuffle(
+      (1 to 200).map(i => GenTestRow(2011 + i % 4, s"s$i", i.toDouble))
+    )
+    val bdt = BigDataTable.fromLocal(spark, rows, "t_keyby").keyBy("year")
+    val sortedWithin = bdt.perPartition() { it =>
+      val years = it.map(_.getInt(0)).toSeq
+      Iterator(years == years.sorted)
+    }.collect()
+    assert(sortedWithin.forall(identity))
+    assert(bdt.partitionBy === Seq("year"))
+  }
+
   test("CSV and JSON round-trips preserve data (B20)") {
     val df = Seq((1, "a", 1.5), (2, "b", -2.25)).toDF("k", "s", "v")
     for (fmt <- Seq("csv", "json", "parquet")) {
