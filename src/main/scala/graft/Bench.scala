@@ -21,7 +21,7 @@ object Bench {
     "q01_global_agg", "q03_group_multi", "q05_count_groups", "q07_uniqueN",
     "q08_distinct", "q09_filter", "q10_join_agg", "q14_cross_join",
     "q15_expr_cols", "q17_chained", "q18_topn", "q24_join_copart",
-    "q27_json_extract", "e01_window_hourly", "e03_sessionize",
+    "q27_json_extract", "e01_window_hourly", "e03_sessionize", "e04_asof_join",
     "t01_token_count", "t03_lang_id", "t04_fingerprint",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "s01_knn_brute", "s02_ann_lsh", "m01_binary_meta"
@@ -50,14 +50,19 @@ object Bench {
       try materialize(n, sfDir)
       catch { case _: Throwable => () }
     }
-    val results = names.map { name =>
+    // two timed passes, min per query — damps scheduler/GC noise without
+    // hiding real cost (both passes are fully warm)
+    def timedPass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try materialize(name, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -502,6 +502,47 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n_events
              |FROM c GROUP BY 1""".stripMargin)
     ),
+    // as-of join (custom composed operator — Spark lacks a native one):
+    // each error event matched to the user's most recent prior signup
+    Q(
+      "e04_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        operators.AsofJoin
+          .asofJoin(
+            left = ev.filter(col("event_type") === "error")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "signup")
+              .select("event_id", "user_id", "ts"),
+            key = "user_id",
+            leftTs = "ts",
+            rightTs = "ts",
+            rightCols = Map("event_id" -> "matched_id")
+          )
+          .select(col("event_id"), col("matched_id"))
+      },
+      Some("""SELECT l.event_id, r.event_id AS matched_id
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type = 'error') l
+             |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type = 'signup') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)
+    ),
+    // exact quantiles (linear interpolation, matching quantile_cont)
+    Q(
+      "q34_quantiles",
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.9)"), 4).as("p90"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99")
+          ),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.9), 4) AS p90,
+             |       round(quantile_cont(value, 0.99), 4) AS p99
+             |FROM events GROUP BY 1""".stripMargin)
+    ),
     // ---- text analysis (north-star; documents fixture) -----------------
     // token counting: whitespace + BPE-ish regex
     Q(
