@@ -699,6 +699,40 @@ object SparkEntry {
              |  WHERE e.vec_id != 0)
              |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin)
     ),
+    // statistical aggregates (stddev/variance/correlation/covariance)
+    Q(
+      "q35_stats",
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("cov_qt")
+          ),
+      Some("""SELECT l_returnflag,
+             |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |       round(var_samp(l_discount), 6) AS var_disc,
+             |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |       round(covar_samp(l_quantity, l_tax), 6) AS cov_qt
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    // IVF ANN top-k (probe-set dependent; rows-only)
+    Q(
+      "s03_ivf",
+      (s, d) =>
+        operators.Similarity.ivfTopK(
+          embeddings(s, d),
+          "embedding",
+          "vec_id",
+          queryId = 0L,
+          k = 5,
+          nCentroids = 16,
+          nProbe = 6
+        ),
+      None
+    ),
     // LSH-bucketed ANN top-k (bucket-dependent; rows-only)
     Q(
       "s02_ann_lsh",

@@ -116,6 +116,90 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) index: deterministic coarse centroids (an
+    * evenly-strided sample of the vectors themselves — k-means would
+    * refine them, but stride-sampling is deterministic and adequate for a
+    * coarse quantizer), each vector assigned to its nearest centroid.
+    * The centroid list is tiny and broadcast as literals; assignment is a
+    * per-row argmin — no shuffle.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCentroids: Int
+  ): DataFrame = {
+    val n = df.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = df
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centArr = centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(x => lit(x.toDouble)): _*).as("cv"))
+    }
+    // argmin over the centroid array: array_sort by (distance, cid), take head
+    val scored = array_sort(
+      array(centArr.map { c =>
+        struct(
+          VectorFunctions
+            .euclidean(col(vecCol), c.getField("cv"))
+            .as("dist"),
+          c.getField("cid").as("cid")
+        )
+      }: _*)
+    )
+    df.withColumn("_centroid", scored.getItem(0).getField("cid"))
+  }
+
+  /** IVF ANN top-k for one query id: probe the `nProbe` centroids nearest
+    * to the query vector, exact cosine ranking within those inverted
+    * lists only. The probe set is computed once (tiny); candidate scan is
+    * a partition-prunable equi-filter on the centroid column — at scale
+    * the inverted lists are the partition layout.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val assigned = ivfAssign(df, vecCol, idCol, nCentroids).cache()
+    try {
+      val qRow = assigned.filter(col(idCol) === queryId).select(vecCol).head()
+      val qVec = qRow.getSeq[Float](0).toArray
+      val qLit = array(qVec.map(x => lit(x.toDouble)): _*)
+      // rank centroids by distance to the query → probe set
+      val probes = assigned
+        .select(col("_centroid"))
+        .distinct()
+        .join(
+          assigned.select(col(idCol).as("_cid2"), col(vecCol).as("_cv")),
+          col("_centroid") === col("_cid2")
+        )
+        .withColumn("_qd", VectorFunctions.euclidean(col("_cv"), qLit))
+        .orderBy(col("_qd").asc)
+        .limit(nProbe)
+        .collect()
+        .map(_.getLong(0))
+      assigned
+        .filter(col("_centroid").isin(probes: _*) && col(idCol) =!= queryId)
+        .withColumn("_cos", VectorFunctions.cosine(col(vecCol), qLit))
+        .orderBy(col("_cos").desc, col(idCol).asc)
+        .limit(k)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("_cos").desc, col(idCol).asc))
+        )
+        .select(col(idCol).as("neighbor_id"), col("rank"))
+    } finally assigned.unpersist()
+  }
+
   /** LSH-blocked near-dup pairs over embeddings (scale path of
     * [[Dedup.embeddingNearDupsBrute]]): pairs must share a bucket, then
     * exact cosine filter.

@@ -36,6 +36,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("2024-01-01 00:05:00.0") === 1L)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) == batch sessionStats") {
+    val dir = SparkTestSession.sfDir
+    val stream = Streams.eventStream(spark, dir)
+    val q = graft.streaming.StatefulSessions
+      .sessionStream(spark, stream, gapSec = 1800)
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("stateful_out")
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      // update mode: last emission per user is the final state
+      val streamed = spark.table("stateful_out")
+        .groupBy($"user_id")
+        .agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = EventOps.sessionStats(Tables.events(spark, dir), gapSec = 1800)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts on the fixture") {
     val dir = SparkTestSession.sfDir
     val stream = Streams.eventStream(spark, dir)
