@@ -543,6 +543,18 @@ object SparkEntry {
              |       round(quantile_cont(value, 0.99), 4) AS p99
              |FROM events GROUP BY 1""".stripMargin)
     ),
+    // distributed global sort (range partitioning; the sorted-export
+    // shape). Order itself isn't hashed by the driver, but the full sort
+    // plan — sample → range-partition → per-partition sort — is the point.
+    Q(
+      "q36_global_sort",
+      (s, d) =>
+        orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+    ),
     // ---- text analysis (north-star; documents fixture) -----------------
     // token counting: whitespace + BPE-ish regex
     Q(

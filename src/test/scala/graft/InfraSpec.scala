@@ -72,6 +72,31 @@ class InfraSpec extends AnyFunSuite {
     assert(bdt.partitionBy === Seq("year"))
   }
 
+  test("seeded sampling is reproducible; stratified sampleBy honors fractions (B24)") {
+    val df = Tables.lineitem(spark, SparkTestSession.sfDir)
+    val a = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    val b = df.sample(withReplacement = false, 0.1, seed = 42).count()
+    assert(a === b) // same seed → same sample
+    val total = df.count()
+    assert(math.abs(a.toDouble / total - 0.1) < 0.03)
+    val strat = df.stat
+      .sampleBy("l_returnflag", Map("N" -> 0.5, "A" -> 0.0, "R" -> 0.0), 42L)
+    assert(strat.select("l_returnflag").distinct().collect().map(_.getString(0)).toSet === Set("N"))
+  }
+
+  test("q36 global sort plans as Sort over range partitioning (order not hashed by driver)") {
+    val df = SparkEntry.queries("q36_global_sort")(spark, SparkTestSession.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort "), s"no Sort in plan:\n$plan")
+    assert(
+      plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"no range partitioning in plan:\n$plan"
+    )
+    // and the output really is sorted end-to-end
+    val prices = df.select("o_totalprice").collect().map(_.getDouble(0))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
   test("CSV and JSON round-trips preserve data (B20)") {
     val df = Seq((1, "a", 1.5), (2, "b", -2.25)).toDF("k", "s", "v")
     for (fmt <- Seq("csv", "json", "parquet")) {
