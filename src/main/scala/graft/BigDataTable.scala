@@ -176,6 +176,13 @@ final class BigDataTable private (
     if (keyBy.nonEmpty) out.orderBy(keyBy: _*) else out
   }
 
+  /** SQL entry over the registered view — the string-expression analog of
+    * the reference's quoted-expression shipping (the AST the reference
+    * serializes over TCP is here a SQL string resolved by Catalyst
+    * against this table's temp view).
+    */
+  def sql(queryText: String): DataFrame = spark.sql(queryText)
+
   /** Select a subset of columns ≈ `[, cols, with=FALSE]`
     * (reference R/as.big.data.table.R:86).
     */

@@ -616,6 +616,60 @@ object SparkEntry {
            |FROM (SELECT doc_id, text, $scoreSql FROM documents)""".stripMargin
       }
     ),
+    // salted two-phase aggregation (skew strategy) — identical results to
+    // the direct groupBy, gated against the same oracle
+    Q(
+      "q37_salted_agg",
+      (s, d) =>
+        operators.Ops.saltedAgg(
+          lineitem(s, d),
+          key = Seq("l_returnflag"),
+          saltBuckets = 8
+        )(
+          partial = Seq(
+            sum(col("l_quantity")).as("_sq"),
+            count(lit(1)).as("_n")
+          ),
+          finalAgg = Seq(
+            round(sum(col("_sq")), 2).as("sum_qty"),
+            sum(col("_n")).as("n")
+          )
+        ),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1""".stripMargin)
+    ),
+    // composite quality score: weighted blend of length/diversity/stopword
+    // signals — row-level deterministic arithmetic, oracle-matched
+    Q(
+      "t05_quality_score",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          (least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            functions.TextFunctions.typeTokenRatio(col("text")) * 0.3 +
+            least(
+              functions.TextFunctions.langScore(
+                col("text"),
+                functions.TextFunctions.langMarkers.head._2
+              ) / 10.0,
+              lit(1.0)
+            ) * 0.3).as("quality")
+        ),
+      Some {
+        val stop = functions.TextFunctions.langMarkers.head._2
+          .map { w =>
+            val m = s" $w "
+            s"(length(' '||text||' ') - length(replace(' '||text||' ', '$m', ''))) / ${m.length}"
+          }
+          .mkString(" + ")
+        s"""SELECT doc_id,
+           |       least(n_chars / 500.0, 1.0) * 0.4 +
+           |       (len(list_distinct(split(text, ' '))) / len(split(text, ' '))) * 0.3 +
+           |       least(($stop) / 10.0, 1.0) * 0.3 AS quality
+           |FROM documents""".stripMargin
+      }
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",

@@ -50,6 +50,30 @@ object Ops {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** Skew-resistant two-phase aggregation: salt the key, partial-agg on
+    * (key, salt), final-agg on key. For heavy-hitter keys whose single
+    * reducer would bottleneck (or spill) at scale, the salt spreads the
+    * partial aggregation over `saltBuckets` reducers. Results are
+    * identical to the direct groupBy for any decomposable aggregate —
+    * the caller provides the partial and final forms.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Seq[String],
+      saltBuckets: Int
+  )(partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
+    val salted = df.withColumn(
+      "_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+    )
+    val phase1 = salted
+      .groupBy((key.map(col) :+ col("_salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1
+      .groupBy(key.map(col): _*)
+      .agg(finalAgg.head, finalAgg.tail: _*)
+  }
+
   /** Deterministic per-partition generation helper (B24): mixes a seed
     * with the partition id so each shard draws an independent,
     * reproducible stream — the reference's `set.seed` per node

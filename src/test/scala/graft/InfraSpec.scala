@@ -97,6 +97,41 @@ class InfraSpec extends AnyFunSuite {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("saltedAgg == direct groupBy for decomposable aggregates (skew path)") {
+    val df = Tables.lineitem(spark, SparkTestSession.sfDir)
+    val direct = df.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = graft.operators.Ops.saltedAgg(df, Seq("l_returnflag"), 8)(
+      partial = Seq(sum($"l_quantity").as("_s"), count(lit(1)).as("_n")),
+      finalAgg = Seq(sum($"_s").as("s"), sum($"_n").as("n"))
+    ).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (sv, nv)) =>
+      assert(nv === direct(k)._2)
+      assert(math.abs(sv - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("sql() resolves against the registered view") {
+    val bdt = BigDataTable.fromLocal(
+      spark, (1 to 10).map(i => GenTestRow(2011, "a", i.toDouble)), "t_sql")
+    val n = bdt.sql("SELECT count(*) AS n FROM t_sql WHERE value > 5").head().getLong(0)
+    assert(n === 5L)
+  }
+
+  test("hive-partitioned write → read prunes partitions (scale: partition pruning)") {
+    val path = "/root/repo/target/tmp/pruned"
+    Tables.orders(spark, SparkTestSession.sfDir)
+      .withColumn("status", $"o_orderstatus")
+      .write.mode("overwrite").partitionBy("status").parquet(path)
+    val pruned = spark.read.parquet(path).filter($"status" === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("status"), plan.take(2000))
+    val full = spark.read.parquet(path)
+    assert(pruned.count() > 0 && pruned.count() < full.count())
+  }
+
   test("CSV and JSON round-trips preserve data (B20)") {
     val df = Seq((1, "a", 1.5), (2, "b", -2.25)).toDF("k", "s", "v")
     for (fmt <- Seq("csv", "json", "parquet")) {
