@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels for [[HashExpressions]], kept in a plain object so
+  * both the interpreted `eval` path and generated Java (via the static
+  * forwarders Scala emits for object methods) call the same code.
+  */
+object HashExpressionImpls {
+
+  private val seedA = 42L // matches Spark's xxhash64 default seed
+  private val seedB = 0x7A3C5E1FD1CE4E5BL
+
+  def minhashSig(text: UTF8String, numHashes: Int, shingleSize: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val shingles = new java.util.HashSet[String]()
+    if (toks.length <= shingleSize) {
+      shingles.add(toks.mkString(" "))
+    } else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - shingleSize) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleSize) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        shingles.add(sb.toString)
+        i += 1
+      }
+    }
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val sh = UTF8String.fromString(it.next())
+      val h1 = Shim.xxhash64String(sh, seedA)
+      val h2 = Shim.xxhash64String(sh, seedB) | 1L
+      var k = 0
+      var g = h1
+      while (k < numHashes) {
+        if (g < sig(k)) sig(k) = g
+        g += h2
+        k += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash64(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = Shim.xxhash64String(UTF8String.fromString(toks(i)), seedA)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
