@@ -53,25 +53,44 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // two timed passes, min per query — damps scheduler/GC noise without
-    // hiding real cost (both passes are fully warm)
-    def timedPass(): Map[String, Double] = names.map { name =>
+    // hiding real cost (both passes are fully warm). A query that throws
+    // is recorded as FAILED, not timed — a regression must never make the
+    // headline total look faster.
+    def timedPass(): Map[String, Option[Double]] = names.map { name =>
       val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { materialize(name, sfDir); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    val results = names.flatMap { n =>
+      (p1(n), p2(n)) match {
+        case (Some(a), Some(b)) => Some(n -> math.min(a, b))
+        case _                  => None
+      }
+    }
+    val failed = names.filter(n => p1(n).isEmpty || p2(n).isEmpty)
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the driver parses the JSON line from process output; sbt/log4j can
+    // interleave, so also persist it to a file and print it LAST, after
+    // spark.stop() has flushed executor logging
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8")
     )
     spark.stop()
+    println(line)
   }
 }

@@ -15,10 +15,55 @@ import scala.jdk.CollectionConverters._
   */
 object Observability {
 
+  /** in_rows ≈ the reference logR's per-call input-row count (reference
+    * tests/tests-08-logging.R:88-96): sum of rows produced by the plan's
+    * leaf scan nodes. Under AQE the scans are buried inside materialized
+    * query stages, which present as leaves — recurse through them (and
+    * through the AdaptiveSparkPlanExec wrapper, also a leaf node).
+    */
+  private[graft] def leafScanRows(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[Long] =
+    p.collectLeaves().flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leafScanRows(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leafScanRows(q.plan)
+      // ReusedExchangeExec shares its metrics with the original exchange,
+      // whose stage is already counted — recursing would double-count
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq.empty
+      case leaf => leaf.metrics.get("numOutputRows").map(_.value).toSeq
+    }
+
+  /** out_rows: the query's result cardinality ≈ numOutputRows of the
+    * topmost counting operator. Wrappers (AQE plan/stages, whole-stage
+    * codegen, projections) carry no row metric — pre-order search for the
+    * first node that does.
+    */
+  private[graft] def topOutputRows(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Option[Long] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      topOutputRows(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      topOutputRows(q.plan)
+    case _ =>
+      p.metrics
+        .get("numOutputRows")
+        .map(_.value)
+        .orElse(
+          p.children.iterator
+            .map(topOutputRows)
+            .collectFirst { case Some(v) => v }
+        )
+  }
+
   final case class QueryRecord(
       funcName: String,
       planDigest: String,
       durationNs: Long,
+      inputRows: Option[Long],
       outputRows: Option[Long],
       status: String,
       error: Option[String]
@@ -33,14 +78,15 @@ object Observability {
         qe: QueryExecution,
         durationNs: Long
     ): Unit = {
-      val rows = qe.executedPlan.metrics
-        .get("numOutputRows")
-        .map(_.value)
+      val rows = Observability.topOutputRows(qe.executedPlan)
+      val leafRows = Observability.leafScanRows(qe.executedPlan)
+      val inRows = if (leafRows.nonEmpty) Some(leafRows.sum) else None
       queue.add(
         QueryRecord(
           funcName,
           qe.analyzed.simpleString(3),
           durationNs,
+          inRows,
           rows,
           "success",
           None
@@ -58,6 +104,7 @@ object Observability {
           funcName,
           qe.analyzed.simpleString(3),
           0L,
+          None,
           None,
           "error",
           Some(exception.getMessage)

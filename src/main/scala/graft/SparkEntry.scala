@@ -136,17 +136,32 @@ object SparkEntry {
              |       round(sum(l_tax), 2) AS l_tax
              |FROM lineitem GROUP BY 1""".stripMargin)
     ),
-    // B7 uniqueN / countDistinct (reference R/big.data.table.R:45)
+    // B7 uniqueN / countDistinct (reference R/big.data.table.R:45).
+    // Three distinct columns → one pass with per-column pre-dedup: union
+    // the (flag, which-column, key) legs, distinct once (map-side partial
+    // dedup makes the shuffle carry only distinct tuples), then count per
+    // flag — no Expand ×3 of the full fact table.
     Q(
       "q07_uniqueN",
-      (s, d) =>
-        lineitem(s, d)
+      (s, d) => {
+        val li = lineitem(s, d)
+        def leg(c: String, g: Int) =
+          li.select(
+            col("l_returnflag"),
+            lit(g).as("_g"),
+            col(c).cast("long").as("_k")
+          )
+        leg("l_partkey", 0)
+          .union(leg("l_suppkey", 1))
+          .union(leg("l_orderkey", 2))
+          .distinct()
           .groupBy(col("l_returnflag"))
           .agg(
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_supps"),
-            countDistinct(col("l_orderkey")).as("n_orders")
-          ),
+            count(when(col("_g") === 0, 1)).as("n_parts"),
+            count(when(col("_g") === 1, 1)).as("n_supps"),
+            count(when(col("_g") === 2, 1)).as("n_orders")
+          )
+      },
       Some("""SELECT l_returnflag,
              |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
              |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,

@@ -49,9 +49,16 @@ object Dedup {
     graft.functions.HashExpressions.minhash_sig(text, numHashes, shingleSize)
 
   /** LSH candidate pairs: band the signature, hash each band to a bucket,
-    * self-join per (band, bucket). Returns distinct (id_a < id_b) pairs.
-    * The join key is (band index, band hash) — a plain shuffle join that
-    * AQE can skew-split; no cross join anywhere.
+    * and emit all in-bucket pairs from ONE pass — group by (band, bucket),
+    * collect the (sorted) bucket membership, and expand i<j index pairs.
+    * Returns distinct (id_a < id_b) pairs.
+    *
+    * The round-1 form self-joined the banded table with itself, which
+    * re-executed the expensive MinHashSig subtree for both join sides;
+    * the groupBy form evaluates each signature exactly once and shuffles
+    * once on the bucket key. A pathologically hot bucket concentrates in
+    * one group, but its pair list is quadratic in either formulation —
+    * cap bucket size upstream if that matters at scale.
     */
   def minHashCandidates(
       df: DataFrame,
@@ -80,15 +87,23 @@ object Dedup {
     }: _*)
     val banded = withSig
       .select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
-    banded
-      .as("a")
-      .join(
-        banded.as("b"),
-        col("a._band") === col("b._band") &&
-          col("a._bucket") === col("b._bucket") &&
-          col("a._id") < col("b._id")
+    val ids = array_sort(col("_ids"))
+    val pairs = flatten(
+      transform(
+        ids,
+        (a, i) =>
+          transform(
+            slice(ids, i + lit(2), size(ids)),
+            b => struct(a.as("id_a"), b.as("id_b"))
+          )
       )
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+    )
+    banded
+      .groupBy(col("_band"), col("_bucket"))
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"))
       .distinct()
   }
 
@@ -167,10 +182,19 @@ object Dedup {
   def simHash(text: Column): Column =
     graft.functions.HashExpressions.simhash64(text)
 
-  /** SimHash near-dup pairs: block on 16-bit chunks (any pair within
-    * Hamming distance ≤ 3 of a 64-bit hash shares at least one of 4
-    * chunks), then verify with bit_count(xor). Bucket join, no cross
-    * join.
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bit-chunks of the
+    * 64-bit hash — by pigeonhole, any pair within Hamming distance ≤
+    * maxHamming differs in at most maxHamming chunks, so it shares at
+    * least one chunk exactly — then verify with bit_count(xor). Bucket
+    * join, no cross join; recall is exact for the given radius (the
+    * round-1 fixed 4×16-bit blocking silently missed pairs past
+    * Hamming 3).
+    *
+    * Scale note: chunk width shrinks as the radius grows (h=10 → 11
+    * chunks of 5-6 bits → 2^5-2^6 buckets per chunk), so large radii
+    * over huge corpora inflate the candidate join; at 100 TB keep the
+    * radius small or step up to Manku-style multi-chunk combination
+    * blocking (wider buckets, more probes).
     */
   def simHashNearDups(
       df: DataFrame,
@@ -178,7 +202,17 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val chunks = 4
+    require(
+      maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming"
+    )
+    val chunks = maxHamming + 1
+    // distribute the 64 bits as evenly as possible across the chunks
+    val baseWidth = 64 / chunks
+    val rem = 64 % chunks
+    val widths = (0 until chunks).map(c => if (c < rem) baseWidth + 1 else baseWidth)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
     // spread the 64-bit-vote per-row compute (interpreted HOFs) across
     // cores before evaluating it
     val withSim = df
@@ -190,7 +224,8 @@ object Dedup {
       col("_simhash"),
       posexplode(
         array((0 until chunks).map { c =>
-          shiftrightunsigned(col("_simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))
+          shiftrightunsigned(col("_simhash"), offsets(c))
+            .bitwiseAND(lit(mask(widths(c))))
         }: _*)
       ).as(Seq("_chunk", "_val"))
     )

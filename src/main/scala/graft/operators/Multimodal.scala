@@ -91,12 +91,18 @@ object Multimodal {
       every: Int
   ): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes)
+    // empty payload ⇒ zero frames; the sequence() path can't express that
+    // (sequence(0, -1) yields a DESCENDING [0, -1], not []), so guard it
+    val frames = when(nFrames === 0, array().cast("array<binary>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), (nFrames - 1).cast("int")),
+          i => substring(col("payload"), lit(1) + i * frameBytes, lit(frameBytes))
+        )
+      )
     media.select(
       col("doc_id"),
-      transform(
-        sequence(lit(0), greatest((nFrames - 1).cast("int"), lit(0))),
-        i => substring(col("payload"), lit(1) + i * frameBytes, lit(frameBytes))
-      ).as("frames"),
+      frames.as("frames"),
       nFrames.cast("int").as("n_frames")
     ).select(
       col("doc_id"),

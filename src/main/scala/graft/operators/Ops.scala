@@ -62,9 +62,14 @@ object Ops {
       key: Seq[String],
       saltBuckets: Int
   )(partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
+    // the salt must be DETERMINISTIC per row content: under task retry /
+    // stage recomputation a re-executed map task must land each row in
+    // the same bucket, or the two-phase aggregate double-counts/drops
+    // (partition-id or monotonically_increasing_id salts break exactly
+    // when the skew path matters — shuffle-fetch failure at scale)
     val salted = df.withColumn(
       "_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
     )
     val phase1 = salted
       .groupBy((key.map(col) :+ col("_salt")): _*)

@@ -1,16 +1,30 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`ArrayType(FloatType)`).
-  * Baseline: brute-force cosine top-k (exact). Scale path: LSH
-  * random-hyperplane bucketing — candidates come from an equi-join on the
-  * bucket key, so the cross product never materializes.
+  * Baseline: brute-force cosine top-k (exact). Scale paths: LSH
+  * random-hyperplane bucketing (candidates from an equi-join on the
+  * bucket key) and an IVF index whose inverted lists ARE the physical
+  * partition layout (probes become partition-pruned scans).
   */
 object Similarity {
+
+  /** Rank the ≤k already-sorted-and-limited rows without a window at all:
+    * orderBy().limit(k) plans as TakeOrderedAndProject, whose output is
+    * ONE partition in sorted order, so a monotonically_increasing_id over
+    * it enumerates 0..k-1 in rank order. (A bare row_number() window here
+    * would re-sort k rows and spam "No Partition Defined" warnings into
+    * every bench log; a constant partitionBy key gets optimizer-folded
+    * back to the empty spec.)
+    */
+  private def rankLimited(scored: DataFrame, idCol: String): DataFrame =
+    scored
+      .coalesce(1)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select(col(idCol).as("neighbor_id"), col("rank"))
 
   /** Exact top-k neighbors of one query id by cosine. The query vector is
     * a 1-row broadcast; ranking is (cosine desc, id asc) so results are
@@ -35,12 +49,7 @@ object Similarity {
       .withColumn("_cos", VectorFunctions.cosine(col(vecCol), col("_qv")))
       .orderBy(col("_cos").desc, col(idCol).asc)
       .limit(k)
-    scored
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy(col("_cos").desc, col(idCol).asc))
-      )
-      .select(col(idCol).as("neighbor_id"), col("rank"))
+    rankLimited(scored, idCol)
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded driver-side; tiny,
@@ -71,7 +80,9 @@ object Similarity {
   }
 
   /** ANN top-k for one query id: candidates share the query's hyperplane
-    * bucket or any 1-bit-flip neighbor bucket (multi-probe for recall),
+    * bucket or any bucket within `probeBits` sign flips (multi-probe —
+    * a near neighbor's dot product sits close to zero on a few planes,
+    * so probing low-Hamming buckets recovers most of the lost recall),
     * then exact cosine ranking within candidates. Bucket equi-join — the
     * shape that scales to IVF-style partitioned indexes.
     */
@@ -83,82 +94,208 @@ object Similarity {
       k: Int,
       nPlanes: Int = 12,
       dim: Int = 64,
-      seed: Long = 42L
+      seed: Long = 42L,
+      probeBits: Int = 2
   ): DataFrame = {
     val withSig = df.withColumn(
       "_sig",
       hyperplaneSignature(col(vecCol), nPlanes, dim, seed)
     )
-    // query side: its bucket + all 1-bit flips (multi-probe)
+    // all flip masks of Hamming weight ≤ probeBits (driver-side; tiny:
+    // sum of C(nPlanes, w) for w ≤ probeBits)
+    val masks: Seq[Long] = (0 to probeBits).flatMap(w =>
+      (0 until nPlanes)
+        .combinations(w)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
+    )
     val probeSigs = withSig
       .filter(col(idCol) === queryId)
       .select(
         explode(
-          array(
-            col("_sig") +:
-              (0 until nPlanes).map(b =>
-                col("_sig").bitwiseXOR(shiftleft(lit(1L), b))
-              ): _*
-          )
+          array(masks.map(m => col("_sig").bitwiseXOR(lit(m))): _*)
         ).as("_probe"),
         col(vecCol).as("_qv")
       )
-    withSig
+    val scored = withSig
       .filter(col(idCol) =!= queryId)
       .join(broadcast(probeSigs), col("_sig") === col("_probe"))
       .withColumn("_cos", VectorFunctions.cosine(col(vecCol), col("_qv")))
       .orderBy(col("_cos").desc, col(idCol).asc)
       .limit(k)
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy(col("_cos").desc, col(idCol).asc))
-      )
-      .select(col(idCol).as("neighbor_id"), col("rank"))
+    rankLimited(scored, idCol)
   }
 
-  /** IVF (inverted-file) index: deterministic coarse centroids (an
-    * evenly-strided sample of the vectors themselves — k-means would
-    * refine them, but stride-sampling is deterministic and adequate for a
-    * coarse quantizer), each vector assigned to its nearest centroid.
-    * The centroid list is tiny and broadcast as literals; assignment is a
-    * per-row argmin — no shuffle.
+  // ------------------------------------------------------------------ IVF
+
+  /** A built IVF index: coarse centroids live on the DRIVER (tiny —
+    * nCentroids × dim doubles), the data lives distributed with a
+    * `_centroid` assignment column. Probing never runs a Spark job to
+    * pick centroids and never caches/counts the table.
+    */
+  final case class IvfIndex(
+      assigned: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String,
+      idCol: String
+  )
+
+  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Assign every row to its nearest centroid (index into `centroids`).
+    * Pure per-row column argmin over literal centroid vectors — no
+    * shuffle, no job.
     */
   def ivfAssign(
       df: DataFrame,
       vecCol: String,
-      idCol: String,
-      nCentroids: Int
+      centroids: Array[Array[Double]]
   ): DataFrame = {
-    val n = df.count()
-    val stride = math.max(1L, n / nCentroids)
-    val centroids = df
-      .filter(pmod(col(idCol), lit(stride)) === 0)
-      .limit(nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val centArr = centroids.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(x => lit(x.toDouble)): _*).as("cv"))
-    }
-    // argmin over the centroid array: array_sort by (distance, cid), take head
     val scored = array_sort(
-      array(centArr.map { c =>
+      array(centroids.zipWithIndex.map { case (cv, ci) =>
         struct(
           VectorFunctions
-            .euclidean(col(vecCol), c.getField("cv"))
+            .euclidean(col(vecCol), array(cv.map(lit): _*))
             .as("dist"),
-          c.getField("cid").as("cid")
+          lit(ci).as("cid")
         )
       }: _*)
     )
     df.withColumn("_centroid", scored.getItem(0).getField("cid"))
   }
 
-  /** IVF ANN top-k for one query id: probe the `nProbe` centroids nearest
-    * to the query vector, exact cosine ranking within those inverted
-    * lists only. The probe set is computed once (tiny); candidate scan is
-    * a partition-prunable equi-filter on the centroid column — at scale
-    * the inverted lists are the partition layout.
+  /** Initial coarse centroids: an evenly-strided sample of the vectors
+    * themselves (deterministic). One count + one nCentroids-row collect,
+    * at index-BUILD time only.
+    */
+  def ivfInitCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCentroids: Int
+  ): Array[Array[Double]] = {
+    val n = df.count()
+    val stride = math.max(1L, n / nCentroids)
+    df.filter(pmod(col(idCol), lit(stride)) === 0)
+      .limit(nCentroids)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
+
+  /** Lloyd refinement of the coarse quantizer, expressed as DataFrame
+    * aggregation: assign → per-(centroid, position) mean → new centroid
+    * literals. Each iteration is one pass + one (nCentroids × dim)-row
+    * collect. Empty clusters keep their previous centroid.
+    */
+  def kMeansRefine(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      iterations: Int
+  ): Array[Array[Double]] = {
+    var cents = centroids
+    for (_ <- 0 until iterations) {
+      val means = ivfAssign(df, vecCol, cents)
+        .select(col("_centroid"), posexplode(col(vecCol)).as(Seq("_pos", "_v")))
+        .groupBy(col("_centroid"), col("_pos"))
+        .agg(avg(col("_v")).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Build an IVF index in memory: centroids (optionally Lloyd-refined)
+    * + assignment column, inverted lists co-located via repartition on
+    * `_centroid`.
+    */
+  def ivfBuild(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCentroids: Int,
+      refineIters: Int = 2
+  ): IvfIndex = {
+    val init = ivfInitCentroids(df, vecCol, idCol, nCentroids)
+    val cents =
+      if (refineIters > 0) kMeansRefine(df, vecCol, init, refineIters) else init
+    IvfIndex(ivfAssign(df, vecCol, cents), cents, vecCol, idCol)
+  }
+
+  /** Persist an IVF index as the on-disk inverted-list layout: parquet
+    * PARTITIONED BY `_centroid` (each inverted list is a partition
+    * directory, so a probe's `_centroid IN (...)` filter prunes files
+    * before any IO) plus the centroid vectors as a tiny side table.
+    * This is the 100 TB shape: build once, probe many.
+    */
+  def ivfWrite(index: IvfIndex, path: String): Unit = {
+    index.assigned.write
+      .mode("overwrite")
+      .partitionBy("_centroid")
+      .parquet(s"$path/lists")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Load a written IVF index; centroids come back to the driver (tiny). */
+  def ivfRead(spark: SparkSession, path: String, vecCol: String, idCol: String): IvfIndex = {
+    val cents = spark.read
+      .parquet(s"$path/centroids")
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("cid")) -> r.getSeq[Double](r.fieldIndex("cvec")).toArray)
+      .sortBy(_._1)
+      .map(_._2)
+    IvfIndex(spark.read.parquet(s"$path/lists"), cents, vecCol, idCol)
+  }
+
+  /** Probe an IVF index: rank centroids against the query vector ON THE
+    * DRIVER (the centroid table is driver-resident — zero Spark jobs),
+    * then exact cosine top-k over only the probed inverted lists. On a
+    * written index the `_centroid` IN-filter is a partition-pruning
+    * predicate — untouched lists are never read.
+    */
+  def ivfProbe(
+      index: IvfIndex,
+      queryVec: Array[Double],
+      k: Int,
+      nProbe: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val probeIds = index.centroids.zipWithIndex
+      .sortBy { case (cv, _) => sqDistLocal(cv, queryVec) }
+      .take(nProbe)
+      .map(_._2)
+    val qLit = array(queryVec.map(lit): _*)
+    val base = index.assigned.filter(col("_centroid").isin(probeIds.map(Integer.valueOf): _*))
+    val filtered = excludeId.fold(base)(q => base.filter(col(index.idCol) =!= q))
+    val scored = filtered
+      .withColumn("_cos", VectorFunctions.cosine(col(index.vecCol), qLit))
+      .orderBy(col("_cos").desc, col(index.idCol).asc)
+      .limit(k)
+    rankLimited(scored, index.idCol)
+  }
+
+  /** One-shot IVF ANN top-k for one query id (registry form): build the
+    * index (no cache — every stage is single-use here), fetch the query
+    * vector via a pushed-down id filter, probe. For repeated queries use
+    * [[ivfBuild]]/[[ivfWrite]] once and [[ivfProbe]] per query.
     */
   def ivfTopK(
       df: DataFrame,
@@ -167,37 +304,18 @@ object Similarity {
       queryId: Long,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      refineIters: Int = 2
   ): DataFrame = {
-    val assigned = ivfAssign(df, vecCol, idCol, nCentroids).cache()
-    try {
-      val qRow = assigned.filter(col(idCol) === queryId).select(vecCol).head()
-      val qVec = qRow.getSeq[Float](0).toArray
-      val qLit = array(qVec.map(x => lit(x.toDouble)): _*)
-      // rank centroids by distance to the query → probe set
-      val probes = assigned
-        .select(col("_centroid"))
-        .distinct()
-        .join(
-          assigned.select(col(idCol).as("_cid2"), col(vecCol).as("_cv")),
-          col("_centroid") === col("_cid2")
-        )
-        .withColumn("_qd", VectorFunctions.euclidean(col("_cv"), qLit))
-        .orderBy(col("_qd").asc)
-        .limit(nProbe)
-        .collect()
-        .map(_.getLong(0))
-      assigned
-        .filter(col("_centroid").isin(probes: _*) && col(idCol) =!= queryId)
-        .withColumn("_cos", VectorFunctions.cosine(col(vecCol), qLit))
-        .orderBy(col("_cos").desc, col(idCol).asc)
-        .limit(k)
-        .withColumn(
-          "rank",
-          row_number().over(Window.orderBy(col("_cos").desc, col(idCol).asc))
-        )
-        .select(col(idCol).as("neighbor_id"), col("rank"))
-    } finally assigned.unpersist()
+    val index = ivfBuild(df, vecCol, idCol, nCentroids, refineIters)
+    val qVec = df
+      .filter(col(idCol) === queryId)
+      .select(col(vecCol))
+      .head()
+      .getSeq[Float](0)
+      .toArray
+      .map(_.toDouble)
+    ivfProbe(index, qVec, k, nProbe, excludeId = Some(queryId))
   }
 
   /** LSH-blocked near-dup pairs over embeddings (scale path of

@@ -37,6 +37,26 @@ class InfraSpec extends AnyFunSuite {
       val ok = log.entries.find(_.status == "success")
       assert(ok.nonEmpty)
       assert(ok.get.durationNs > 0)
+      // in_rows: Catalyst folds the filter into the LocalRelation
+      // (ConvertToLocalRelation), so the leaf itself emits the 2
+      // surviving rows — in_rows reflects the post-pushdown scan
+      assert(ok.get.inputRows === Some(2L))
+    } finally Observability.detach(spark, log)
+  }
+
+  test("QueryLog in_rows equals the fixture row count for a parquet scan (A26)") {
+    val df = Tables.lineitem(spark, SparkTestSession.sfDir)
+    val expected = df.count()
+    val log = Observability.attach(spark)
+    try {
+      log.clear()
+      df.agg(sum($"l_quantity")).collect()
+      var tries = 0
+      while (log.entries.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val ok = log.entries.find(_.status == "success")
+      assert(ok.nonEmpty)
+      assert(ok.get.inputRows === Some(expected))
+      assert(ok.get.outputRows.isDefined)
     } finally Observability.detach(spark, log)
   }
 

@@ -99,6 +99,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simHashNearDups recall is exact: blocked pairs == brute bit_count(xor) pairs (d03 gate)") {
+    // the round-1 bug: fixed 4×16-bit chunks only guarantee recall for
+    // Hamming ≤ 3, but d03 runs maxHamming = 10 — this gate recomputes
+    // the full brute pair set on the fixture and requires equality
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val h = 10
+    val hashes = docs
+      .select($"doc_id", Dedup.simHash($"text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= h
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture produced no near pairs — gate is vacuous")
+    val got = Dedup
+      .simHashNearDups(docs, "text", "doc_id", maxHamming = h)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got === brute)
+  }
+
   test("jaccard exact: known set overlap") {
     val df = Seq(Doc(1, "a b c d"), Doc(2, "b c d e")).toDS.toDF
     // trigrams: {a b c, b c d}, {b c d, c d e} → intersect 1, union 3
@@ -149,6 +174,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ann.map(_.getInt(1)).toSeq === (1 to ann.length))
   }
 
+  test("annTopK recall@5 vs exact knn on the fixture (s02 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity
+        .knn(emb, "embedding", "vec_id", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity
+        .annTopK(emb, "embedding", "vec_id", q, 5, nPlanes = 6)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect ann).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5=$mean per-query=$recalls")
+  }
+
+  test("ivfTopK recall@5 vs exact knn on the fixture (s03 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val queryIds = Seq(0L, 1L, 2L)
+    val recalls = queryIds.map { q =>
+      val exact = Similarity
+        .knn(emb, "embedding", "vec_id", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity
+        .ivfTopK(emb, "embedding", "vec_id", q, 5, nCentroids = 16, nProbe = 6)
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect ivf).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5=$mean per-query=$recalls")
+  }
+
+  test("written IVF index probes as a partition-pruned scan, no cache/count (s03 scale shape)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val path = "/root/repo/target/tmp/ivf_index"
+    val built = Similarity.ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 1)
+    Similarity.ivfWrite(built, path)
+    val loaded = Similarity.ivfRead(spark, path, "embedding", "vec_id")
+    assert(loaded.centroids.length === 8)
+    val qVec = emb.filter($"vec_id" === 0L).select($"embedding").head()
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val probe = Similarity.ivfProbe(loaded, qVec, k = 5, nProbe = 2, excludeId = Some(0L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("_centroid"),
+      s"probe scan is not partition-pruned:\n${plan.take(3000)}"
+    )
+    assert(!plan.contains("InMemoryTableScan"), "probe path must not cache the table")
+    assert(probe.collect().length === 5)
+  }
+
   // -------------------------------------------------------- multimodal
 
   test("decodeStub: checksum matches the byte-polynomial; batching preserves rows") {
@@ -168,6 +244,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"n_frames", size($"sampled_frames")).collect().head
     assert(got.getInt(0) === 3)
     assert(got.getInt(1) === 2) // frames 0 and 2
+  }
+
+  test("frameSample: empty payload yields zero frames (m03 oracle edge)") {
+    val df = Seq(Doc(1, "")).toDS.toDF
+    val got = Multimodal.frameSample(Multimodal.toMedia(df), frameBytes = 64, every = 2)
+      .select($"n_frames", size($"sampled_frames")).collect().head
+    assert(got.getInt(0) === 0)
+    assert(got.getInt(1) === 0)
   }
 
   // -------------------------------------------------------------- ops
