@@ -149,6 +149,31 @@ class BigDataTableSpec extends AnyFunSuite {
     assert(s.contains("partition.by: <none>"))
   }
 
+  test("print/str golden output on a fixed fixture (A21/A22, reference tests-06-readme.R:177-187)") {
+    // the reference pins exact capture.output strings; same here — any
+    // formatting drift in printTable/strTable is a break, not a tweak
+    val rows = (1 to 10).map(i => GenTestRow(2000 + i, f"s$i%02d", i.toDouble))
+    val bdt = BigDataTable.fromLocal(spark, rows, "t_golden")
+    val p = bdt.printTable(2)
+    assert(p ===
+      """year	low	value
+        |2001	s01	1.0
+        |2002	s02	2.0
+        |---
+        |2009	s09	9.0
+        |2010	s10	10.0
+        |""".stripMargin)
+    val s = bdt.strTable
+    assert(s ===
+      """'BigDataTable': 10 obs. of 3 variables across 1 partitions
+        |root
+        | |-- year: integer (nullable = false)
+        | |-- low: string (nullable = true)
+        | |-- value: double (nullable = false)
+        |rows per partition: 10
+        |partition.by: <none>""".stripMargin)
+  }
+
   test("fromGenerator: per-partition deterministic generation (A15/B24)") {
     val bdt = BigDataTable.fromGenerator(spark, 4, "t_gen") { pid =>
       (0 until 10).iterator.map(i => GenTestRow(2011 + pid, s"p$pid", i.toDouble))

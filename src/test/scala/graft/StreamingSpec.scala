@@ -61,6 +61,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late rows: out-of-order micro-batches through MemoryStream (NEXT §6)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = Streams.windowedCounts(
+      mem.toDF().withColumn("event_type", lit("e")),
+      width = "5 minutes",
+      watermark = "10 minutes"
+    )
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("late_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: two rows in window 00:00 plus one at 00:30 — after this
+      // batch the watermark advances to 00:30 - 10min = 00:20
+      mem.addData(Ev(1, t(0), 1.0), Ev(1, t(1), 1.0), Ev(1, t(30), 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE row for window 00:00 (event time 00:02 is behind
+      // the 00:20 watermark) — must be dropped, not counted
+      mem.addData(Ev(1, t(2), 1.0))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far enough to flush all windows
+      mem.addData(Ev(1, t(60), 1.0))
+      q.processAllAvailable()
+      val byWindow = spark.table("late_out")
+        .collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(2))
+        .toMap
+      // the 00:00 window closed with 2 rows — the late third row was
+      // dropped by the watermark (with no watermark it would be 3)
+      assert(byWindow("2024-01-01 00:00:00.0") === 2L)
+      // append mode emits each finalized window exactly once
+      assert(spark.table("late_out").count() ===
+        spark.table("late_out").select($"w_start").distinct().count())
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts on the fixture") {
     val dir = SparkTestSession.sfDir
     val stream = Streams.eventStream(spark, dir)
