@@ -50,6 +50,38 @@ object HashExpressionImpls {
     new GenericArrayData(sig)
   }
 
+  /** Polynomial rolling hash h = (h*31 + codePoint) mod 1e9+7 over the
+    * string's Unicode code points — the compiled replacement for the
+    * interpreted `aggregate(split(text, ""), ...)` HOF (per-character
+    * array allocation + interpreted eval; the only round-2 bench
+    * regression). Code points match DuckDB `ord()` per character, and
+    * equal the raw bytes for ASCII text.
+    */
+  def rollingHash64(text: UTF8String): Long = {
+    val s = text.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Same polynomial rolling hash over raw bytes (multimodal checksum
+    * path — identical to [[rollingHash64]] on ASCII payloads).
+    */
+  def rollingHashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
   def simhash64(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()

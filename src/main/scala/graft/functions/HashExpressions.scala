@@ -85,6 +85,35 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Polynomial rolling hash over code points, (h*31 + cp) mod 1e9+7.
+    * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit on the
+    * same text (gated by a ScalaTest equivalence) without its
+    * per-character array allocation or interpreted evaluation.
+    */
+  case class RollingHash64(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "rolling_hash64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        HashExpressionImpls.rollingHash64(input.asInstanceOf[UTF8String])
+      )
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.functions.HashExpressionImpls.rollingHash64($c)"
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ Column wrappers
 
   def minhash_sig(text: Column, numHashes: Int, shingleSize: Int): Column =
@@ -92,4 +121,7 @@ object HashExpressions {
 
   def simhash64(text: Column): Column =
     Shim.toColumn(SimHash64(Shim.toExpression(text)))
+
+  def rolling_hash64(text: Column): Column =
+    Shim.toColumn(RollingHash64(Shim.toExpression(text)))
 }

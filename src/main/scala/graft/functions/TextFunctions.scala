@@ -46,8 +46,18 @@ object TextFunctions {
   /** Polynomial rolling hash over characters: h = (h*31 + code) mod p.
     * Sequential left-to-right — order-sensitive, unlike MD5 of the
     * whole string this is cheap to compute incrementally at scale.
+    * Computed by the compiled [[HashExpressions.RollingHash64]] kernel:
+    * the HOF form (`aggregate(split(text, ""), ...)`) allocates an array
+    * element per character and evaluates interpreted — the compiled
+    * expression is one pass over the string inside whole-stage codegen.
     */
   def fingerprintRolling(text: Column): Column =
+    HashExpressions.rolling_hash64(text)
+
+  /** The interpreted HOF formulation of [[fingerprintRolling]], kept only
+    * as the equivalence oracle for the compiled kernel's ScalaTest gate.
+    */
+  def fingerprintRollingHof(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

@@ -64,12 +64,9 @@ object Multimodal {
           // a real decoder would process `batch` as one vectorized call
           batch.iterator.map { m =>
             val bytes = m.payload
-            var h = 0L
-            var i = 0
-            while (i < bytes.length) {
-              h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
-              i += 1
-            }
+            // shared kernel with the text fingerprint (ASCII payload ⇒
+            // byte loop == code-point loop)
+            val h = graft.functions.HashExpressionImpls.rollingHashBytes(bytes)
             DecodedRow(
               m.doc_id,
               bytes.length,

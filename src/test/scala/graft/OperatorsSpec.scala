@@ -58,6 +58,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("compiled rollingHash64 == interpreted HOF on the fixture + edge strings (t04 gate)") {
+    // the compiled kernel replaced the per-character HOF (the only round-2
+    // bench regression); this gate keeps them bit-identical
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val diff = docs
+      .select(
+        TextFunctions.fingerprintRolling($"text").as("k"),
+        TextFunctions.fingerprintRollingHof($"text").as("h")
+      )
+      .filter($"k" =!= $"h")
+      .count()
+    assert(diff === 0L)
+    // edge cases incl. a long string that wraps the modulus many times
+    val edges = Seq(Doc(1, ""), Doc(2, "a"), Doc(3, "x y  z!"), Doc(4, "q" * 5000)).toDS.toDF
+    val rows = edges
+      .select(
+        $"doc_id",
+        TextFunctions.fingerprintRolling($"text").as("k"),
+        TextFunctions.fingerprintRollingHof($"text").as("h")
+      )
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+  }
+
   // ------------------------------------------------------------ dedup
 
   test("exactGroups/exactDedup collapse identical texts") {
