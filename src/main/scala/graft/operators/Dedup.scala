@@ -60,21 +60,23 @@ object Dedup {
     * one group, but its pair list is quadratic in either formulation —
     * cap bucket size upstream if that matters at scale.
     */
-  def minHashCandidates(
+  /** (_id, _band, _bucket) banding pipeline shared by the candidate and
+    * audit paths. The signature is materialized ONCE per row (higher-order
+    * exprs are interpreted — inlining it into all `bands` band hashes
+    * would recompute the whole signature per band), and the CPU-heavy
+    * per-row compute is spread across cores (a single parquet file would
+    * otherwise pin it to one task).
+    */
+  private def minHashBanded(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      shingleSize: Int = 3
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // materialize the signature ONCE per row (higher-order exprs are
-    // interpreted — inlining it into all `bands` band hashes would
-    // recompute the whole signature per band), and spread the CPU-heavy
-    // per-row compute across cores (a single parquet file would otherwise
-    // pin it to one task)
     val spread = df
       .select(col(idCol).as("_id"), col(textCol).as("_text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -85,9 +87,27 @@ object Dedup {
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(slice(col("_sig"), b * r + 1, r), lit(b))
     }: _*)
-    val banded = withSig
-      .select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
-    val ids = array_sort(col("_ids"))
+    withSig.select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
+  }
+
+  def minHashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val banded = minHashBanded(df, textCol, idCol, numHashes, bands, shingleSize)
+    // hot-bucket guard: keep the `maxBucket` lowest ids per bucket (sorted
+    // ⇒ deterministic under retries). One degenerate shingle (boilerplate,
+    // empty docs) would otherwise expand |bucket|²/2 pairs in a single
+    // task; the cap bounds candidates at maxBucket²/2 per bucket and
+    // per-task state at maxBucket ids. Dropped members cost recall only
+    // inside oversized buckets — [[hotMinHashBuckets]] reports them.
+    val ids = slice(array_sort(col("_ids")), 1, maxBucket)
     val pairs = flatten(
       transform(
         ids,
@@ -107,6 +127,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Audit view for [[minHashCandidates]]'s bucket cap: every (band,
+    * bucket) whose membership exceeds `maxBucket`, with its size. Cheap
+    * (one shuffle, count only, no pair expansion) — run it before a big
+    * dedup job to see what the cap will truncate.
+    */
+  def hotMinHashBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000
+  ): DataFrame =
+    minHashBanded(df, textCol, idCol, numHashes, bands, shingleSize)
+      .groupBy(col("_band"), col("_bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(col("_band").as("band"), col("_bucket").as("bucket"), col("bucket_size"))
+
   /** Exact Jaccard on distinct word shingles. */
   def jaccard(aSh: Column, bSh: Column): Column =
     size(array_intersect(aSh, bSh)).cast("double") /
@@ -123,10 +163,16 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000
   ): DataFrame = {
     val cands =
-      minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+      minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, maxBucket)
+    // persisted: the shingle table is joined twice (id_a and id_b sides) —
+    // unpersisted, the shingleSet HOF would re-evaluate per side. Left
+    // cached for the consumer's lifetime (MEMORY_AND_DISK, LRU-evictable);
+    // callers running many dedups in one session may unpersist via
+    // `spark.catalog.clearCache()`.
     val sh = df
       .select(col(idCol).as("_sid"), col(textCol).as("_t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -134,6 +180,7 @@ object Dedup {
         col("_sid"),
         TextFunctions.shingleSet(col("_t"), shingleSize).as("_sh")
       )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.as("sa"), col("id_a") === col("sa._sid"))
       .join(sh.as("sb"), col("id_b") === col("sb._sid"))
@@ -200,12 +247,65 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000
   ): DataFrame = {
     require(
       maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming"
     )
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val chunked = simHashChunked(df, textCol, idCol, maxHamming)
+    // group by (chunk, value) and expand in-bucket i<j pairs — ONE shuffle
+    // on the bucket key and ONE evaluation of the SimHash subtree (the
+    // round-2 self-join form executed the hash + repartition once per join
+    // side). Hamming is verified from the collected hashes inline, so no
+    // second lookup join is needed.
+    //
+    // Hot-bucket guard (same contract as [[minHashCandidates]]): buckets
+    // are truncated to the `maxBucket` lowest ids, bounding candidates at
+    // maxBucket²/2 per bucket. At large radii the chunks are narrow
+    // (h=10 → 11 chunks of 5-6 bits → ≤64 bucket values per chunk), so a
+    // 100 TB corpus NEEDS this cap — and should prefer small radii, where
+    // pigeonhole blocking keys are wide. [[hotSimHashBuckets]] audits
+    // what the cap truncates.
+    val ms = slice(array_sort(col("_ms")), 1, maxBucket)
+    val pairs = flatten(
+      transform(
+        ms,
+        (a, i) =>
+          transform(
+            slice(ms, i + lit(2), size(ms)),
+            b =>
+              struct(
+                a.getField("_id").as("id_a"),
+                b.getField("_id").as("id_b"),
+                bit_count(
+                  a.getField("_simhash").bitwiseXOR(b.getField("_simhash"))
+                ).as("hamming")
+              )
+          )
+      )
+    )
+    chunked
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(collect_list(struct(col("_id"), col("_simhash"))).as("_ms"))
+      .filter(size(col("_ms")) > 1)
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** (_id, _simhash, _chunk, _val) pigeonhole blocking pipeline shared by
+    * the pair and audit paths: `maxHamming + 1` bit-chunks per hash.
+    */
+  private def simHashChunked(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int
+  ): DataFrame = {
     val chunks = maxHamming + 1
     // distribute the 64 bits as evenly as possible across the chunks
     val baseWidth = 64 / chunks
@@ -213,13 +313,12 @@ object Dedup {
     val widths = (0 until chunks).map(c => if (c < rem) baseWidth + 1 else baseWidth)
     val offsets = widths.scanLeft(0)(_ + _).init
     def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
-    // spread the 64-bit-vote per-row compute (interpreted HOFs) across
-    // cores before evaluating it
+    // spread the per-row hash compute across cores before evaluating it
     val withSim = df
       .select(col(idCol).as("_id"), col(textCol).as("_t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("_id"), simHash(col("_t")).as("_simhash"))
-    val chunked = withSim.select(
+    withSim.select(
       col("_id"),
       col("_simhash"),
       posexplode(
@@ -229,23 +328,23 @@ object Dedup {
         }: _*)
       ).as(Seq("_chunk", "_val"))
     )
-    chunked
-      .as("a")
-      .join(
-        chunked.as("b"),
-        col("a._chunk") === col("b._chunk") &&
-          col("a._val") === col("b._val") &&
-          col("a._id") < col("b._id")
-      )
-      .select(
-        col("a._id").as("id_a"),
-        col("b._id").as("id_b"),
-        bit_count(col("a._simhash").bitwiseXOR(col("b._simhash")))
-          .as("hamming")
-      )
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** Audit view for [[simHashNearDups]]'s bucket cap: every (chunk, value)
+    * block larger than `maxBucket`, with its size.
+    */
+  def hotSimHashBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000
+  ): DataFrame =
+    simHashChunked(df, textCol, idCol, maxHamming)
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(col("_chunk").as("chunk"), col("_val").as("value"), col("bucket_size"))
 
   // ------------------------------------------------ cluster resolution
 
@@ -267,7 +366,10 @@ object Dedup {
     *
     * Each round materializes one action (the convergence probe) — that is
     * inherent to fixpoint iteration, not a driver-side data path; labels
-    * stay distributed throughout.
+    * stay distributed throughout. Every intermediate cache is released
+    * before return; the result itself is localCheckpoint-ed (materialized,
+    * lineage truncated — the fixpoint's lineage would otherwise deepen by
+    * two joins per round and stack-overflow the planner on long chains).
     */
   def dupClusters(
       pairs: DataFrame,
@@ -298,6 +400,8 @@ object Dedup {
         )
         .groupBy(col("src"))
         .agg(min(col("_nlabel")).as("_nbrMin"))
+      // persisted: the pointer jump self-joins `pulled` with itself — the
+      // neighbor-min join would otherwise execute twice per round
       val pulled = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(
@@ -305,6 +409,7 @@ object Dedup {
           least(labels("label"), coalesce(col("_nbrMin"), labels("label")))
             .as("label")
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // (b) pointer jump: label := label(label) — halves chain lengths
       val jumped = pulled
         .as("x")
@@ -314,21 +419,33 @@ object Dedup {
           coalesce(col("y.label"), col("x.label")).as("label")
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // full count, NOT limit(1): the probe doubles as the action that
+      // materializes `jumped` into its cache in full — a short-circuiting
+      // limit would leave partitions uncomputed, and unpersisting the
+      // inputs below would force later rounds to replan the whole
+      // fixpoint lineage
       val changed = jumped
         .join(
           labels.select(col("id").as("_oid"), col("label").as("_olabel")),
           col("id") === col("_oid")
         )
         .filter(col("label") =!= col("_olabel"))
-        .limit(1)
         .count()
+      pulled.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = jumped
       converged = changed == 0L
       iter += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[dupClusters] iter=$iter changed=$changed")
     }
+    // materialize + truncate lineage, then release every iteration cache
+    val out = labels
+      .select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    labels.select(col("id"), col("label").as("cluster_id"))
+    out
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -148,12 +148,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === brute)
   }
 
+  test("planted hot bucket: cap bounds the pair expansion, audit reports it (minhash)") {
+    // 300 identical docs land in the same bucket in every band; uncapped
+    // that is 300·299/2 = 44850 pairs — the cap keeps the lowest 40 ids
+    val docs = (1L to 300L).map(i => Doc(i, "boilerplate header repeated everywhere"))
+    val df = (docs :+ Doc(999L, "genuinely unique content here")).toDS.toDF
+    val capped = Dedup
+      .minHashCandidates(df, "text", "doc_id", maxBucket = 40)
+      .count()
+    assert(capped === 40L * 39 / 2, s"expected capped pair count, got $capped")
+    val hot = Dedup
+      .hotMinHashBuckets(df, "text", "doc_id", maxBucket = 40)
+      .collect()
+    assert(hot.nonEmpty && hot.forall(_.getLong(2) === 300L))
+  }
+
+  test("planted hot bucket: cap bounds the pair expansion, audit reports it (simhash)") {
+    val docs = (1L to 300L).map(i => Doc(i, "boilerplate header repeated everywhere"))
+    val df = docs.toDS.toDF
+    val capped = Dedup
+      .simHashNearDups(df, "text", "doc_id", maxHamming = 3, maxBucket = 40)
+      .count()
+    assert(capped === 40L * 39 / 2, s"expected capped pair count, got $capped")
+    val hot = Dedup
+      .hotSimHashBuckets(df, "text", "doc_id", maxHamming = 3, maxBucket = 40)
+      .collect()
+    assert(hot.length === 4) // identical docs: one hot bucket per chunk
+    assert(hot.forall(_.getLong(2) === 300L))
+  }
+
   test("jaccard exact: known set overlap") {
     val df = Seq(Doc(1, "a b c d"), Doc(2, "b c d e")).toDS.toDF
     // trigrams: {a b c, b c d}, {b c d, c d e} → intersect 1, union 3
     val j = Dedup.jaccardPairsBrute(df, "text", "doc_id", threshold = 0.0)
       .select("jacc").collect().head.getDouble(0)
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("dupClusters == local union-find on chain + clique + pair (d06 gate)") {
+    // chain 1-2-...-8 (stresses pointer jumping), clique 100-104 (dense
+    // clump), isolated pair (200, 201)
+    val chain = (1L until 8L).map(i => (i, i + 1))
+    val clique = (for {
+      a <- 100L to 104L; b <- 100L to 104L if a < b
+    } yield (a, b))
+    val pairs = (chain ++ clique :+ ((200L, 201L))).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find recompute
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ clique :+ ((200L, 201L))).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got === want)
+    assert(got.values.toSet === Set(1L, 100L, 200L))
+  }
+
+  test("dupClusters releases its iteration caches (only the result stays)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Dedup.dupClusters(pairs)
+    out.count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the localCheckpoint of the result is the single expected entry
+    assert(leaked.size <= 1, s"leaked cached RDDs: $leaked")
   }
 
   // ------------------------------------------------- vectors/similarity
