@@ -21,12 +21,14 @@ object Bench {
     "q01_global_agg", "q03_group_multi", "q05_count_groups", "q07_uniqueN",
     "q08_distinct", "q09_filter", "q10_join_agg", "q14_cross_join",
     "q15_expr_cols", "q17_chained", "q18_topn", "q24_join_copart",
-    "q27_json_extract", "q30_window_rank", "q31_rollup", "q34_quantiles",
+    "q27_json_extract", "q30_window_rank", "q31_rollup", "q32_setops",
+    "q33_pivot_case", "q34_quantiles", "q35_stats",
     "q36_global_sort", "q37_salted_agg",
-    "e01_window_hourly", "e03_sessionize", "e04_asof_join",
+    "e01_window_hourly", "e02_window_5min", "e03_sessionize", "e04_asof_join",
     "t01_token_count", "t03_lang_id", "t04_fingerprint", "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
-    "s01_knn_brute", "s02_ann_lsh", "m01_binary_meta"
+    "s01_knn_brute", "s02_ann_lsh",
+    "m01_binary_meta", "m02_decode_stub", "m03_frame_sample"
   )
 
   def main(args: Array[String]): Unit = {
@@ -37,6 +39,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

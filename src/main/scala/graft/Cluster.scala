@@ -30,6 +30,10 @@ object Cluster {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the events fixture stores TIMESTAMP(NANOS), which the vectorized
+      // parquet reader rejects — read nanos as long, session-wide, so
+      // loaders stay side-effect-free (Tables.events truncates to micros)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

@@ -763,6 +763,50 @@ object SparkEntry {
              |WHERE a.vec_id < b.vec_id
              |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3""".stripMargin)
     ),
+    // duplicate-cluster resolution (connected components) over d04's
+    // oracle-stable pair list; oracle = recursive min-label reachability
+    Q(
+      "d06_dup_clusters",
+      (s, d) =>
+        operators.Dedup.dupClusters(
+          operators.Dedup
+            .jaccardPairsBrute(documents(s, d), "text", "doc_id", threshold = 0.2)
+        ),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b
+             |  WHERE a.doc_id < b.doc_id
+             |    AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION SELECT id_b, id_a FROM p),
+             |walk(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, w.label FROM e JOIN walk w ON e.dst = w.id)
+             |SELECT id, min(label) AS cluster_id FROM walk GROUP BY id""".stripMargin)
+    ),
+    // LSH-blocked embedding near-dup pairs — the advertised scale path of
+    // d05 (hyperplane-table dependent; rows-only, recall-gated in ScalaTest)
+    Q(
+      "d07_lsh_neardup",
+      (s, d) =>
+        operators.Similarity
+          .lshNearDups(
+            embeddings(s, d),
+            "embedding",
+            "vec_id",
+            threshold = 0.3,
+            nPlanes = 2,
+            nTables = 8
+          ),
+      None
+    ),
     // ---- similarity search (north-star) --------------------------------
     // brute-force cosine top-k of one query vector; output ids+rank only
     // (ranks stable: adjacent-cosine gaps ~1e-3 at sf0.01)

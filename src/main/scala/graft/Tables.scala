@@ -18,12 +18,13 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as long (legacy conf) and truncate to microsecond TimestampType —
-    * the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Sessions
+    * must set `spark.sql.legacy.parquet.nanosAsLong=true` (Cluster.open
+    * and every main/test session do); this loader then truncates to
+    * microsecond TimestampType — the same truncation DuckDB applies
+    * casting TIMESTAMP_NS → TIMESTAMP.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.withColumn(
       "ts",

@@ -86,9 +86,13 @@ object HashExpressions {
   }
 
   /** Polynomial rolling hash over code points, (h*31 + cp) mod 1e9+7.
-    * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit on the
-    * same text (gated by a ScalaTest equivalence) without its
-    * per-character array allocation or interpreted evaluation.
+    * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit on BMP
+    * text (gated by a ScalaTest equivalence) without its per-character
+    * array allocation or interpreted evaluation. On supplementary
+    * characters the two INTENTIONALLY diverge: `split("")` fractures a
+    * surrogate pair into two lone code units, while this kernel (like
+    * DuckDB's `ord()`) consumes the whole code point — the kernel is the
+    * semantically correct one, and the divergence is pinned by a test.
     */
   case class RollingHash64(child: Expression) extends UnaryExpression {
 

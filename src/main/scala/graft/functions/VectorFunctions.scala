@@ -28,11 +28,17 @@ object VectorFunctions {
   /** L2-normalize: pre-normalizing once turns every downstream cosine
     * into a plain dot product — the right layout for repeated ANN probes
     * at scale.
+    *
+    * The norm is let-bound through a one-element outer transform: HOF
+    * lambdas are interpreted with no subexpression elimination, so the
+    * naive `transform(ad, x => x / norm)` re-computes the whole norm
+    * aggregate once per element (64× overhead at dim 64). Binding it to a
+    * lambda variable evaluates it exactly once per row.
     */
   def l2Normalize(a: Column): Column = {
     val ad = asDouble(a)
     val n = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
-    transform(ad, x => x / n)
+    flatten(transform(array(n), nn => transform(ad, x => x / nn)))
   }
 
   def euclidean(a: Column, b: Column): Column =

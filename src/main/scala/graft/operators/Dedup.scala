@@ -107,13 +107,23 @@ object Dedup {
     // task; the cap bounds candidates at maxBucket²/2 per bucket and
     // per-task state at maxBucket ids. Dropped members cost recall only
     // inside oversized buckets — [[hotMinHashBuckets]] reports them.
-    val ids = slice(array_sort(col("_ids")), 1, maxBucket)
+    //
+    // The sorted, capped membership is projected as its OWN column before
+    // the pair-expansion lambdas. HOF lambdas are interpreted with no
+    // common-subexpression elimination, so referencing the
+    // slice(array_sort(...)) expression inside the lambda re-sorts and
+    // re-copies the whole bucket once per outer element — O(n² log n) per
+    // bucket with boxed allocation (the round-3 regression: d03 went from
+    // 3.7 s to ~20 min/pass at sf0.1). A bound attribute is an O(1) read;
+    // CollapseProject leaves it alone because a non-cheap alias consumed
+    // more than once is never inlined.
+    val sorted = col("_sorted")
     val pairs = flatten(
       transform(
-        ids,
+        sorted,
         (a, i) =>
           transform(
-            slice(ids, i + lit(2), size(ids)),
+            slice(sorted, i + lit(2), size(sorted)),
             b => struct(a.as("id_a"), b.as("id_b"))
           )
       )
@@ -122,6 +132,7 @@ object Dedup {
       .groupBy(col("_band"), col("_bucket"))
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")) > 1)
+      .select(slice(array_sort(col("_ids")), 1, maxBucket).as("_sorted"))
       .select(explode(pairs).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"))
       .distinct()
@@ -155,6 +166,12 @@ object Dedup {
   /** MinHash LSH near-dup pairs, verified: candidates from banding, then
     * exact shingle-Jaccard ≥ threshold. Two broadcast-able dimension
     * lookups of (id, shingles) against the candidate pair list.
+    *
+    * The returned DataFrame is already materialized (localCheckpoint): the
+    * shingle table is joined twice (id_a and id_b sides), so it is persisted
+    * for the duration of THIS call only and released before returning —
+    * the result holds no reference to intermediate caches. Free the result
+    * itself with [[graft.CacheUtil.release]] when done.
     */
   def minHashNearDups(
       df: DataFrame,
@@ -168,11 +185,6 @@ object Dedup {
   ): DataFrame = {
     val cands =
       minHashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, maxBucket)
-    // persisted: the shingle table is joined twice (id_a and id_b sides) —
-    // unpersisted, the shingleSet HOF would re-evaluate per side. Left
-    // cached for the consumer's lifetime (MEMORY_AND_DISK, LRU-evictable);
-    // callers running many dedups in one session may unpersist via
-    // `spark.catalog.clearCache()`.
     val sh = df
       .select(col(idCol).as("_sid"), col(textCol).as("_t"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -181,12 +193,18 @@ object Dedup {
         TextFunctions.shingleSet(col("_t"), shingleSize).as("_sh")
       )
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands
+    val out = cands
       .join(sh.as("sa"), col("id_a") === col("sa._sid"))
       .join(sh.as("sb"), col("id_b") === col("sb._sid"))
       .withColumn("jaccard", jaccard(col("sa._sh"), col("sb._sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // materialize the (small) verified pair list so the shingle cache can
+      // be released now instead of leaking for the session's lifetime (the
+      // round-3 bench re-cached it every pass)
+      .localCheckpoint(true)
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** Brute-force pairwise shingle-Jaccard (small-scale oracle form; the
@@ -233,9 +251,11 @@ object Dedup {
     * 64-bit hash — by pigeonhole, any pair within Hamming distance ≤
     * maxHamming differs in at most maxHamming chunks, so it shares at
     * least one chunk exactly — then verify with bit_count(xor). Bucket
-    * join, no cross join; recall is exact for the given radius (the
-    * round-1 fixed 4×16-bit blocking silently missed pairs past
-    * Hamming 3).
+    * join, no cross join. Recall is exact for the given radius ONLY while
+    * no (chunk, value) bucket exceeds `maxBucket` (the round-1 fixed
+    * 4×16-bit blocking silently missed pairs past Hamming 3; the cap can
+    * silently drop pairs inside oversized buckets — run
+    * [[hotSimHashBuckets]] first to audit what it will truncate).
     *
     * Scale note: chunk width shrinks as the radius grows (h=10 → 11
     * chunks of 5-6 bits → 2^5-2^6 buckets per chunk), so large radii
@@ -269,13 +289,18 @@ object Dedup {
     // 100 TB corpus NEEDS this cap — and should prefer small radii, where
     // pigeonhole blocking keys are wide. [[hotSimHashBuckets]] audits
     // what the cap truncates.
-    val ms = slice(array_sort(col("_ms")), 1, maxBucket)
+    // The sorted, capped membership is projected as its OWN column before
+    // the pair-expansion lambdas — see the matching comment in
+    // [[minHashCandidates]]: referencing the slice(array_sort(...))
+    // expression inside an interpreted lambda re-sorts the bucket once per
+    // element (the round-3 regression that took d03 from 3.7 s to ~20 min).
+    val sorted = col("_sorted")
     val pairs = flatten(
       transform(
-        ms,
+        sorted,
         (a, i) =>
           transform(
-            slice(ms, i + lit(2), size(ms)),
+            slice(sorted, i + lit(2), size(sorted)),
             b =>
               struct(
                 a.getField("_id").as("id_a"),
@@ -291,6 +316,7 @@ object Dedup {
       .groupBy(col("_chunk"), col("_val"))
       .agg(collect_list(struct(col("_id"), col("_simhash"))).as("_ms"))
       .filter(size(col("_ms")) > 1)
+      .select(slice(array_sort(col("_ms")), 1, maxBucket).as("_sorted"))
       .select(explode(pairs).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -364,12 +390,20 @@ object Dedup {
     * per-round cost with better worst-case round bounds if a corpus ever
     * degenerates.)
     *
-    * Each round materializes one action (the convergence probe) — that is
-    * inherent to fixpoint iteration, not a driver-side data path; labels
-    * stay distributed throughout. Every intermediate cache is released
-    * before return; the result itself is localCheckpoint-ed (materialized,
-    * lineage truncated — the fixpoint's lineage would otherwise deepen by
-    * two joins per round and stack-overflow the planner on long chains).
+    * Each round ends in an eager `localCheckpoint` of the new label table.
+    * That is the load-bearing line: it materializes the round (fixpoint
+    * iteration needs one action per round regardless) AND truncates the
+    * plan, so round N+1 plans against a flat scan of round N's blocks.
+    * Without it the pointer-jump self-join DOUBLES the logical tree every
+    * round — analysis/AQE replanning grows exponentially (the round-3 form
+    * took >15 minutes on an 18-edge toy graph; this one takes seconds).
+    * Convergence is probed with a sum over the checkpointed labels: labels
+    * only ever decrease under min-propagation, so an unchanged sum ⇔
+    * fixpoint — one aggregate on cached blocks, no compare join.
+    *
+    * Every intermediate cache (including each round's superseded
+    * checkpoint) is released before return; only the returned result's own
+    * checkpoint blocks remain — free them with [[graft.CacheUtil.release]].
     */
   def dupClusters(
       pairs: DataFrame,
@@ -388,7 +422,14 @@ object Dedup {
       .select(col("src").as("id"))
       .distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+    // decimal(38,0) keeps the probe overflow-proof for any realistic sum of
+    // 64-bit ids
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -410,7 +451,8 @@ object Dedup {
             .as("label")
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // (b) pointer jump: label := label(label) — halves chain lengths
+      // (b) pointer jump: label := label(label) — halves chain lengths.
+      // Eager checkpoint: materialize this round, truncate lineage.
       val jumped = pulled
         .as("x")
         .join(pulled.as("y"), col("x.label") === col("y.id"), "left")
@@ -418,34 +460,19 @@ object Dedup {
           col("x.id").as("id"),
           coalesce(col("y.label"), col("x.label")).as("label")
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // full count, NOT limit(1): the probe doubles as the action that
-      // materializes `jumped` into its cache in full — a short-circuiting
-      // limit would leave partitions uncomputed, and unpersisting the
-      // inputs below would force later rounds to replan the whole
-      // fixpoint lineage
-      val changed = jumped
-        .join(
-          labels.select(col("id").as("_oid"), col("label").as("_olabel")),
-          col("id") === col("_oid")
-        )
-        .filter(col("label") =!= col("_olabel"))
-        .count()
+        .localCheckpoint(true)
+      val curSum = labelSum(jumped)
       pulled.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
+      graft.CacheUtil.release(labels) // superseded round's checkpoint blocks
       labels = jumped
-      converged = changed == 0L
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
       if (sys.env.contains("GRAFT_DEBUG_CC"))
-        System.err.println(s"[dupClusters] iter=$iter changed=$changed")
+        System.err.println(s"[dupClusters] iter=$iter labelSum=$curSum")
     }
-    // materialize + truncate lineage, then release every iteration cache
-    val out = labels
-      .select(col("id"), col("label").as("cluster_id"))
-      .localCheckpoint()
-    labels.unpersist(blocking = false)
     edges.unpersist(blocking = false)
-    out
+    labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -319,8 +319,22 @@ object Similarity {
   }
 
   /** LSH-blocked near-dup pairs over embeddings (scale path of
-    * [[Dedup.embeddingNearDupsBrute]]): pairs must share a bucket, then
-    * exact cosine filter.
+    * [[Dedup.embeddingNearDupsBrute]]): a pair is a candidate when it
+    * shares a bucket in ANY of `nTables` independent hyperplane tables
+    * (recall per pair = 1 − (1 − p^nPlanes)^nTables for per-plane
+    * agreement probability p = 1 − θ/π), then verified with an exact
+    * cosine filter. Tune nPlanes down / nTables up for recall, the
+    * reverse for cost.
+    *
+    * Same one-shuffle shape as [[Dedup.minHashCandidates]]: all nTables
+    * signatures are computed in ONE projection pass (no self-join — the
+    * round-3 form re-evaluated the signature subtree once per join side),
+    * buckets are grouped on (table, sig), capped at the `maxBucket`
+    * lowest ids (deterministic; bounds any degenerate bucket at
+    * maxBucket²/2 pairs), and in-bucket i<j pairs are expanded from the
+    * bound sorted column. The verify joins rescan the (pruned) vector
+    * columns instead of caching them — vectors come straight off parquet,
+    * so two cheap scans beat holding the corpus in block storage.
     */
   def lshNearDups(
       df: DataFrame,
@@ -329,21 +343,49 @@ object Similarity {
       threshold: Double,
       nPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L
+      seed: Long = 42L,
+      nTables: Int = 4,
+      maxBucket: Int = 10000
   ): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("_id"),
-      col(vecCol).as("_v"),
-      hyperplaneSignature(col(vecCol), nPlanes, dim, seed).as("_sig")
-    )
-    withSig
-      .as("a")
-      .join(
-        withSig.as("b"),
-        col("a._sig") === col("b._sig") && col("a._id") < col("b._id")
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spread = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = array((0 until nTables).map { t =>
+      hyperplaneSignature(col("_v"), nPlanes, dim, seed + 1000L * t)
+    }: _*)
+    val banded =
+      spread.select(col("_id"), posexplode(sigs).as(Seq("_tbl", "_sig")))
+    // bound sorted column before the pair-expansion lambdas — see the
+    // matching comment in [[Dedup.minHashCandidates]]
+    val sorted = col("_sorted")
+    val pairs = flatten(
+      transform(
+        sorted,
+        (a, i) =>
+          transform(
+            slice(sorted, i + lit(2), size(sorted)),
+            b => struct(a.as("id_a"), b.as("id_b"))
+          )
       )
-      .withColumn("cos", VectorFunctions.cosine(col("a._v"), col("b._v")))
+    )
+    val cands = banded
+      .groupBy(col("_tbl"), col("_sig"))
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")) > 1)
+      .select(slice(array_sort(col("_ids")), 1, maxBucket).as("_sorted"))
+      .select(explode(pairs).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"))
+      .distinct()
+    val v = df.select(
+      col(idCol).as("_vid"),
+      VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+    )
+    cands
+      .join(v.select(col("_vid").as("_ida"), col("_nv").as("_va")), col("id_a") === col("_ida"))
+      .join(v.select(col("_vid").as("_idb"), col("_nv").as("_vb")), col("id_b") === col("_idb"))
+      .withColumn("cos", VectorFunctions.dot(col("_va"), col("_vb")))
       .filter(col("cos") > threshold)
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .select(col("id_a"), col("id_b"))
   }
 }

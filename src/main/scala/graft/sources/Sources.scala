@@ -40,6 +40,35 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Persist `df` hash-bucketed (and sorted) by `key` as a catalog table —
+    * the cross-JOB analogue of the reference's key-partitioned node shards
+    * (reference: R/as.big.data.table.R:9-10 partitions each node's shard by
+    * the key once, and node-scoped joins then run shuffle-free for the
+    * session, README.md:226-227). `keyBy` co-locates within ONE job; a
+    * bucketed table makes the layout durable: every later job that joins
+    * two tables bucketed by the same key into the same bucket count gets a
+    * sort-merge join with ZERO Exchange on either side — at 100 TB that is
+    * the difference between a metadata-only plan and re-shuffling both fact
+    * tables on every query.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int = 32
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Read a bucketed catalog table back; its bucket spec drives the
+    * shuffle-free join planning. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Round-trip helper used by tests and the q28 query: write through a
     * format and read back (schema inferred), exercising both directions
     * of the source surface.

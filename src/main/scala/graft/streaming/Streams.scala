@@ -28,7 +28,6 @@ object Streams {
     * parquet as one micro-batch; in production this is kafka/files).
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source wants a directory; glob-filter to the fixture
     spark.readStream
       .schema(rawSchema)

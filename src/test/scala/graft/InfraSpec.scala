@@ -165,4 +165,45 @@ class InfraSpec extends AnyFunSuite {
       assert(got === Array((1, "a", 1.5), (2, "b", -2.25)), s"format $fmt")
     }
   }
+
+  test("bucketed tables join shuffle-free across jobs (B22 scale: no Exchange)") {
+    // the durable analogue of the reference's key-partitioned node shards
+    // (R/as.big.data.table.R:9-10): bucket both sides by the join key once,
+    // then every later job's equi-join plans with zero Exchange
+    val orders = Tables.orders(spark, SparkTestSession.sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val lines = Tables.lineitem(spark, SparkTestSession.sfDir)
+      .select($"l_orderkey", $"l_quantity")
+    Sources.writeBucketed(orders, "bkt_orders", "o_orderkey", buckets = 8)
+    Sources.writeBucketed(lines, "bkt_lineitem", "l_orderkey", buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the shuffle-free claim is tested on the
+      // sort-merge path a 100 TB fact-fact join would take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Sources.readBucketed(spark, "bkt_orders")
+        .join(
+          Sources.readBucketed(spark, "bkt_lineitem"),
+          $"o_orderkey" === $"l_orderkey"
+        )
+        .groupBy($"o_orderkey")
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity").as("qty"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      // bucketed join itself must be exchange-free; the only repartition
+      // allowed is the post-join groupBy's (and it is key-aligned, so
+      // Catalyst elides it too — assert zero overall)
+      assert(exchanges === 0, s"expected no shuffle, plan:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(
+        plan.contains("Bucketed: true"),
+        s"scan did not use bucket layout:\n${plan.take(3000)}"
+      )
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }

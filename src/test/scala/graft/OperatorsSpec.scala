@@ -82,6 +82,23 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
   }
 
+  test("rollingHash64 on non-BMP text: code-point semantics, diverges from split(\"\") HOF") {
+    // split("") fractures a surrogate pair into two lone code units; the
+    // kernel consumes the full code point (matching DuckDB ord()). The
+    // equivalence gate above is therefore scoped to BMP text — this pins
+    // both the kernel's value and the intended divergence.
+    val s = "a😀b" // a, U+1F600 GRINNING FACE, b
+    val df = Seq(Doc(1, s)).toDS.toDF
+    val row = df.select(
+      TextFunctions.fingerprintRolling($"text").as("k"),
+      TextFunctions.fingerprintRollingHof($"text").as("h")
+    ).collect().head
+    val wantCodePoints = s.codePoints().toArray
+      .foldLeft(0L)((a, cp) => (a * 31 + cp) % 1000000007L)
+    assert(row.getLong(0) === wantCodePoints)
+    assert(row.getLong(0) !== row.getLong(1), "divergence on non-BMP is intended")
+  }
+
   // ------------------------------------------------------------ dedup
 
   test("exactGroups/exactDedup collapse identical texts") {
@@ -292,6 +309,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.8, s"mean recall@5=$mean per-query=$recalls")
+  }
+
+  test("lshNearDups precision-exact + recall vs brute on the fixture (d07 gate)") {
+    // fixture pairs all sit at cosine 0.3-0.5 — near-threshold, the hard
+    // case for hyperplane LSH. nPlanes=2/nTables=8 gives theoretical
+    // per-pair recall 1-(1-p²)⁸ ≈ 0.97 at cos=0.3 (p = 1-θ/π ≈ 0.597);
+    // deterministic under the fixed seed/data, so the bound is tight.
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val brute = Dedup
+      .embeddingNearDupsBrute(emb, "embedding", "vec_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity
+      .lshNearDups(emb, "embedding", "vec_id", threshold = 0.3, nPlanes = 2, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    assert(lsh.subsetOf(brute), "cosine-verified pairs must be precision-exact")
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${brute.size})")
   }
 
   test("written IVF index probes as a partition-pruned scan, no cache/count (s03 scale shape)") {
