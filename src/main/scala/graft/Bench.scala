@@ -44,9 +44,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
+    // Per-query time budget: one pathological query must never consume the
+    // external bench budget and take innocent queries down with it (the r3
+    // and r4 benches were killed mid-d03 and recorded 6 healthy queries as
+    // failed). On timeout the query's job group is cancelled
+    // (interruptOnCancel ⇒ running tasks are interrupted), the query is
+    // recorded FAILED, and the bench continues — the failure is still
+    // visible in the JSON line.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "120").toInt
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    def materialize(name: String, dir: String): Unit = {
+      val group = s"bench-$name"
+      // job group is thread-local — set it on the thread that submits jobs
+      val f = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try
+          SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").format("noop").save()
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(f, budgetSec.seconds)
+      catch {
+        case e: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw new RuntimeException(
+            s"query budget of $budgetSec s exceeded", e)
+      }
+    }
 
     val names = headline.filter(SparkEntry.queries.contains)
     // warm pass at the target SF: C2 JIT + codegen cache + page cache —

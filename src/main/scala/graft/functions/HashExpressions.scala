@@ -86,13 +86,13 @@ object HashExpressions {
   }
 
   /** Polynomial rolling hash over code points, (h*31 + cp) mod 1e9+7.
-    * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit on BMP
-    * text (gated by a ScalaTest equivalence) without its per-character
-    * array allocation or interpreted evaluation. On supplementary
-    * characters the two INTENTIONALLY diverge: `split("")` fractures a
-    * surrogate pair into two lone code units, while this kernel (like
-    * DuckDB's `ord()`) consumes the whole code point — the kernel is the
-    * semantically correct one, and the divergence is pinned by a test.
+    * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit — on ALL
+    * text, including supplementary characters: Spark strings are UTF-8 and
+    * `split(text, "")` splits at code-point boundaries (unlike
+    * `java.lang.String.split`, which fractures surrogate pairs), so the
+    * HOF sees whole code points too. Equivalence is gated by a ScalaTest
+    * including a non-BMP string. The kernel's win is purely physical: no
+    * per-character array allocation, no interpreted HOF evaluation.
     */
   case class RollingHash64(child: Expression) extends UnaryExpression {
 

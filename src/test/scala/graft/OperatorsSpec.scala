@@ -70,8 +70,10 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"k" =!= $"h")
       .count()
     assert(diff === 0L)
-    // edge cases incl. a long string that wraps the modulus many times
-    val edges = Seq(Doc(1, ""), Doc(2, "a"), Doc(3, "x y  z!"), Doc(4, "q" * 5000)).toDS.toDF
+    // edge cases incl. a long string that wraps the modulus many times and
+    // a supplementary (non-BMP) character — split("") is code-point-based
+    // in Spark, so kernel == HOF there too
+    val edges = Seq(Doc(1, ""), Doc(2, "a"), Doc(3, "x y  z!"), Doc(4, "q" * 5000), Doc(5, "a😀b")).toDS.toDF
     val rows = edges
       .select(
         $"doc_id",
@@ -82,11 +84,12 @@ class OperatorsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
   }
 
-  test("rollingHash64 on non-BMP text: code-point semantics, diverges from split(\"\") HOF") {
-    // split("") fractures a surrogate pair into two lone code units; the
-    // kernel consumes the full code point (matching DuckDB ord()). The
-    // equivalence gate above is therefore scoped to BMP text — this pins
-    // both the kernel's value and the intended divergence.
+  test("rollingHash64 on non-BMP text: code-point semantics, equal to split(\"\") HOF") {
+    // Spark strings are UTF-8 and split(text, "") splits at CODE POINT
+    // boundaries (not UTF-16 code units — unlike java.lang.String.split),
+    // so the HOF sees whole code points too. Kernel == HOF on
+    // supplementary characters, and both equal the reference fold over
+    // code points.
     val s = "a😀b" // a, U+1F600 GRINNING FACE, b
     val df = Seq(Doc(1, s)).toDS.toDF
     val row = df.select(
@@ -96,7 +99,7 @@ class OperatorsSpec extends AnyFunSuite {
     val wantCodePoints = s.codePoints().toArray
       .foldLeft(0L)((a, cp) => (a * 31 + cp) % 1000000007L)
     assert(row.getLong(0) === wantCodePoints)
-    assert(row.getLong(0) !== row.getLong(1), "divergence on non-BMP is intended")
+    assert(row.getLong(0) === row.getLong(1), "kernel and HOF agree on non-BMP")
   }
 
   // ------------------------------------------------------------ dedup
