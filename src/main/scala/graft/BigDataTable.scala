@@ -75,6 +75,18 @@ final class BigDataTable private (
 
   def schema: StructType = df.schema
 
+  /** ≈ `bdt[[j]]` with scalar `j` (reference R/big.data.table.R:312):
+    * probes one column's TYPE without touching data — the reference
+    * returns `core.data.table(x)[[j]]`, a 0-length typed vector; here, a
+    * 0-row single-column DataFrame carrying the column's exact DataType.
+    */
+  def columnProbe(j: String): DataFrame = core.select(col(j))
+
+  /** 0-based positional variant of [[columnProbe]] (the reference accepts
+    * numeric `j`; R is 1-based, Scala collections are 0-based).
+    */
+  def columnProbe(j: Int): DataFrame = core.select(col(df.columns(j)))
+
   /** ≈ `is.big.data.table(check.nodes=TRUE)`
     * (reference R/big.data.table.R:18-25): the view still resolves.
     */
@@ -100,11 +112,41 @@ final class BigDataTable private (
       .count()
       .orderBy(col("node"))
 
+  /** ≈ `print.big.data.table`'s warning set (reference
+    * R/big.data.table.R:61-67): the reference prints head from the FIRST
+    * node and tail from the LAST, and warns when that view is unfaithful —
+    * a single node (head and tail come from the same shard) or an empty
+    * end shard. Checked with one two-partition probe job (`it.hasNext` on
+    * partitions 0 and n-1 only — no scan of the middle).
+    */
+  def printTableWarnings: Seq[String] = {
+    val rdd = df.rdd
+    val n = rdd.getNumPartitions
+    // the reference returns early for an empty table (R:49-53) before any
+    // warning; a 0-partition RDD is the degenerate empty case
+    if (n == 0) return Seq.empty
+    val w = Seq.newBuilder[String]
+    if (n == 1)
+      w += "Running big.data.table with single node, print will be incorrect."
+    val ends = spark.sparkContext.runJob(
+      rdd,
+      (it: Iterator[_]) => it.hasNext,
+      if (n == 1) Seq(0) else Seq(0, n - 1)
+    )
+    if (!ends.head)
+      w += "First node doesn't have any rows, print will be incorrect."
+    if (!ends.last)
+      w += "Last node doesn't have any rows, print will be incorrect."
+    w.result()
+  }
+
   /** ≈ `print.big.data.table` (reference R/big.data.table.R:49-74):
     * head from the first shard, "---", tail from the last shard, without a
-    * full scan (head/tail read only the end partitions).
+    * full scan (head/tail read only the end partitions). Reference-parity
+    * warnings ([[printTableWarnings]]) go to stderr, like R's `warning()`.
     */
   def printTable(topn: Int = 5): String = {
+    printTableWarnings.foreach(w => Console.err.println(s"Warning: $w"))
     val head = df.limit(topn).collect()
     val tail = df.tail(topn)
     val cols = df.columns
