@@ -47,36 +47,70 @@ object Bench {
     // Per-query time budget: one pathological query must never consume the
     // external bench budget and take innocent queries down with it (the r3
     // and r4 benches were killed mid-d03 and recorded 6 healthy queries as
-    // failed). On timeout the query's job group is cancelled
-    // (interruptOnCancel ⇒ running tasks are interrupted), the query is
-    // recorded FAILED, and the bench continues — the failure is still
-    // visible in the JSON line.
+    // failed). Each query runs on its own interruptible thread; on timeout
+    // the query's job group is cancelled with
+    // cancelJobGroupAndFutureJobs (plain cancelJobGroup only cancels
+    // currently-ACTIVE jobs — a query timing out during driver-side
+    // planning, or between AQE stages, would keep submitting work that
+    // contaminates the next query's timing) and the thread is interrupted
+    // to stop driver-side planning too. The query is recorded FAILED and
+    // the bench continues — the failure is still visible in the JSON line.
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "120").toInt
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
 
     def materialize(name: String, dir: String): Unit = {
       val group = s"bench-$name"
+      @volatile var failure: Option[Throwable] = None
       // job group is thread-local — set it on the thread that submits jobs
-      val f = Future {
+      val t = new Thread(() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try
-          SparkEntry.queries(name)(spark, dir)
-            .write.mode("overwrite").format("noop").save()
+        try {
+          val df = SparkEntry.queries(name)(spark, dir)
+          df.write.mode("overwrite").format("noop").save()
+          // free any localCheckpoint blocks the plan pinned (d02/d03/d07/
+          // s03 paths): each call builds a fresh checkpoint, so without
+          // this every warm+timed pass strands a block set in the
+          // BlockManager for the JVM's lifetime
+          CacheUtil.release(df)
+        } catch { case e: Throwable => failure = Some(e) }
         finally spark.sparkContext.clearJobGroup()
+      }, group)
+      t.setDaemon(true)
+      t.start()
+      t.join(budgetSec * 1000L)
+      if (t.isAlive) {
+        spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+        t.interrupt()
+        t.join(10000L)
+        throw new RuntimeException(s"query budget of $budgetSec s exceeded")
       }
-      try Await.result(f, budgetSec.seconds)
-      catch {
-        case e: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          throw new RuntimeException(
-            s"query budget of $budgetSec s exceeded", e)
-      }
+      failure.foreach(e => throw e)
     }
 
-    val names = headline.filter(SparkEntry.queries.contains)
+    val allNames = headline.filter(SparkEntry.queries.contains)
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=d03_simhash_neardup,q18_topn
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(s) =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        allNames.filter(want)
+      case None => allNames
+    }
+
+    // Noise-floor calibration: q18_topn is a pinned-trivial
+    // TakeOrderedAndProject (judge-clean ≈ 0.1-0.3 s at sf0.1). Time it
+    // warm BEFORE the headline passes; if the box is contended by another
+    // workload it inflates like everything else, and the JSON line is
+    // stamped "contended": true so a polluted run can never masquerade as
+    // an engine regression (the r5 driver bench published 8-12× inflated
+    // numbers that read as regressions until the judge reran them).
+    val calibThreshold = sys.env
+      .getOrElse("SPARK_GRAFT_CALIB_THRESHOLD_SEC", "2.0").toDouble
+    materialize("q18_topn", sfDir) // warm the calibration query
+    val c0 = System.nanoTime()
+    materialize("q18_topn", sfDir)
+    val calibSec = (System.nanoTime() - c0) / 1e9
+    val contended = calibSec > calibThreshold
+
     // warm pass at the target SF: C2 JIT + codegen cache + page cache —
     // the timed pass below measures steady-state engine cost
     names.foreach { n =>
@@ -112,7 +146,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"contended":$contended,"sf":"$sfDir"}"""
     // the driver parses the JSON line from process output; sbt/log4j can
     // interleave, so also persist it to a file and print it LAST, after
     // spark.stop() has flushed executor logging

@@ -80,12 +80,19 @@ final class BigDataTable private (
     * returns `core.data.table(x)[[j]]`, a 0-length typed vector; here, a
     * 0-row single-column DataFrame carrying the column's exact DataType.
     */
-  def columnProbe(j: String): DataFrame = core.select(col(j))
+  def columnProbe(j: String): DataFrame = core.select(quotedCol(j))
 
   /** 0-based positional variant of [[columnProbe]] (the reference accepts
     * numeric `j`; R is 1-based, Scala collections are 0-based).
     */
-  def columnProbe(j: Int): DataFrame = core.select(col(df.columns(j)))
+  def columnProbe(j: Int): DataFrame = core.select(quotedCol(df.columns(j)))
+
+  /** `col(name)` parses '.' as a nested-field accessor, so a column
+    * literally named "a.b" would mis-resolve — quote with backticks
+    * (embedded backticks doubled, the SQL escape).
+    */
+  private def quotedCol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** ≈ `is.big.data.table(check.nodes=TRUE)`
     * (reference R/big.data.table.R:18-25): the view still resolves.
@@ -122,17 +129,20 @@ final class BigDataTable private (
   def printTableWarnings: Seq[String] = {
     val rdd = df.rdd
     val n = rdd.getNumPartitions
-    // the reference returns early for an empty table (R:49-53) before any
-    // warning; a 0-partition RDD is the degenerate empty case
     if (n == 0) return Seq.empty
-    val w = Seq.newBuilder[String]
-    if (n == 1)
-      w += "Running big.data.table with single node, print will be incorrect."
     val ends = spark.sparkContext.runJob(
       rdd,
       (it: Iterator[_]) => it.hasNext,
       if (n == 1) Seq(0) else Seq(0, n - 1)
     )
+    // the reference returns early for an empty TABLE (R:49-53) before any
+    // warning — emptiness is rows, not partitions (an empty DataFrame
+    // almost always still has >= 1 empty partitions). The full-frame probe
+    // runs only when both end shards came back empty.
+    if (!ends.exists(identity) && df.isEmpty) return Seq.empty
+    val w = Seq.newBuilder[String]
+    if (n == 1)
+      w += "Running big.data.table with single node, print will be incorrect."
     if (!ends.head)
       w += "First node doesn't have any rows, print will be incorrect."
     if (!ends.last)
@@ -146,6 +156,18 @@ final class BigDataTable private (
     * warnings ([[printTableWarnings]]) go to stderr, like R's `warning()`.
     */
   def printTable(topn: Int = 5): String = {
+    // empty table: the reference prints its empty-frame banner and
+    // returns before any warning (R/big.data.table.R:49-57)
+    if (df.isEmpty) {
+      val cs = df.columns
+      val plural = if (cs.length > 1) "s" else ""
+      val ell = if (cs.length > 6) "..." else ""
+      val out =
+        s"Empty data.table (0 rows) of ${cs.length} col$plural: " +
+          cs.take(6).mkString(",") + ell
+      println(out)
+      return out
+    }
     printTableWarnings.foreach(w => Console.err.println(s"Warning: $w"))
     val head = df.limit(topn).collect()
     val tail = df.tail(topn)

@@ -296,6 +296,22 @@ object Dedup {
     // quadratic in per-bucket copies, and single-task per bucket — 199 s
     // standalone at sf0.1 vs ~4 s for the join form.)
     //
+    // Lowest-matching-chunk emission: a pair within the radius shares at
+    // least one chunk value but typically shares several (an identical
+    // pair shares all `maxHamming + 1`), so the naive join emits it once
+    // per shared chunk and needs a `distinct()` over EVERY verified pair —
+    // at sf0.1/h=10 that was an Exchange + two HashAggregates over 3.09 M
+    // rows for 31 k survivors. Instead the join condition also requires
+    // that NO chunk below the bucket's chunk matches: each chunk value is
+    // recomputed from the carried 64-bit hash at plan time (chunks ≤ 11 ⇒
+    // a small codegen'd conjunction, no extra columns), so every pair is
+    // emitted from exactly one (chunk, value) bucket and the distinct
+    // disappears. Caveat under an ACTIVE `maxBucket` cap: a pair whose
+    // lowest matching chunk was truncated is no longer recovered via a
+    // higher chunk — the cap's documented recall loss applies per-pair at
+    // its lowest chunk rather than across all chunks. Audit with
+    // [[hotSimHashBuckets]] and size the cap so it never triggers.
+    //
     // Hot-bucket cap: at large radii the chunks are narrow (h=10 → 11
     // chunks of 5-6 bits → ≤64 bucket values per chunk), so a 100 TB
     // corpus NEEDS this cap — and should prefer small radii, where
@@ -317,13 +333,25 @@ object Dedup {
         col("_m._simhash").as("_simhash")
       )
       .localCheckpoint(true)
+    val chunks = maxHamming + 1
+    val (widths, offsets) = chunkLayout(chunks)
+    def chunkVal(h: Column, c: Int): Column =
+      shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c))))
+    val noLowerChunkMatches = (0 until chunks - 1)
+      .map { c =>
+        col("a._chunk") <= lit(c) ||
+          chunkVal(col("a._simhash"), c) =!= chunkVal(col("b._simhash"), c)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
     members
       .as("a")
       .join(
         members.as("b"),
         col("a._chunk") === col("b._chunk") &&
           col("a._val") === col("b._val") &&
-          col("a._id") < col("b._id")
+          col("a._id") < col("b._id") &&
+          noLowerChunkMatches
       )
       .select(
         col("a._id").as("id_a"),
@@ -332,7 +360,6 @@ object Dedup {
           .as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** (_id, _simhash, _chunk, _val) pigeonhole blocking pipeline shared by
@@ -345,12 +372,7 @@ object Dedup {
       maxHamming: Int
   ): DataFrame = {
     val chunks = maxHamming + 1
-    // distribute the 64 bits as evenly as possible across the chunks
-    val baseWidth = 64 / chunks
-    val rem = 64 % chunks
-    val widths = (0 until chunks).map(c => if (c < rem) baseWidth + 1 else baseWidth)
-    val offsets = widths.scanLeft(0)(_ + _).init
-    def mask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+    val (widths, offsets) = chunkLayout(chunks)
     // spread the per-row hash compute across cores before evaluating it
     val withSim = df
       .select(col(idCol).as("_id"), col(textCol).as("_t"))
@@ -362,11 +384,24 @@ object Dedup {
       posexplode(
         array((0 until chunks).map { c =>
           shiftrightunsigned(col("_simhash"), offsets(c))
-            .bitwiseAND(lit(mask(widths(c))))
+            .bitwiseAND(lit(chunkMask(widths(c))))
         }: _*)
       ).as(Seq("_chunk", "_val"))
     )
   }
+
+  /** Per-chunk (bit widths, bit offsets) for splitting a 64-bit hash into
+    * `chunks` pigeonhole blocks, the 64 bits spread as evenly as possible.
+    */
+  private def chunkLayout(chunks: Int): (Seq[Int], Seq[Int]) = {
+    val baseWidth = 64 / chunks
+    val rem = 64 % chunks
+    val widths =
+      (0 until chunks).map(c => if (c < rem) baseWidth + 1 else baseWidth)
+    (widths, widths.scanLeft(0)(_ + _).init)
+  }
+
+  private def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
 
   /** Audit view for [[simHashNearDups]]'s bucket cap: every (chunk, value)
     * block larger than `maxBucket`, with its size.

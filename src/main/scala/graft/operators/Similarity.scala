@@ -338,6 +338,11 @@ object Similarity {
     * vector columns instead of caching them — vectors come straight off
     * parquet, so two cheap scans beat holding the corpus in block
     * storage.
+    *
+    * The returned plan reads the membership checkpoint blocks; free them
+    * with [[graft.CacheUtil.release]] on the result when done (as with
+    * [[Dedup.minHashCandidates]] — repeated calls otherwise accumulate
+    * MEMORY_AND_DISK blocks until the RDD is GC'd).
     */
   def lshNearDups(
       df: DataFrame,

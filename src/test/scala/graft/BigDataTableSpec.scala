@@ -183,6 +183,52 @@ class BigDataTableSpec extends AnyFunSuite {
     assert(years === Array(2011, 2012, 2013, 2014))
   }
 
+  test("columnProbe: 0-row frame carrying the exact DataType, name + position (A13)") {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+    val bdt = BigDataTable.fromLocal(spark, genData(20), "t_probe")
+    val byName = bdt.columnProbe("value")
+    assert(byName.count() === 0L)
+    assert(byName.schema.length === 1)
+    assert(byName.schema.head.name === "value")
+    assert(byName.schema.head.dataType === DoubleType)
+    val byPos = bdt.columnProbe(1)
+    assert(byPos.schema.head.name === "low")
+    assert(byPos.schema.head.dataType === StringType)
+    // a column literally named "a.year" must resolve as itself, not as a
+    // nested-field access on a struct column "a"
+    val dotted = BigDataTable.fromDF(
+      spark.createDataset(genData(5)).toDF("a.year", "low", "value"),
+      "t_probe_dot"
+    )
+    assert(dotted.columnProbe("a.year").schema.head.name === "a.year")
+    assert(dotted.columnProbe("a.year").schema.head.dataType === IntegerType)
+    assert(dotted.columnProbe(0).schema.head.name === "a.year")
+  }
+
+  test("printTableWarnings golden strings: single node / empty first / empty last (A21)") {
+    val one = BigDataTable.fromLocal(spark, genData(10), "t_w1", numShards = 1)
+    assert(one.printTableWarnings ===
+      Seq("Running big.data.table with single node, print will be incorrect."))
+    def gen(skip: Int) = BigDataTable.fromGenerator(spark, 3, s"t_w$skip") { pid =>
+      if (pid == skip) Iterator.empty
+      else (0 until 5).iterator.map(i => GenTestRow(2000 + pid, s"p$pid", i.toDouble))
+    }
+    assert(gen(0).printTableWarnings ===
+      Seq("First node doesn't have any rows, print will be incorrect."))
+    assert(gen(2).printTableWarnings ===
+      Seq("Last node doesn't have any rows, print will be incorrect."))
+    assert(gen(1).printTableWarnings === Seq.empty) // healthy end shards
+  }
+
+  test("empty table: reference banner, no warnings (A21, reference R:49-57)") {
+    val empty = BigDataTable.fromLocal(spark, Seq.empty[GenTestRow], "t_wempty")
+    // an empty DataFrame still has >= 1 (empty) partitions — the reference
+    // returns early on nrow==0 with NO warnings, not the empty-shard ones
+    assert(empty.printTableWarnings === Seq.empty)
+    assert(empty.printTable() ===
+      "Empty data.table (0 rows) of 3 cols: year,low,value")
+  }
+
   test("cluster surface: ls/isValid/require (A1-A8)") {
     assert(Cluster.isValid(spark))
     BigDataTable.fromLocal(spark, genData(5), "t_ls")

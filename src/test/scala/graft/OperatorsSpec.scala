@@ -257,6 +257,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(cross) < 1e-12)
   }
 
+  test("l2Normalize compiled kernel == HOF formulation, bit-identical") {
+    // the kernel replaces an interpreted nested HOF (VERDICT r5 #3); the
+    // contract is BIT-equality with the Column formulation it replaced:
+    // same ascending-index double summation, sqrt, divide
+    val rng = new scala.util.Random(11)
+    val df = (0L until 50L)
+      .map(i => Vec(i, Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDS.toDF
+    val ad = $"embedding".cast("array<double>")
+    val hofNorm = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), _ + _))
+    val hof = flatten(transform(array(hofNorm), nn => transform(ad, x => x / nn)))
+    val rows = df
+      .select(
+        VectorFunctions.l2Normalize($"embedding").as("k"),
+        hof.as("h")
+      )
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Double](0)
+      val h = r.getSeq[Double](1)
+      assert(k.length === 64 && k === h)
+    }
+    // normalized vectors are unit length
+    val n = df
+      .select(VectorFunctions.norm(VectorFunctions.l2Normalize($"embedding")))
+      .collect()
+    n.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("knn ranks by cosine: crafted vectors in known order") {
     val df = Seq(
       Vec(0, Array(1f, 0f, 0f)),
