@@ -145,8 +145,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // leak check: after CacheUtil.release in every materialize, no graft
+    // checkpoint blocks may remain pinned in the BlockManager (the r3/r5
+    // leak class). Surfaced in the JSON line so a regression is visible.
+    val leakedBlocks = spark.sparkContext.getPersistentRDDs.size
+    if (leakedBlocks > 0)
+      System.err.println(
+        s"[bench] WARNING: $leakedBlocks persistent RDDs still pinned " +
+          "after release — checkpoint leak")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"contended":$contended,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"contended":$contended,"leaked_rdds":$leakedBlocks,"sf":"$sfDir"}"""
     // the driver parses the JSON line from process output; sbt/log4j can
     // interleave, so also persist it to a file and print it LAST, after
     // spark.stop() has flushed executor logging

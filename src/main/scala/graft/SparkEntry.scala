@@ -719,12 +719,19 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")),
       None
     ),
-    // SimHash near-dup pairs (hash-dependent; rows-only)
+    // SimHash near-dup pairs (hash-dependent; rows-only). maxBucket is
+    // pinned from a hotSimHashBuckets audit at sf0.1 (5000 docs, h=10):
+    // largest (chunk, value) bucket = 3837, p99 = 1634 — 8192 gives 2×
+    // headroom over the observed max, so the cap never triggers and
+    // blocked recall stays exact at this SF (the OperatorsSpec
+    // blocked==brute gate relies on that).
     Q(
       "d03_simhash_neardup",
       (s, d) =>
         operators.Dedup
-          .simHashNearDups(documents(s, d), "text", "doc_id", maxHamming = 10)
+          .simHashNearDups(
+            documents(s, d), "text", "doc_id",
+            maxHamming = 10, maxBucket = 8192)
           .select(col("id_a"), col("id_b")),
       None
     ),

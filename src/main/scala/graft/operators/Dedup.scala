@@ -75,7 +75,24 @@ object Dedup {
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(slice(col("_sig"), b * r + 1, r), lit(b))
     }: _*)
-    withSig.select(col("_id"), posexplode(bandHashes).as(Seq("_band", "_bucket")))
+    // each exploded row also carries the band hashes BELOW its own band
+    // (all the pair join consults for lowest-matching-band emission —
+    // carrying the full array doubled the cap shuffle's payload for
+    // values no condition ever reads). hotMinHashBuckets ignores the
+    // extra column.
+    withSig
+      .select(col("_id"), bandHashes.as("_bands"))
+      .select(
+        col("_id"),
+        col("_bands"),
+        posexplode(col("_bands")).as(Seq("_band", "_bucket"))
+      )
+      .select(
+        col("_id"),
+        col("_band"),
+        col("_bucket"),
+        slice(col("_bands"), lit(1), col("_band")).as("_lower")
+      )
   }
 
   /** LSH candidate pairs as a codegen'd self-join.
@@ -106,6 +123,18 @@ object Dedup {
     * dropped members cost recall only inside oversized buckets —
     * [[hotMinHashBuckets]] reports what the cap truncates.
     *
+    * Lowest-matching-band emission (same trick as [[simHashNearDups]]):
+    * a near-dup pair typically collides in SEVERAL bands, so the naive
+    * join emits it once per shared band and needs a `distinct()` over
+    * every candidate — an Exchange + two HashAggregates that grow with
+    * the candidate count, not the survivor count. Each member row carries
+    * the band hashes below its own band, and the join also requires that
+    * NO band below the bucket's band matches — so every pair is emitted from
+    * exactly one (band, bucket) and the distinct disappears. Caveat under
+    * an ACTIVE cap: a pair whose lowest matching band was truncated is no
+    * longer recovered via a higher band (audit with [[hotMinHashBuckets]]
+    * and size the cap so it never triggers).
+    *
     * The returned plan reads the checkpoint blocks; free them with
     * [[graft.CacheUtil.release]] on the result when done (the blocks are
     * also garbage-collected with the plan).
@@ -123,24 +152,39 @@ object Dedup {
     val banded = minHashBanded(df, textCol, idCol, numHashes, bands, shingleSize)
     val members = banded
       .groupBy(col("_band"), col("_bucket"))
-      .agg(collect_list(col("_id")).as("_ids"))
-      .filter(size(col("_ids")) > 1)
+      .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
+      .filter(size(col("_ms")) > 1)
       .select(
         col("_band"),
         col("_bucket"),
-        explode(slice(array_sort(col("_ids")), 1, maxBucket)).as("_id")
+        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
+      )
+      .select(
+        col("_band"),
+        col("_bucket"),
+        col("_m._id").as("_id"),
+        col("_m._lower").as("_lower")
       )
       .localCheckpoint(true)
+    // both sides of a (band, bucket) match carry `_band` lower-band
+    // values, so for b < _band the subscript is always defined
+    val noLowerBandMatches = (0 until bands - 1)
+      .map { b =>
+        col("a._band") <= lit(b) ||
+          col("a._lower")(b) =!= col("b._lower")(b)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
     members
       .as("a")
       .join(
         members.as("b"),
         col("a._band") === col("b._band") &&
           col("a._bucket") === col("b._bucket") &&
-          col("a._id") < col("b._id")
+          col("a._id") < col("b._id") &&
+          noLowerBandMatches
       )
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
   }
 
   /** Audit view for [[minHashCandidates]]'s bucket cap: every (band,
@@ -270,6 +314,10 @@ object Dedup {
     * over huge corpora inflate the candidate join; at 100 TB keep the
     * radius small or step up to Manku-style multi-chunk combination
     * blocking (wider buckets, more probes).
+    *
+    * The returned plan reads localCheckpoint blocks (the capped bucket
+    * membership) — free them with [[graft.CacheUtil.release]] on the
+    * result when done (as with [[minHashCandidates]]).
     */
   def simHashNearDups(
       df: DataFrame,

@@ -362,28 +362,56 @@ object Similarity {
     val sigs = array((0 until nTables).map { t =>
       hyperplaneSignature(col("_v"), nPlanes, dim, seed + 1000L * t)
     }: _*)
-    val banded =
-      spread.select(col("_id"), posexplode(sigs).as(Seq("_tbl", "_sig")))
+    // each row carries the table signatures BELOW its own table for
+    // lowest-matching-table pair emission (see Dedup.minHashCandidates):
+    // a pair colliding in several tables is emitted only from the lowest
+    // one, so no distinct() over the candidate set is needed
+    val banded = spread
+      .select(col("_id"), sigs.as("_sigs"))
+      .select(
+        col("_id"),
+        col("_sigs"),
+        posexplode(col("_sigs")).as(Seq("_tbl", "_sig"))
+      )
+      .select(
+        col("_id"),
+        col("_tbl"),
+        col("_sig"),
+        slice(col("_sigs"), lit(1), col("_tbl")).as("_lower")
+      )
     val members = banded
       .groupBy(col("_tbl"), col("_sig"))
-      .agg(collect_list(col("_id")).as("_ids"))
-      .filter(size(col("_ids")) > 1)
+      .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
+      .filter(size(col("_ms")) > 1)
       .select(
         col("_tbl"),
         col("_sig"),
-        explode(slice(array_sort(col("_ids")), 1, maxBucket)).as("_id")
+        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
+      )
+      .select(
+        col("_tbl"),
+        col("_sig"),
+        col("_m._id").as("_id"),
+        col("_m._lower").as("_lower")
       )
       .localCheckpoint(true)
+    val noLowerTableMatches = (0 until nTables - 1)
+      .map { t =>
+        col("a._tbl") <= lit(t) ||
+          col("a._lower")(t) =!= col("b._lower")(t)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
     val cands = members
       .as("a")
       .join(
         members.as("b"),
         col("a._tbl") === col("b._tbl") &&
           col("a._sig") === col("b._sig") &&
-          col("a._id") < col("b._id")
+          col("a._id") < col("b._id") &&
+          noLowerTableMatches
       )
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-      .distinct()
     val v = df.select(
       col(idCol).as("_vid"),
       VectorFunctions.l2Normalize(col(vecCol)).as("_nv")

@@ -159,13 +159,18 @@ class OperatorsSpec extends AnyFunSuite {
       if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= h
     } yield (ia, ib)).toSet
     assert(brute.nonEmpty, "fixture produced no near pairs — gate is vacuous")
-    val got = Dedup
+    val gotRows = Dedup
       .simHashNearDups(docs, "text", "doc_id", maxHamming = h)
       .select("id_a", "id_b")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .toSet
+    val got = gotRows.toSet
     assert(got === brute)
+    // lowest-matching-chunk emission contract: there is no distinct() in
+    // the plan anymore, so each pair must be generated from exactly one
+    // (chunk, value) bucket — duplicates would silently collapse in the
+    // set comparison above
+    assert(gotRows.length === got.size, "pair emitted more than once")
   }
 
   test("planted hot bucket: cap bounds the pair expansion, audit reports it (minhash)") {
@@ -352,9 +357,13 @@ class OperatorsSpec extends AnyFunSuite {
     val brute = Dedup
       .embeddingNearDupsBrute(emb, "embedding", "vec_id", threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity
+    val lshRows = Similarity
       .lshNearDups(emb, "embedding", "vec_id", threshold = 0.3, nPlanes = 2, nTables = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = lshRows.toSet
+    // lowest-matching-table emission: no distinct() in the plan, so a pair
+    // colliding in several tables must still appear exactly once
+    assert(lshRows.length === lsh.size, "pair emitted more than once")
     assert(brute.nonEmpty, "fixture must contain qualifying pairs")
     assert(lsh.subsetOf(brute), "cosine-verified pairs must be precision-exact")
     val recall = (brute intersect lsh).size.toDouble / brute.size
