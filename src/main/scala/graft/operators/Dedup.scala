@@ -441,7 +441,7 @@ object Dedup {
   /** Per-chunk (bit widths, bit offsets) for splitting a 64-bit hash into
     * `chunks` pigeonhole blocks, the 64 bits spread as evenly as possible.
     */
-  private def chunkLayout(chunks: Int): (Seq[Int], Seq[Int]) = {
+  private[graft] def chunkLayout(chunks: Int): (Seq[Int], Seq[Int]) = {
     val baseWidth = 64 / chunks
     val rem = 64 % chunks
     val widths =
@@ -449,7 +449,7 @@ object Dedup {
     (widths, widths.scanLeft(0)(_ + _).init)
   }
 
-  private def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
+  private[graft] def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
 
   /** Audit view for [[simHashNearDups]]'s bucket cap: every (chunk, value)
     * block larger than `maxBucket`, with its size.

@@ -100,6 +100,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dup pairs == batch simHashNearDups across micro-batches (d03 twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val fixture = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val batch = Dedup
+      .simHashNearDups(docs, "text", "doc_id", maxHamming = 10)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture produced no near pairs — test is vacuous")
+    val mem = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.simHashNearDupStream(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      "text",
+      "doc_id",
+      maxHamming = 10
+    )
+    val q = pairs.toDF().writeStream
+      .format("memory")
+      .queryName("neardup_out")
+      .outputMode("append")
+      .start()
+    try {
+      // split the corpus into three micro-batches: pairs must be found
+      // across batch boundaries (state carries earlier members)
+      fixture.grouped(math.max(1, fixture.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamedRows = spark.table("neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val streamed = streamedRows.toSet
+      assert(streamed === batch)
+      // lowest-matching-chunk emission: exactly once, no downstream dedup
+      assert(streamedRows.length === streamed.size, "pair emitted more than once")
+      // replaying a whole batch must emit nothing new (at-least-once sources)
+      mem.addData(fixture.take(fixture.length / 3).toIndexedSeq)
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === streamedRows.length.toLong)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup emits one row per distinct text, bounded state (d01 twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = graft.streaming.StreamingDedup.exactDedupStream(
+      mem.toDF().withColumn("text", concat(lit("doc-"), $"value".cast("int"))),
+      "text",
+      "ts",
+      watermark = "10 minutes"
+    )
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("exact_out")
+      .outputMode("append")
+      .start()
+    try {
+      // 3 distinct texts, each duplicated across two micro-batches
+      mem.addData(Ev(1, t(0), 1.0), Ev(2, t(1), 2.0), Ev(3, t(2), 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, t(3), 2.0), Ev(5, t(4), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("exact_out").select($"text").collect().map(_.getString(0))
+      assert(out.length === 3)
+      assert(out.toSet === Set("doc-1", "doc-2", "doc-3"))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts == batch windowed counts on the fixture") {
     val dir = SparkTestSession.sfDir
     val stream = Streams.eventStream(spark, dir)
