@@ -27,7 +27,8 @@ object Bench {
     "e01_window_hourly", "e02_window_5min", "e03_sessionize", "e04_asof_join",
     "t01_token_count", "t03_lang_id", "t04_fingerprint", "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
-    "s01_knn_brute", "s02_ann_lsh",
+    "d07_lsh_neardup",
+    "s01_knn_brute", "s02_ann_lsh", "s03_ivf",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample"
   )
 

@@ -108,10 +108,16 @@ object TextFunctions {
     size(array_distinct(toks)).cast("double") / size(toks)
   }
 
+  /** Mean token length, built-ins only. For a literal single-space split
+    * the summed token lengths are exactly `length(text) − (n_tokens − 1)`
+    * — each of the n−1 separators consumes one character and empty tokens
+    * contribute zero — which replaces the interpreted
+    * `aggregate(transform(toks, length), ...)` fold (CodegenFallback, the
+    * per-row interpreted-hot-loop class) with codegen'd arithmetic.
+    */
   def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    aggregate(transform(toks, t => length(t)), lit(0), _ + _).cast("double") /
-      size(toks)
+    val n = size(tokens(text))
+    (length(text) - (n - lit(1))).cast("double") / n
   }
 
   def stopwordRatio(text: Column): Column =

@@ -2,32 +2,45 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Dense-vector column functions over `ArrayType(FloatType)` embeddings.
-  * Pure higher-order `Column` expressions (zip_with / aggregate) — codegen
-  * path, no UDF, no shuffle; computed in double with sequential
-  * ascending-index summation so results are reproducible across engines.
-  * The one per-row hot-loop kernel ([[l2Normalize]]) is a compiled
-  * expression: HOF lambdas are CodegenFallback, and a nested HOF on every
-  * embedding row is exactly the interpreted-hot-loop class that made the
-  * round-3/4 dedup paths pathological at scale.
+  * Every per-row hot loop ([[dot]], [[normSq]], [[euclidean]],
+  * [[l2Normalize]]) is a compiled Catalyst expression: the HOF
+  * formulations (`aggregate`/`zip_with`/`transform` lambdas) are
+  * CodegenFallback — interpreted per row — which is exactly the hot-loop
+  * class that made the round-3/4 dedup paths pathological at scale (the
+  * dot product alone runs millions of times per micro-partition in
+  * candidate verification). All kernels sum in double, ascending index
+  * order, bit-identical to the HOFs they replaced; no UDF, no shuffle.
   */
 object VectorFunctions {
 
   private def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Dot product as a compiled kernel. The HOF formulation
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` is CodegenFallback —
+    * interpreted per row — and the dot product is THE hot loop of every
+    * similarity path (candidate verification runs it millions of times
+    * per micro-partition). Bit-identical to the HOF: same ascending-index
+    * double summation.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), _ * _), lit(0.0), _ + _)
+    Shim.toColumn(
+      VectorKernels.DotProduct(
+        Shim.toExpression(asDouble(a)),
+        Shim.toExpression(asDouble(b))
+      )
+    )
 
-  def normSq(a: Column): Column = {
-    val ad = asDouble(a)
-    aggregate(transform(ad, x => x * x), lit(0.0), _ + _)
-  }
+  /** Sum of squares — the dot-product kernel applied to one input (same
+    * arithmetic as the `transform(x => x*x)` fold it replaces).
+    */
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
@@ -47,12 +60,16 @@ object VectorFunctions {
   def l2Normalize(a: Column): Column =
     Shim.toColumn(VectorKernels.L2Normalize(Shim.toExpression(asDouble(a))))
 
+  /** Euclidean distance via a compiled squared-difference-sum kernel
+    * (hot in IVF centroid assignment: nCentroids evaluations per row).
+    */
   def euclidean(a: Column, b: Column): Column =
     sqrt(
-      aggregate(
-        zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        _ + _
+      Shim.toColumn(
+        VectorKernels.SqDiffSum(
+          Shim.toExpression(asDouble(a)),
+          Shim.toExpression(asDouble(b))
+        )
       )
     )
 }
@@ -87,6 +104,85 @@ object VectorKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Dot product in ascending index order (matches the left fold of the
+    * `aggregate(zip_with(...))` HOF it replaces). Arrays must be the same
+    * length with non-null double elements (embedding columns and literal
+    * plane/centroid vectors satisfy both).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Sum of squared element differences, ascending index order. */
+  def sqDiffSum(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"graft.functions.VectorKernels.dot($a, $b)"
+      )
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): DotProduct = copy(left = newLeft, right = newRight)
+  }
+
+  case class SqDiffSum(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_sqdiffsum"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      sqDiffSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"graft.functions.VectorKernels.sqDiffSum($a, $b)"
+      )
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): SqDiffSum = copy(left = newLeft, right = newRight)
   }
 
   case class L2Normalize(child: Expression) extends UnaryExpression {

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 final case class Doc(doc_id: Long, text: String)
 final case class Vec(vec_id: Long, embedding: Array[Float])
+final case class VecPair(id: Long, a: Array[Float], b: Array[Float])
 
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -260,6 +261,30 @@ class OperatorsSpec extends AnyFunSuite {
       .select(VectorFunctions.cosine($"a.embedding", $"b.embedding"))
       .collect().head.getDouble(0)
     assert(math.abs(cross) < 1e-12)
+  }
+
+  test("dot/normSq/euclidean compiled kernels == HOF formulations, bit-identical") {
+    val rng = new scala.util.Random(13)
+    val df = (0L until 50L)
+      .map(i => VecPair(i,
+        Array.fill(64)(rng.nextGaussian().toFloat),
+        Array.fill(64)(rng.nextGaussian().toFloat)))
+      .toDS.toDF
+    val ad = $"a".cast("array<double>")
+    val bd = $"b".cast("array<double>")
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b").as("kd"),
+      aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _).as("hd"),
+      VectorFunctions.normSq($"a").as("kn"),
+      aggregate(transform(ad, x => x * x), lit(0.0), _ + _).as("hn"),
+      VectorFunctions.euclidean($"a", $"b").as("ke"),
+      sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)).as("he")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // dot
+      assert(r.getDouble(2) === r.getDouble(3)) // normSq
+      assert(r.getDouble(4) === r.getDouble(5)) // euclidean
+    }
   }
 
   test("l2Normalize compiled kernel == HOF formulation, bit-identical") {
