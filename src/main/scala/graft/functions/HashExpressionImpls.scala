@@ -82,6 +82,42 @@ object HashExpressionImpls {
     h
   }
 
+  /** Distinct word k-shingles in first-occurrence order — matches
+    * `array_distinct(wordShingles(text, k))` element-for-element
+    * (wordShingles emits positional order; array_distinct keeps the first
+    * occurrence). Short docs (≤ k tokens) collapse to one whole-text
+    * shingle, the same rule as [[minhashSig]]'s internal shingling.
+    */
+  def shingleSet(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length <= k) {
+      seen.add(toks.mkString(" "))
+    } else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def simhash64(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()

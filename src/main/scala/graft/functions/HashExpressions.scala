@@ -118,10 +118,42 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Distinct word k-shingles, first-occurrence order. Element-identical
+    * to `array_distinct(transform(sequence(...), slice/concat_ws))` —
+    * which is TWO interpreted HOF passes per row on the dedup verify path
+    * (measured 0.66 s/pass vs 0.25 s for the whole compiled MinHash
+    * signature at sf0.1). Gated by a ScalaTest equivalence against the
+    * HOF formulation.
+    */
+  case class ShingleSet(child: Expression, k: Int) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingle_set"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashExpressionImpls.shingleSet(input.asInstanceOf[UTF8String], k)
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.functions.HashExpressionImpls.shingleSet($c, $k)"
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------ Column wrappers
 
   def minhash_sig(text: Column, numHashes: Int, shingleSize: Int): Column =
     Shim.toColumn(MinHashSig(Shim.toExpression(text), numHashes, shingleSize))
+
+  def shingle_set(text: Column, k: Int): Column =
+    Shim.toColumn(ShingleSet(Shim.toExpression(text), k))
 
   def simhash64(text: Column): Column =
     Shim.toColumn(SimHash64(Shim.toExpression(text)))

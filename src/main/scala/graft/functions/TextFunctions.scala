@@ -36,8 +36,19 @@ object TextFunctions {
     )
   }
 
-  /** Distinct word k-shingles as a set. */
+  /** Distinct word k-shingles as a set (first-occurrence order), computed
+    * by the compiled [[HashExpressions.ShingleSet]] kernel — the HOF form
+    * `array_distinct(wordShingles(text, k))` is two interpreted passes per
+    * row on the dedup verify path. [[shingleSetHof]] is the equivalence
+    * oracle for the kernel's ScalaTest gate.
+    */
   def shingleSet(text: Column, k: Int): Column =
+    HashExpressions.shingle_set(text, k)
+
+  /** The interpreted HOF formulation of [[shingleSet]], kept only as the
+    * equivalence oracle for the compiled kernel's ScalaTest gate.
+    */
+  def shingleSetHof(text: Column, k: Int): Column =
     array_distinct(wordShingles(text, k))
 
   /** MD5 document fingerprint (engine-portable exact-dup key). */

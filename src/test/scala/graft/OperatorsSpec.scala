@@ -34,6 +34,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(2L) === Seq("x y"))
   }
 
+  test("compiled shingleSet == HOF formulation on the fixture + edge strings") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select($"text")
+      .union(Seq(
+        "",                       // empty → one empty shingle
+        "one",                    // short doc collapses to whole text
+        "a b",                    // exactly k-1 tokens
+        "a b c",                  // exactly k tokens
+        "a  b c d",               // double space → empty token
+        "x y z x y z x y z"      // repeated shingles → dedup order
+      ).toDF("text"))
+    for (k <- Seq(2, 3)) {
+      val rows = docs.select(
+        TextFunctions.shingleSet($"text", k).as("kr"),
+        TextFunctions.shingleSetHof($"text", k).as("hr")
+      ).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1))
+      }
+    }
+  }
+
   test("langId picks the marker-dominant language") {
     val df = Seq(
       Doc(1, "the cat and the dog of the house is to go"),
