@@ -56,6 +56,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized equivalence: every compiled kernel == its HOF oracle on generated corpora") {
+    // seeded corpus: small alphabet (forces shingle/token collisions),
+    // 0-50 tokens, runs of repeated spaces (empty tokens), occasional
+    // non-BMP code points (rolling hash splits at code points)
+    val rng = new scala.util.Random(2026)
+    val words = Vector("a", "b", "ab", "ba", "x", "yz", "😀", "qq")
+    val texts = (0 until 300).map { _ =>
+      val n = rng.nextInt(51)
+      val sep = if (rng.nextInt(10) == 0) "  " else " "
+      Seq.fill(n)(words(rng.nextInt(words.length))).mkString(sep)
+    }
+    val df = texts.toDF("text")
+    val k = 3
+    val rows = df.select(
+      TextFunctions.shingleSet($"text", k).as("ks"),
+      TextFunctions.shingleSetHof($"text", k).as("hs"),
+      TextFunctions.fingerprintRolling($"text").as("kf"),
+      TextFunctions.fingerprintRollingHof($"text").as("hf"),
+      Dedup.simHash($"text").as("ksim")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), "shingleSet")
+      assert(r.getLong(2) === r.getLong(3), "rollingHash")
+    }
+    // simhash has no HOF twin anymore; cross-check determinism instead
+    val again = df.select(Dedup.simHash($"text")).collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(4)).toSeq === again.toSeq)
+
+    // vector kernels on random equal-length embeddings
+    val vecs = (0L until 100L).map { i =>
+      VecPair(i,
+        Array.fill(1 + rng.nextInt(96))(rng.nextGaussian().toFloat),
+        Array.empty[Float])
+    }.map(v => VecPair(v.id, v.a, v.a.map(x => x * 0.7f + 0.1f)))
+    val vdf = vecs.toDS.toDF
+    val ad = $"a".cast("array<double>")
+    val bd = $"b".cast("array<double>")
+    val vrows = vdf.select(
+      VectorFunctions.dot($"a", $"b").as("kd"),
+      aggregate(zip_with(ad, bd, _ * _), lit(0.0), _ + _).as("hd"),
+      VectorFunctions.euclidean($"a", $"b").as("ke"),
+      sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)).as("he")
+    ).collect()
+    vrows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1), "dot")
+      assert(r.getDouble(2) === r.getDouble(3), "euclidean")
+    }
+  }
+
   test("langId picks the marker-dominant language") {
     val df = Seq(
       Doc(1, "the cat and the dog of the house is to go"),
