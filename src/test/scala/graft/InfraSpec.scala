@@ -117,6 +117,36 @@ class InfraSpec extends AnyFunSuite {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dedup pair joins stay distinct-free: no aggregate/exchange above the bucket join") {
+    // the round-5/6 headline fix: lowest-matching-chunk/band/table emission
+    // generates every pair exactly once, so the plan above the self-join
+    // must be a bare Project — a distinct() creeping back would reintroduce
+    // an Exchange + two HashAggregates that grow with the candidate count
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val plans = Seq(
+      "minHashCandidates" ->
+        graft.operators.Dedup.minHashCandidates(docs, "text", "doc_id"),
+      "simHashNearDups" ->
+        graft.operators.Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10),
+      "lshNearDups" ->
+        graft.operators.Similarity
+          .lshNearDups(emb, "embedding", "vec_id", threshold = 0.3)
+    )
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("Join") || plan.contains("join"),
+        s"$name: no join in plan:\n${plan.take(2000)}"
+      )
+      assert(
+        !plan.contains("HashAggregate"),
+        s"$name: aggregate above the pair join (distinct came back?):\n${plan.take(2000)}"
+      )
+      graft.CacheUtil.release(df)
+    }
+  }
+
   test("saltedAgg == direct groupBy for decomposable aggregates (skew path)") {
     val df = Tables.lineitem(spark, SparkTestSession.sfDir)
     val direct = df.groupBy($"l_returnflag")
