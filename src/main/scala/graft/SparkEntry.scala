@@ -883,6 +883,24 @@ object SparkEntry {
         ),
       None
     ),
+    // product-quantized ADC search (codebook-dependent; rows-only —
+    // deterministic under the stride-seeded train, gated by the
+    // OperatorsSpec self-NN + recall-vs-exact tests)
+    Q(
+      "s04_pq_search",
+      (s, d) =>
+        operators.Quantization.pqSearch(
+          embeddings(s, d),
+          "embedding",
+          "vec_id",
+          queryId = 0L,
+          topK = 5,
+          m = 16,
+          k = 32,
+          iters = 2
+        ),
+      None
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

@@ -60,18 +60,22 @@ object VectorFunctions {
   def l2Normalize(a: Column): Column =
     Shim.toColumn(VectorKernels.L2Normalize(Shim.toExpression(asDouble(a))))
 
-  /** Euclidean distance via a compiled squared-difference-sum kernel
-    * (hot in IVF centroid assignment: nCentroids evaluations per row).
+  /** Squared euclidean distance (compiled kernel, no sqrt) — monotone in
+    * the distance, so argmin-style uses (centroid assignment, PQ codes)
+    * skip the sqrt entirely.
     */
-  def euclidean(a: Column, b: Column): Column =
-    sqrt(
-      Shim.toColumn(
-        VectorKernels.SqDiffSum(
-          Shim.toExpression(asDouble(a)),
-          Shim.toExpression(asDouble(b))
-        )
+  def sqDist(a: Column, b: Column): Column =
+    Shim.toColumn(
+      VectorKernels.SqDiffSum(
+        Shim.toExpression(asDouble(a)),
+        Shim.toExpression(asDouble(b))
       )
     )
+
+  /** Euclidean distance via the compiled squared-difference-sum kernel
+    * (hot in IVF centroid assignment: nCentroids evaluations per row).
+    */
+  def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
 }
 
 /** Row-level vector kernels + their Catalyst expressions, following the

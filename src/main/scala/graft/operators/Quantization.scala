@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product quantization (PQ) for embedding columns — the storage layout
+  * that makes 100 TB of vectors searchable: each vector is split into `m`
+  * subvectors, each subvector is replaced by the id of its nearest
+  * per-subspace centroid (a "code"), so a `dim`-float vector compresses to
+  * `m` small ints (64 floats → 8 bytes at m=8, 32× smaller), and distances
+  * are approximated from a per-query lookup table without touching the
+  * original floats (asymmetric distance computation, ADC).
+  *
+  * Everything is DataFrame composition over the compiled vector kernels
+  * ([[graft.functions.VectorKernels.SqDiffSum]]): training is Lloyd
+  * iterations expressed as aggregations (one job per subspace per
+  * iteration, at index-BUILD time only), encoding is a per-row argmin over
+  * centroid literals (codegen'd, no shuffle), and search is a scan +
+  * TakeOrdered — the same shapes as [[Similarity]]'s IVF index. Centroids
+  * live on the driver (m × k × dim/m doubles — tiny) exactly like
+  * [[Similarity.IvfIndex]]; codes live distributed.
+  */
+object Quantization {
+
+  /** Trained PQ codebooks: `centroids(sub)(code)` is the centroid of
+    * subspace `sub` (length dim/m). Deterministic for a given corpus:
+    * stride-sampled init + fixed Lloyd iterations, no RNG.
+    */
+  final case class PQCodebooks(
+      m: Int,
+      k: Int,
+      dim: Int,
+      centroids: Array[Array[Array[Double]]]
+  ) {
+    def subDim: Int = dim / m
+  }
+
+  /** The `sub`-th subvector (1-based slice; length dim/m). */
+  private def subVec(vec: Column, sub: Int, subDim: Int): Column =
+    slice(vec.cast("array<double>"), sub * subDim + 1, subDim)
+
+  /** All `m` codes for one vector, as a single compiled expression. The
+    * first cut expressed the argmin as m × k literal structs + m
+    * array_sorts PER ROW — the generated Java grew with m·k·subDim and
+    * janino recompiled it on every training iteration (new literals),
+    * dominating the runtime 6-to-1 over actual execution. The kernel call
+    * is constant-size source (the codebook rides along as a codegen
+    * reference object), so the code cache hits across iterations and
+    * passes.
+    */
+  private def encodeExpr(vec: Column, cb: PQCodebooks): Column =
+    Shim.toColumn(
+      PQEncode(Shim.toExpression(vec.cast("array<double>")), cb.centroids)
+    )
+
+  /** Train per-subspace codebooks: stride-sampled init (the IVF rule —
+    * deterministic, no RNG), then `iters` Lloyd rounds, each one
+    * assignment pass + per-(code, position) mean per subspace. Empty
+    * clusters keep their previous centroid. Build-time cost only.
+    */
+  def pqTrain(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2
+  ): PQCodebooks = {
+    val dim = df
+      .select(size(col(vecCol)))
+      .head()
+      .getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val n = df.count()
+    val stride = math.max(1L, n / k)
+    // init: the same stride-sampled rows seed every subspace
+    val seeds = df
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k, s"corpus too small for k=$k (got ${seeds.length} seeds)")
+    var cb = PQCodebooks(
+      m, k, dim,
+      Array.tabulate(m)(sub => seeds.map(_.slice(sub * subDim, (sub + 1) * subDim)))
+    )
+    for (_ <- 0 until iters) {
+      val next = cb.centroids.map(_.map(_.clone()))
+      // ONE job per iteration: assign every subspace's code (one kernel
+      // call) and emit (sub, code, pos, value) in a single pass, then one
+      // aggregation. A per-subspace loop here would rescan the corpus m
+      // times per iteration (the shape that made the first cut 16× slower).
+      val codes = encodeExpr(col(vecCol), cb)
+      val perSub = array((0 until m).map { sub =>
+        struct(
+          lit(sub).as("_sub"),
+          codes.getItem(sub).as("_code"),
+          subVec(col(vecCol), sub, subDim).as("_sv")
+        )
+      }: _*)
+      val means = df
+        .select(explode(perSub).as("_e"))
+        .select(
+          col("_e._sub").as("_sub"),
+          col("_e._code").as("_code"),
+          posexplode(col("_e._sv")).as(Seq("_pos", "_v"))
+        )
+        .groupBy(col("_sub"), col("_code"), col("_pos"))
+        .agg(avg(col("_v")).as("_m"))
+        .collect()
+      means.foreach(r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      )
+      cb = cb.copy(centroids = next)
+    }
+    cb
+  }
+
+  /** Encode: vector column → `m` codes (array<int>), one compiled kernel
+    * call per row, no shuffle. The codes column is what a 100 TB pipeline
+    * persists.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, cb: PQCodebooks): DataFrame =
+    df.withColumn("_pq", encodeExpr(col(vecCol), cb))
+
+  /** Driver-side decode (centroid concatenation) — reconstruction for
+    * tests/diagnostics; production search never reconstructs.
+    */
+  def pqDecodeLocal(codes: Seq[Int], cb: PQCodebooks): Array[Double] =
+    codes.toArray.zipWithIndex.flatMap { case (c, sub) => cb.centroids(sub)(c) }
+
+  /** ADC lookup table for one query: `lut(sub)(code)` = squared distance
+    * between the query's sub-vector and that centroid. O(k · dim) on the
+    * driver, once per query.
+    */
+  def adcLut(query: Array[Double], cb: PQCodebooks): Array[Array[Double]] =
+    Array.tabulate(cb.m) { sub =>
+      val qs = query.slice(sub * cb.subDim, (sub + 1) * cb.subDim)
+      cb.centroids(sub).map { cv =>
+        var s = 0.0
+        var i = 0
+        while (i < qs.length) { val d = qs(i) - cv(i); s += d * d; i += 1 }
+        s
+      }
+    }
+
+  /** ADC score: approximate squared distance = Σ_sub lut(sub)(code(sub)).
+    * One compiled kernel call over the codes column; the original vectors
+    * are never read.
+    */
+  def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    Shim.toColumn(PQAdc(Shim.toExpression(codes), lut))
+
+  /** Top-k by ADC over a pre-encoded corpus: scan codes + TakeOrdered —
+    * distributed, no shuffle beyond the final k-row merge. Ranks are
+    * deterministic (ADC asc, id asc). Output: (neighbor_id, rank).
+    */
+  def pqSearchEncoded(
+      encoded: DataFrame,
+      idCol: String,
+      query: Array[Double],
+      cb: PQCodebooks,
+      k: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val lut = adcLut(query, cb)
+    val base = excludeId match {
+      case Some(id) => encoded.filter(col(idCol) =!= id)
+      case None     => encoded
+    }
+    val scored = base
+      .withColumn("_adc", adcScore(col("_pq"), lut))
+      .orderBy(col("_adc").asc, col(idCol).asc)
+      .limit(k)
+    scored
+      .coalesce(1)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select(col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** End-to-end convenience (train + encode + search) for one query id —
+    * the registry/gate form. Production amortizes train/encode across
+    * queries; this pins the whole path under one deterministic call.
+    */
+  def pqSearch(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      topK: Int,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2
+  ): DataFrame = {
+    val cb = pqTrain(df, vecCol, idCol, m, k, iters)
+    val q = df
+      .filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+      .toArray
+    pqSearchEncoded(pqEncode(df, vecCol, cb), idCol, q, cb, topK, Some(queryId))
+  }
+
+  // ------------------------------------------------- compiled kernels
+
+  /** Row-level PQ kernels, shared by interpreted eval and generated Java
+    * (the [[graft.functions.VectorKernels]] pattern). Codebooks/LUTs ride
+    * along as codegen reference objects — the generated source stays
+    * constant-size in m and k, so the code cache hits across training
+    * iterations (inlining them as literal structs made janino compilation
+    * dominate the runtime 6:1).
+    */
+  object PQKernels {
+
+    /** argmin code per subspace; ties to the lowest code (strict <). */
+    def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+      val m = cb.length
+      val out = new Array[Int](m)
+      var sub = 0
+      var off = 0
+      while (sub < m) {
+        val cents = cb(sub)
+        val subDim = cents(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cv = cents(c)
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val x = vec.getDouble(off + i) - cv(i)
+            d += x * x
+            i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(sub) = best
+        off += subDim
+        sub += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+      var s = 0.0
+      var sub = 0
+      while (sub < lut.length) {
+        s += lut(sub)(codes.getInt(sub))
+        sub += 1
+      }
+      s
+    }
+  }
+
+  case class PQEncode(child: Expression, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_encode"
+
+    override protected def nullSafeEval(input: Any): Any =
+      PQKernels.encode(input.asInstanceOf[ArrayData], cb)
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCodebooks", cb, "double[][][]")
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.operators.Quantization.PQKernels.encode($c, $cbRef)"
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PQEncode =
+      copy(child = newChild)
+  }
+
+  case class PQAdc(child: Expression, lut: Array[Array[Double]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "pq_adc"
+
+    override protected def nullSafeEval(input: Any): Any =
+      PQKernels.adc(input.asInstanceOf[ArrayData], lut)
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode = {
+      val lutRef = ctx.addReferenceObj("pqLut", lut, "double[][]")
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.operators.Quantization.PQKernels.adc($c, $lutRef)"
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PQAdc =
+      copy(child = newChild)
+  }
+}
