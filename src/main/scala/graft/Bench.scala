@@ -28,7 +28,7 @@ object Bench {
     "t01_token_count", "t03_lang_id", "t04_fingerprint", "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d07_lsh_neardup",
-    "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search",
+    "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample"
   )
 

@@ -901,6 +901,24 @@ object SparkEntry {
         ),
       None
     ),
+    // IVF-PQ: coarse-pruned residual-ADC search (codebook-dependent;
+    // rows-only — deterministic, gated by the OperatorsSpec recall test)
+    Q(
+      "s05_ivfpq",
+      (s, d) =>
+        operators.Quantization.ivfPqTopK(
+          embeddings(s, d),
+          "embedding",
+          "vec_id",
+          queryId = 0L,
+          topK = 5,
+          nCentroids = 16,
+          nProbe = 4,
+          m = 16,
+          k = 32
+        ),
+      None
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

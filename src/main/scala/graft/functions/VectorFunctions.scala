@@ -76,6 +76,17 @@ object VectorFunctions {
     * (hot in IVF centroid assignment: nCentroids evaluations per row).
     */
   def euclidean(a: Column, b: Column): Column = sqrt(sqDist(a, b))
+
+  /** Element-wise difference (compiled; the `zip_with(a, b, _ - _)` HOF
+    * is interpreted). Used for IVF-PQ residuals: vec − assigned centroid.
+    */
+  def vecSub(a: Column, b: Column): Column =
+    Shim.toColumn(
+      VectorKernels.VecSub(
+        Shim.toExpression(asDouble(a)),
+        Shim.toExpression(asDouble(b))
+      )
+    )
 }
 
 /** Row-level vector kernels + their Catalyst expressions, following the
@@ -137,6 +148,43 @@ object VectorKernels {
       i += 1
     }
     s
+  }
+
+  /** Element-wise a − b (equal lengths; see [[dot]]'s contract). */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = a.getDouble(i) - b.getDouble(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class VecSub(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "vec_sub"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"graft.functions.VectorKernels.vecSub($a, $b)"
+      )
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): VecSub = copy(left = newLeft, right = newRight)
   }
 
   case class DotProduct(left: Expression, right: Expression)

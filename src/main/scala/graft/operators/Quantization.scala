@@ -210,6 +210,127 @@ object Quantization {
     pqSearchEncoded(pqEncode(df, vecCol, cb), idCol, q, cb, topK, Some(queryId))
   }
 
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ index: coarse centroids prune which rows are scored, PQ codes
+    * on the RESIDUAL (vec − assigned coarse centroid) score them — the
+    * residual's spread is much tighter than the raw vectors', so the same
+    * code budget quantizes finer (the FAISS IVFPQ layout). Coarse
+    * centroids + codebooks live on the driver; `(id, _centroid, _pq)`
+    * lives distributed — at 100 TB that table is written partitioned by
+    * `_centroid` so a probe is a partition-pruned scan of nProbe lists
+    * (the [[Similarity.ivfWrite]] layout), scored off codes alone.
+    */
+  final case class IvfPqIndex(
+      encoded: DataFrame,
+      coarse: Array[Array[Double]],
+      cb: PQCodebooks,
+      idCol: String
+  )
+
+  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Build: coarse quantizer (stride-seeded + Lloyd, the IVF machinery),
+    * per-row residuals via the compiled [[VectorFunctions.vecSub]], PQ
+    * codebooks trained on the residuals, corpus encoded. Deterministic.
+    */
+  def ivfPqBuild(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCentroids: Int = 16,
+      refineIters: Int = 1,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2
+  ): IvfPqIndex = {
+    val coarse = Similarity.kMeansRefine(
+      df,
+      vecCol,
+      Similarity.ivfInitCentroids(df, vecCol, idCol, nCentroids),
+      refineIters
+    )
+    val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
+    val withRes = Similarity
+      .ivfAssign(df, vecCol, coarse)
+      .withColumn(
+        "_res",
+        graft.functions.VectorFunctions
+          .vecSub(col(vecCol), element_at(coarseLit, col("_centroid") + 1))
+      )
+    val cb = pqTrain(withRes, "_res", idCol, m, k, iters)
+    val encoded = pqEncode(withRes, "_res", cb)
+      .select(col(idCol), col("_centroid"), col("_pq"))
+    IvfPqIndex(encoded, coarse, cb, idCol)
+  }
+
+  /** Probe: pick the `nProbe` nearest coarse lists on the driver (tiny),
+    * score only their rows with a PER-LIST ADC LUT (the query residual
+    * differs per list), TakeOrdered the top-k. No vectors are read.
+    */
+  def ivfPqSearch(
+      idx: IvfPqIndex,
+      query: Array[Double],
+      topK: Int,
+      nProbe: Int = 4,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    val probes = idx.coarse.zipWithIndex
+      .map { case (cv, ci) => (sqDistLocal(query, cv), ci) }
+      .sortBy(p => (p._1, p._2))
+      .take(nProbe)
+      .map(_._2)
+    val luts = probes.map { ci =>
+      val resid = query.zip(idx.coarse(ci)).map { case (q, c) => q - c }
+      ci -> adcLut(resid, idx.cb)
+    }
+    val scoreCol = luts.foldLeft(lit(Double.MaxValue)) {
+      case (acc, (ci, lut)) =>
+        when(col("_centroid") === ci, adcScore(col("_pq"), lut)).otherwise(acc)
+    }
+    val base = excludeId match {
+      case Some(id) => idx.encoded.filter(col(idx.idCol) =!= id)
+      case None     => idx.encoded
+    }
+    base
+      .filter(col("_centroid").isin(probes.map(Integer.valueOf): _*))
+      .withColumn("_adc", scoreCol)
+      .orderBy(col("_adc").asc, col(idx.idCol).asc)
+      .limit(topK)
+      .coalesce(1)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+      .select(col(idx.idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** End-to-end registry/gate form for one query id (build + probe under
+    * one deterministic call; production amortizes the build).
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      topK: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      k: Int = 16
+  ): DataFrame = {
+    val idx = ivfPqBuild(df, vecCol, idCol, nCentroids, refineIters = 1, m = m, k = k)
+    val q = df
+      .filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .head()
+      .getSeq[Double](0)
+      .toArray
+    ivfPqSearch(idx, q, topK, nProbe, Some(queryId))
+  }
+
   // ------------------------------------------------- compiled kernels
 
   /** Row-level PQ kernels, shared by interpreted eval and generated Java
