@@ -307,6 +307,70 @@ object Quantization {
       .select(col(idx.idCol).as("neighbor_id"), col("rank"))
   }
 
+  /** Persist the index in the production layout: codes partitioned by
+    * coarse list (so [[ivfPqSearch]] over the read-back table is a
+    * partition-pruned scan of nProbe directories — untouched lists never
+    * leave disk), coarse centroids and residual codebooks as tiny
+    * driver-readable parquet sidecars (the [[Similarity.ivfWrite]]
+    * convention).
+    */
+  def ivfPqWrite(idx: IvfPqIndex, path: String): Unit = {
+    idx.encoded.write
+      .mode("overwrite")
+      .partitionBy("_centroid")
+      .parquet(s"$path/codes")
+    val spark = idx.encoded.sparkSession
+    import spark.implicits._
+    idx.coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/coarse")
+    val flat = for {
+      (codes, sub) <- idx.cb.centroids.zipWithIndex
+      (cv, code) <- codes.zipWithIndex
+    } yield (sub, code, cv)
+    flat.toSeq
+      .toDF("sub", "code", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Load a written IVF-PQ index; centroids/codebooks return to the
+    * driver (tiny), codes stay on disk as a partitioned table.
+    */
+  def ivfPqRead(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): IvfPqIndex = {
+    val coarse = spark.read
+      .parquet(s"$path/coarse")
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("cid")) -> r.getSeq[Double](r.fieldIndex("cvec")).toArray)
+      .sortBy(_._1)
+      .map(_._2)
+    val cbRows = spark.read
+      .parquet(s"$path/codebooks")
+      .collect()
+      .map(r =>
+        (r.getInt(r.fieldIndex("sub")),
+         r.getInt(r.fieldIndex("code")),
+         r.getSeq[Double](r.fieldIndex("cvec")).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach { case (sub, code, cv) => cents(sub)(code) = cv }
+    val subDim = cents(0)(0).length
+    IvfPqIndex(
+      spark.read.parquet(s"$path/codes"),
+      coarse,
+      PQCodebooks(m, k, m * subDim, cents),
+      idCol
+    )
+  }
+
   /** End-to-end registry/gate form for one query id (build + probe under
     * one deterministic call; production amortizes the build).
     */

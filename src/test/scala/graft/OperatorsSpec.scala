@@ -576,6 +576,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean recall@10 $mean below the fixture floor (got $recalls)")
   }
 
+  test("written IVF-PQ index probes as a partition-pruned scan of codes (s05 scale shape)") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val idx = Quantization.ivfPqBuild(
+      emb, "embedding", "vec_id",
+      nCentroids = 8, refineIters = 1, m = 16, k = 32, iters = 1)
+    val path = "/root/repo/target/tmp/ivfpq_index"
+    Quantization.ivfPqWrite(idx, path)
+    val loaded = Quantization.ivfPqRead(spark, path, "vec_id")
+    // round-trip: codebooks and coarse centroids come back bit-identical
+    assert(loaded.coarse.flatten.toSeq === idx.coarse.flatten.toSeq)
+    assert(loaded.cb.centroids.flatten.flatten.toSeq ===
+      idx.cb.centroids.flatten.flatten.toSeq)
+    assert(loaded.encoded.count() === emb.count())
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val probe = Quantization.ivfPqSearch(loaded, qv, 5, nProbe = 2, excludeId = Some(0L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("_centroid"),
+      s"probe scan is not partition-pruned:\n${plan.take(3000)}"
+    )
+    // the probe must read codes only — the float vectors are not in the
+    // written table at all, so ADC-off-codes is structural, not assumed
+    assert(!loaded.encoded.columns.contains("embedding"))
+    assert(probe.collect().length === 5)
+    // written-index search == in-memory-index search (same codebooks)
+    val mem = Quantization.ivfPqSearch(idx, qv, 5, nProbe = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val disk = probe.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(mem === disk)
+  }
+
   // -------------------------------------------------------- multimodal
 
   test("decodeStub: checksum matches the byte-polynomial; batching preserves rows") {
