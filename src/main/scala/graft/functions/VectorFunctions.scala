@@ -121,12 +121,26 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Both inputs must have the same length: the HOF these kernels replace
+    * null-padded a mismatch into a null result (slow but loud); reading
+    * past the shorter array would instead crash on GenericArrayData or
+    * return garbage on UnsafeArrayData (e.g. a `dim` param that doesn't
+    * match the real embedding width producing nondeterministic
+    * signatures). Fail fast with the lengths in the message.
+    */
+  private def checkSameLength(a: ArrayData, b: ArrayData, op: String): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"$op requires equal-length arrays, got ${a.numElements()} and ${b.numElements()}"
+      )
+
   /** Dot product in ascending index order (matches the left fold of the
     * `aggregate(zip_with(...))` HOF it replaces). Arrays must be the same
     * length with non-null double elements (embedding columns and literal
     * plane/centroid vectors satisfy both).
     */
   def dot(a: ArrayData, b: ArrayData): Double = {
+    checkSameLength(a, b, "vec_dot")
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -139,6 +153,7 @@ object VectorKernels {
 
   /** Sum of squared element differences, ascending index order. */
   def sqDiffSum(a: ArrayData, b: ArrayData): Double = {
+    checkSameLength(a, b, "vec_sqdiffsum")
     val n = a.numElements()
     var s = 0.0
     var i = 0
@@ -152,6 +167,7 @@ object VectorKernels {
 
   /** Element-wise a − b (equal lengths; see [[dot]]'s contract). */
   def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    checkSameLength(a, b, "vec_sub")
     val n = a.numElements()
     val out = new Array[Double](n)
     var i = 0

@@ -176,14 +176,13 @@ object Quantization {
       case Some(id) => encoded.filter(col(idCol) =!= id)
       case None     => encoded
     }
-    val scored = base
-      .withColumn("_adc", adcScore(col("_pq"), lut))
-      .orderBy(col("_adc").asc, col(idCol).asc)
-      .limit(k)
-    scored
-      .coalesce(1)
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .select(col(idCol).as("neighbor_id"), col("rank"))
+    Similarity.rankLimited(
+      base
+        .withColumn("_adc", adcScore(col("_pq"), lut))
+        .orderBy(col("_adc").asc, col(idCol).asc)
+        .limit(k),
+      idCol
+    )
   }
 
   /** End-to-end convenience (train + encode + search) for one query id —
@@ -228,13 +227,6 @@ object Quantization {
       idCol: String
   )
 
-  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
-
   /** Build: coarse quantizer (stride-seeded + Lloyd, the IVF machinery),
     * per-row residuals via the compiled [[VectorFunctions.vecSub]], PQ
     * codebooks trained on the residuals, corpus encoded. Deterministic.
@@ -256,6 +248,13 @@ object Quantization {
       refineIters
     )
     val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
+    // materialize the assignment + residuals ONCE: pqTrain runs several
+    // actions (dim probe, count, seed collect, one aggregation per Lloyd
+    // round) and pqEncode scans again — without this every action would
+    // re-run the nCentroids-way argmin and the subtraction over the whole
+    // corpus. Build-time blocks only: released before returning; the
+    // returned `encoded` is its own (small) checkpoint — free it with
+    // [[graft.CacheUtil.release]] when the index is no longer needed.
     val withRes = Similarity
       .ivfAssign(df, vecCol, coarse)
       .withColumn(
@@ -263,9 +262,13 @@ object Quantization {
         graft.functions.VectorFunctions
           .vecSub(col(vecCol), element_at(coarseLit, col("_centroid") + 1))
       )
+      .select(col(idCol), col("_centroid"), col("_res"))
+      .localCheckpoint(true)
     val cb = pqTrain(withRes, "_res", idCol, m, k, iters)
     val encoded = pqEncode(withRes, "_res", cb)
       .select(col(idCol), col("_centroid"), col("_pq"))
+      .localCheckpoint(true)
+    graft.CacheUtil.release(withRes)
     IvfPqIndex(encoded, coarse, cb, idCol)
   }
 
@@ -281,7 +284,7 @@ object Quantization {
       excludeId: Option[Long] = None
   ): DataFrame = {
     val probes = idx.coarse.zipWithIndex
-      .map { case (cv, ci) => (sqDistLocal(query, cv), ci) }
+      .map { case (cv, ci) => (Similarity.sqDistLocal(query, cv), ci) }
       .sortBy(p => (p._1, p._2))
       .take(nProbe)
       .map(_._2)
@@ -297,14 +300,14 @@ object Quantization {
       case Some(id) => idx.encoded.filter(col(idx.idCol) =!= id)
       case None     => idx.encoded
     }
-    base
-      .filter(col("_centroid").isin(probes.map(Integer.valueOf): _*))
-      .withColumn("_adc", scoreCol)
-      .orderBy(col("_adc").asc, col(idx.idCol).asc)
-      .limit(topK)
-      .coalesce(1)
-      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .select(col(idx.idCol).as("neighbor_id"), col("rank"))
+    Similarity.rankLimited(
+      base
+        .filter(col("_centroid").isin(probes.map(Integer.valueOf): _*))
+        .withColumn("_adc", scoreCol)
+        .orderBy(col("_adc").asc, col(idx.idCol).asc)
+        .limit(topK),
+      idx.idCol
+    )
   }
 
   /** Persist the index in the production layout: codes partitioned by

@@ -20,7 +20,7 @@ object Similarity {
     * every bench log; a constant partitionBy key gets optimizer-folded
     * back to the empty spec.)
     */
-  private def rankLimited(scored: DataFrame, idCol: String): DataFrame =
+  private[operators] def rankLimited(scored: DataFrame, idCol: String): DataFrame =
     scored
       .coalesce(1)
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
@@ -139,7 +139,7 @@ object Similarity {
       idCol: String
   )
 
-  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }

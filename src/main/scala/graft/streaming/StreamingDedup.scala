@@ -130,11 +130,12 @@ object StreamingDedup {
     * is THIS bucket's chunk, then fold the arrival into the capped
     * membership (keep the `maxBucket` lowest ids).
     *
-    * Under an ACTIVE cap the streaming path keeps strictly MORE recall
-    * than batch: an arrival that doesn't make the cap is still verified
-    * against the retained members before being dropped (batch never sees
-    * such pairs). With the cap sized from the audit so it never triggers
-    * (the d03 rule), stream output == batch output exactly.
+    * Under an ACTIVE cap the streaming path mirrors the batch cap
+    * exactly: pairs exist only among capped members — an arrival past
+    * the cap emits nothing, because it leaves no trace in state and a
+    * redelivery of it could not be deduplicated (exactly-once beats the
+    * marginal recall). With the cap sized from the audit so it never
+    * triggers (the d03 rule), stream output == batch output exactly.
     */
   private[streaming] def updateBucket(
       maxHamming: Int,
@@ -165,11 +166,16 @@ object StreamingDedup {
     var ids = st.ids
     var hashes = st.hashes
     arrivals.foreach { e =>
-      // a replayed id is already represented: re-verifying it would emit
-      // its pairs a second time (at-least-once sources redeliver)
+      // emit ONLY for arrivals that enter the capped membership: a
+      // replayed id is already represented (re-verifying would emit its
+      // pairs twice — at-least-once sources redeliver), and an arrival
+      // past the cap leaves no trace in state, so a redelivery of it
+      // could not be recognized either — emitting for it would break
+      // exactly-once. This is also precisely the batch cap semantics:
+      // pairs exist only among capped members.
       val p = java.util.Arrays.binarySearch(ids, e.doc_id)
       val pos = if (p >= 0) -1 else -(p + 1)
-      if (pos >= 0) {
+      if (pos >= 0 && pos < maxBucket) {
         var i = 0
         while (i < ids.length) {
           val ham = java.lang.Long.bitCount(hashes(i) ^ e.simhash)
