@@ -387,6 +387,22 @@ class OperatorsSpec extends AnyFunSuite {
     n.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("vector kernels fail fast on mismatched lengths (no out-of-bounds reads)") {
+    // a dim parameter that disagrees with the real embedding width must
+    // surface as a clear error, not garbage signatures (the replaced HOF
+    // null-padded; an unchecked kernel would read past the shorter array)
+    val df = Seq(VecPair(1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDS.toDF
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.dot($"a", $"b")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(
+      rootMessages(e).exists(_.contains("equal-length arrays")),
+      s"unexpected error: $e"
+    )
+  }
+
   test("knn ranks by cosine: crafted vectors in known order") {
     val df = Seq(
       Vec(0, Array(1f, 0f, 0f)),

@@ -144,6 +144,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 6 identical docs: every bucket membership is identical, so with
+    // maxBucket=3 only ids 1..3 enter state — pairs must be exactly the
+    // batch cap's 3·2/2 = 3, and docs 4..6 (past the cap) emit NOTHING,
+    // even when redelivered (they left no trace in state, so emission
+    // for them could not be deduplicated)
+    val docs = (1L to 6L).map(i => (i, "boilerplate header repeated"))
+    val mem = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.simHashNearDupStream(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      "text",
+      "doc_id",
+      maxHamming = 3,
+      maxBucket = 3
+    )
+    val q = pairs.toDF().writeStream
+      .format("memory")
+      .queryName("capped_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.take(4))
+      q.processAllAvailable()
+      mem.addData(docs.drop(4))
+      q.processAllAvailable()
+      val got = spark.table("capped_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      // redeliver everything, including the capped-out ids
+      mem.addData(docs)
+      q.processAllAvailable()
+      assert(spark.table("capped_out").count() === 3L, "replay emitted duplicates")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits one row per distinct text, bounded state (d01 twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
