@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * per-subspace centroid (a "code"), so a `dim`-float vector compresses to
   * `m` small ints (64 floats → 8 bytes at m=8, 32× smaller), and distances
   * are approximated from a per-query lookup table without touching the
-  * original floats (asymmetric distance computation, ADC).
+  * original floats (asymmetric distance computation, ADC). After Jégou,
+  * Douze, Schmid, "Product Quantization for Nearest Neighbor Search"
+  * (IEEE TPAMI 2011) — PQ/ADC in §II-III, IVFADC (the IVF-PQ residual
+  * layout below) in §IV; public paper, independent implementation.
   *
   * Everything is DataFrame composition over the compiled vector kernels
   * ([[graft.functions.VectorKernels.SqDiffSum]]): training is Lloyd

@@ -23,7 +23,9 @@ final case class StreamPair(id_a: Long, id_b: Long, hamming: Int)
 
 /** Streaming twins of the batch [[graft.operators.Dedup]] paths, for
   * continuous ingest (the batch operators assume the corpus is at rest;
-  * a 100 TB/day pipeline also needs dedup AT THE DOOR).
+  * a 100 TB/day pipeline also needs dedup AT THE DOOR). SimHash blocking
+  * after Charikar (STOC 2002) via the pigeonhole chunking of Manku, Jain,
+  * Das Sarma (WWW 2007) — same math as the batch path.
   *
   * - [[exactDedupStream]]: first occurrence per content fingerprint,
   *   composed from built-ins only (`dropDuplicates` over a watermarked
