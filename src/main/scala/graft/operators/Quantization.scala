@@ -19,14 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * (IEEE TPAMI 2011) — PQ/ADC in §II-III, IVFADC (the IVF-PQ residual
   * layout below) in §IV; public paper, independent implementation.
   *
-  * Everything is DataFrame composition over the compiled vector kernels
-  * ([[graft.functions.VectorKernels.SqDiffSum]]): training is Lloyd
-  * iterations expressed as aggregations (one job per subspace per
-  * iteration, at index-BUILD time only), encoding is a per-row argmin over
-  * centroid literals (codegen'd, no shuffle), and search is a scan +
-  * TakeOrdered — the same shapes as [[Similarity]]'s IVF index. Centroids
-  * live on the driver (m × k × dim/m doubles — tiny) exactly like
-  * [[Similarity.IvfIndex]]; codes live distributed.
+  * Everything is DataFrame composition over compiled kernels: training is
+  * Lloyd iterations expressed as aggregation (ONE job per iteration
+  * covering all subspaces, at index-BUILD time only), encoding is one
+  * [[PQEncode]] kernel call per row (codegen'd, no shuffle), and search
+  * is a scan + TakeOrdered — the same shapes as [[Similarity]]'s IVF
+  * index. Centroids live on the driver (m × k × dim/m doubles — tiny)
+  * exactly like [[Similarity.IvfIndex]]; codes live distributed.
   */
 object Quantization {
 
