@@ -307,6 +307,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L, 100L, 200L))
   }
 
+  test("every checkpointing operator's blocks are freed by CacheUtil.release (leak class)") {
+    import graft.operators.Quantization
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    def assertReleasable(name: String)(make: => org.apache.spark.sql.DataFrame): Unit = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = make
+      df.write.mode("overwrite").format("noop").save()
+      graft.CacheUtil.release(df)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked persistent RDDs: $leaked")
+    }
+    assertReleasable("minHashCandidates")(
+      Dedup.minHashCandidates(docs, "text", "doc_id"))
+    assertReleasable("minHashNearDups")(
+      Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.4))
+    assertReleasable("simHashNearDups")(
+      Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10))
+    assertReleasable("lshNearDups")(
+      Similarity.lshNearDups(emb, "embedding", "vec_id", threshold = 0.3))
+    assertReleasable("ivfPqBuild/search") {
+      val idx = Quantization.ivfPqBuild(
+        emb, "embedding", "vec_id", nCentroids = 8, refineIters = 1, m = 8, k = 16, iters = 1)
+      val qv = emb.filter($"vec_id" === 0L)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+      Quantization.ivfPqSearch(idx, qv, 5, nProbe = 2, excludeId = Some(0L))
+    }
+  }
+
   test("dupClusters releases its iteration caches (only the result stays)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.keySet
