@@ -69,6 +69,30 @@ object Sources {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Write `df` compacted to approximately `targetFileMB`-sized parquet
+    * files — the small-files remedy. A filtered/deduped pipeline stage
+    * inherits its input's partitioning, so a 10 000-partition scan that
+    * keeps 1% of rows would otherwise write 10 000 tiny files, and at
+    * 100 TB the NameNode/listing cost of millions of kilobyte files
+    * dominates reads. Sizing uses the optimizer's plan statistics
+    * (`sizeInBytes`; parquet scans report actual file bytes, post-filter
+    * stages an estimate), and the repartition is a round-robin rebalance —
+    * one extra shuffle traded for a bounded file count.
+    */
+  def writeCompacted(
+      df: DataFrame,
+      path: String,
+      targetFileMB: Int = 128
+  ): Unit = {
+    val bytes =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (bytes / (targetFileMB.toLong * 1024 * 1024)).toLong
+      .max(1L)
+      .min(100000L)
+      .toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Round-trip helper used by tests and the q28 query: write through a
     * format and read back (schema inferred), exercising both directions
     * of the source surface.

@@ -196,6 +196,20 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("writeCompacted bounds the output file count by target size (small-files remedy)") {
+    val li = Tables.lineitem(spark, SparkTestSession.sfDir)
+      .repartition(64) // simulate a fragmented upstream stage
+    val path = "/root/repo/target/tmp/compacted"
+    graft.sources.Sources.writeCompacted(li, path, targetFileMB = 16)
+    val parts = new java.io.File(path)
+      .listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    // the fixture is well under one 16 MB target file — 64 input
+    // partitions must collapse to 1 part file, and the data round-trips
+    assert(parts === 1, s"expected 1 compacted file, got $parts")
+    assert(spark.read.parquet(path).count() === li.count())
+  }
+
   test("bucketed tables join shuffle-free across jobs (B22 scale: no Exchange)") {
     // the durable analogue of the reference's key-partitioned node shards
     // (R/as.big.data.table.R:9-10): bucket both sides by the join key once,
