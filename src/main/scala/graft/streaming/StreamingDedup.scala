@@ -21,6 +21,19 @@ final case class BucketState(ids: Array[Long], hashes: Array[Long])
 /** Emitted near-dup pair. */
 final case class StreamPair(id_a: Long, id_b: Long, hamming: Int)
 
+/** One exploded band event for the MinHash stream: a document's
+  * membership in one (band, bucket), carrying its full signature.
+  */
+final case class BandEvent(band: Int, bucket: Long, doc_id: Long, sig: Array[Long])
+
+/** Bounded per-(band, bucket) membership: the `maxBucket` lowest ids with
+  * their signatures (numHashes longs each).
+  */
+final case class BandState(ids: Array[Long], sigs: Array[Array[Long]])
+
+/** Emitted MinHash near-dup pair with the estimated Jaccard. */
+final case class StreamJaccardPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
 /** Streaming twins of the batch [[graft.operators.Dedup]] paths, for
   * continuous ingest (the batch operators assume the corpus is at rest;
   * a 100 TB/day pipeline also needs dedup AT THE DOOR). SimHash blocking
@@ -39,6 +52,10 @@ final case class StreamPair(id_a: Long, id_b: Long, hamming: Int)
   *   buckets with NO cross-bucket distinct, which a streaming job could
   *   not express anyway (a distinct over all past pairs would be
   *   unbounded state).
+  * - [[minHashNearDupStream]]: the banded-LSH twin — same bounded-state,
+  *   exactly-once machinery over (band, bucket) keys, verified by the
+  *   MinHash Jaccard ESTIMATE (the signature is the only bounded per-doc
+  *   payload a stream can carry; see its docstring for the tradeoff).
   */
 object StreamingDedup {
 
@@ -125,6 +142,143 @@ object StreamingDedup {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout
       )(updateBucket(maxHamming, maxBucket, widths, offsets))
+  }
+
+  /** MinHash near-dup pairs over a document stream — the streaming twin
+    * of [[graft.operators.Dedup.minHashNearDups]], with one deliberate
+    * difference: verification uses the UNBIASED MinHash estimate of
+    * Jaccard (fraction of agreeing signature positions) instead of the
+    * batch path's exact shingle Jaccard — exact verification would need
+    * every document's shingle set in state (unbounded per-doc payload),
+    * while the signature is a fixed `numHashes` longs. At numHashes=32
+    * the estimator's σ ≈ 0.09 at J=0.5, so pairs near the threshold can
+    * flip relative to batch; raise numHashes for tighter streaming
+    * verification.
+    *
+    * Blocking is identical to batch: banded signature buckets, capped
+    * per-bucket membership of the lowest ids, exactly-once emission from
+    * the lowest matching band (two members collide in band b iff their
+    * signature slice for b is identical — checked directly from the
+    * carried signatures, no re-hash needed). Replay-idempotent under the
+    * same entered-the-membership rule as [[simHashNearDupStream]].
+    */
+  def minHashNearDupStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000
+  ): Dataset[StreamJaccardPair] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val r = numHashes / bands
+    val sig = Dedup.minHashSignature(col(textCol), numHashes, shingleSize)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(slice(col("_sig"), b * r + 1, r), lit(b))
+    }
+    val exploded = docs
+      .select(col(idCol).cast("long").as("_id"), sig.as("_sig"))
+      .select(
+        col("_id"),
+        col("_sig"),
+        posexplode(array(bandHashes: _*)).as(Seq("_band", "_bucket"))
+      )
+      .select(
+        col("_band").as("band"),
+        col("_bucket").as("bucket"),
+        col("_id").as("doc_id"),
+        col("_sig").as("sig")
+      )
+      .as[BandEvent]
+    exploded
+      .groupByKey(e => (e.band, e.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      )(updateBandBucket(threshold, numHashes, r, maxBucket))
+  }
+
+  /** Per-(band, bucket) state transition for the MinHash stream: same
+    * entered-the-membership emission rule as [[updateBucket]]; a pair is
+    * emitted from its lowest matching band (slices compared directly from
+    * the carried signatures) when its estimated Jaccard clears the
+    * threshold.
+    */
+  private[streaming] def updateBandBucket(
+      threshold: Double,
+      numHashes: Int,
+      r: Int,
+      maxBucket: Int
+  )(
+      key: (Int, Long),
+      events: Iterator[BandEvent],
+      state: GroupState[BandState]
+  ): Iterator[StreamJaccardPair] = {
+    val band = key._1
+    def sliceMatches(b: Int, sa: Array[Long], sb: Array[Long]): Boolean = {
+      var i = b * r
+      val end = i + r
+      while (i < end) {
+        if (sa(i) != sb(i)) return false
+        i += 1
+      }
+      true
+    }
+    def lowestMatchingBandIs(b: Int, sa: Array[Long], sb: Array[Long]): Boolean = {
+      var lower = 0
+      while (lower < b) {
+        if (sliceMatches(lower, sa, sb)) return false
+        lower += 1
+      }
+      true
+    }
+    val st = state.getOption.getOrElse(BandState(Array.empty, Array.empty))
+    val arrivals = events.toArray.sortBy(_.doc_id)
+    val out = Array.newBuilder[StreamJaccardPair]
+    var ids = st.ids
+    var sigs = st.sigs
+    arrivals.foreach { e =>
+      val p = java.util.Arrays.binarySearch(ids, e.doc_id)
+      val pos = if (p >= 0) -1 else -(p + 1)
+      if (pos >= 0 && pos < maxBucket) {
+        var i = 0
+        while (i < ids.length) {
+          val other = sigs(i)
+          var agree = 0
+          var j = 0
+          while (j < numHashes) {
+            if (other(j) == e.sig(j)) agree += 1
+            j += 1
+          }
+          val est = agree.toDouble / numHashes
+          if (est >= threshold && lowestMatchingBandIs(band, other, e.sig)) {
+            val (a, b) =
+              if (ids(i) < e.doc_id) (ids(i), e.doc_id) else (e.doc_id, ids(i))
+            out += StreamJaccardPair(a, b, est)
+          }
+          i += 1
+        }
+        val n = math.min(ids.length + 1, maxBucket)
+        val newIds = new Array[Long](n)
+        val newSigs = new Array[Array[Long]](n)
+        System.arraycopy(ids, 0, newIds, 0, pos)
+        System.arraycopy(sigs, 0, newSigs, 0, pos)
+        newIds(pos) = e.doc_id
+        newSigs(pos) = e.sig
+        val tail = n - pos - 1
+        System.arraycopy(ids, pos, newIds, pos + 1, tail)
+        System.arraycopy(sigs, pos, newSigs, pos + 1, tail)
+        ids = newIds
+        sigs = newSigs
+      }
+    }
+    state.update(BandState(ids, sigs))
+    out.result().iterator
   }
 
   /** Per-bucket state transition: verify each arriving member against the

@@ -182,6 +182,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup: planted near-dup found across micro-batches, exactly-once, replay-safe (d02 twin)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // near-identical long docs (one token differs → high Jaccard) planted
+    // among unrelated docs; the pair members arrive in DIFFERENT batches
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs1 = Seq(
+      (1L, base),
+      (10L, "completely different content about other things entirely")
+    )
+    val docs2 = Seq(
+      (2L, base.replace("tok40", "tok40x")),
+      (11L, "yet another unrelated document with its own words")
+    )
+    val mem = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.minHashNearDupStream(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      "text",
+      "doc_id",
+      threshold = 0.5
+    )
+    val q = pairs.toDF().writeStream
+      .format("memory")
+      .queryName("mh_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(docs1)
+      q.processAllAvailable()
+      mem.addData(docs2)
+      q.processAllAvailable()
+      val got = spark.table("mh_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the planted pair, exactly once (identical docs collide in MANY
+      // bands — lowest-matching-band emission must dedupe them), and the
+      // estimate clears the threshold
+      assert(got.toSeq === Seq((1L, 2L)), s"got ${got.toSeq}")
+      val est = spark.table("mh_out").collect().head.getDouble(2)
+      assert(est >= 0.5 && est <= 1.0)
+      // full replay emits nothing new
+      mem.addData(docs1 ++ docs2)
+      q.processAllAvailable()
+      assert(spark.table("mh_out").count() === 1L)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits one row per distinct text, bounded state (d01 twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
