@@ -196,6 +196,33 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("filters and projections reach the parquet scan (pushdown + column pruning)") {
+    // q09: the `i` filter must appear as PushedFilters on the scan, not
+    // as a post-scan Filter only — at 100 TB the difference is reading
+    // row groups vs skipping them on statistics
+    val q09 = SparkEntry.queries("q09_filter")(spark, SparkTestSession.sfDir)
+    val p09 = q09.queryExecution.executedPlan.toString
+    assert(
+      p09.contains("PushedFilters: [") && !p09.contains("PushedFilters: []"),
+      s"q09 scan has no pushed filters:\n${p09.take(2000)}"
+    )
+    // q13: a 3-column projection of the 16-column lineitem must prune the
+    // scan schema — reading all columns for a narrow projection is wrong
+    val q13 = SparkEntry.queries("q13_projection")(spark, SparkTestSession.sfDir)
+    val p13 = q13.queryExecution.executedPlan.toString
+    val readSchema = p13.linesIterator
+      .find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in q13 plan:\n${p13.take(2000)}"))
+    val struct = readSchema
+      .substring(readSchema.indexOf("struct<") + "struct<".length)
+      .takeWhile(_ != '>')
+    val ncols = struct.count(_ == ':')
+    assert(
+      ncols <= q13.columns.length,
+      s"q13 scan reads $ncols columns for a ${q13.columns.length}-column projection: $struct"
+    )
+  }
+
   test("writeCompacted bounds the output file count by target size (small-files remedy)") {
     val li = Tables.lineitem(spark, SparkTestSession.sfDir)
       .repartition(64) // simulate a fragmented upstream stage
