@@ -84,12 +84,23 @@ object Sources {
       path: String,
       targetFileMB: Int = 128
   ): Unit = {
-    val bytes =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = (bytes / (targetFileMB.toLong * 1024 * 1024)).toLong
-      .max(1L)
-      .min(100000L)
-      .toInt
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(targetFileMB.toLong * 1024 * 1024)
+    // sizeInBytes is a BigInt: leaves without real statistics default to
+    // the spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and
+    // stat-less join estimates are PRODUCTS of child sizes that can
+    // exceed it — both mean "unknown", and sizing from them would emit
+    // the 100000-file clamp for a tiny input (the very problem this
+    // helper remedies). Fall back to the input's partition count then.
+    // Ceiling division keeps files at ≤ targetFileMB, not up to 2×; the
+    // clamp arithmetic stays in BigInt (a .toLong of a huge estimate
+    // would wrap, min(1) it, and funnel a huge result through ONE task).
+    val files =
+      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue))
+        df.rdd.getNumPartitions.max(1)
+      else
+        ((bytes + target - 1) / target).min(BigInt(100000)).toInt
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 

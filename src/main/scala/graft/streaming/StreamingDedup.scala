@@ -249,17 +249,22 @@ object StreamingDedup {
         var i = 0
         while (i < ids.length) {
           val other = sigs(i)
-          var agree = 0
-          var j = 0
-          while (j < numHashes) {
-            if (other(j) == e.sig(j)) agree += 1
-            j += 1
-          }
-          val est = agree.toDouble / numHashes
-          if (est >= threshold && lowestMatchingBandIs(band, other, e.sig)) {
-            val (a, b) =
-              if (ids(i) < e.doc_id) (ids(i), e.doc_id) else (e.doc_id, ids(i))
-            out += StreamJaccardPair(a, b, est)
+          // cheap gate first: a pair colliding in several bands runs this
+          // transition in each of them, but only its lowest matching band
+          // may emit — skip the full numHashes agreement scan elsewhere
+          if (lowestMatchingBandIs(band, other, e.sig)) {
+            var agree = 0
+            var j = 0
+            while (j < numHashes) {
+              if (other(j) == e.sig(j)) agree += 1
+              j += 1
+            }
+            val est = agree.toDouble / numHashes
+            if (est >= threshold) {
+              val (a, b) =
+                if (ids(i) < e.doc_id) (ids(i), e.doc_id) else (e.doc_id, ids(i))
+              out += StreamJaccardPair(a, b, est)
+            }
           }
           i += 1
         }
@@ -286,12 +291,17 @@ object StreamingDedup {
     * is THIS bucket's chunk, then fold the arrival into the capped
     * membership (keep the `maxBucket` lowest ids).
     *
-    * Under an ACTIVE cap the streaming path mirrors the batch cap
-    * exactly: pairs exist only among capped members — an arrival past
-    * the cap emits nothing, because it leaves no trace in state and a
-    * redelivery of it could not be deduplicated (exactly-once beats the
-    * marginal recall). With the cap sized from the audit so it never
-    * triggers (the d03 rule), stream output == batch output exactly.
+    * Under an ACTIVE cap: an arrival past the cap emits nothing (it
+    * leaves no trace in state, so a redelivery of it could not be
+    * deduplicated — exactly-once beats the marginal recall), and an
+    * arrival that enters the membership is verified against the members
+    * it displaces too, so with OUT-OF-ORDER ids the stream can emit a
+    * SUPERSET of the batch cap's "pairs among the final lowest ids"
+    * (pairs involving later-evicted members cannot be retracted from an
+    * append sink). Exactly-once and replay-idempotence always hold;
+    * exact batch parity holds when ids arrive ascending or the cap never
+    * triggers — size it from the audit so it never triggers (the d03
+    * rule).
     */
   private[streaming] def updateBucket(
       maxHamming: Int,

@@ -206,8 +206,9 @@ class InfraSpec extends AnyFunSuite {
       p09.contains("PushedFilters: [") && !p09.contains("PushedFilters: []"),
       s"q09 scan has no pushed filters:\n${p09.take(2000)}"
     )
-    // q13: a 3-column projection of the 16-column lineitem must prune the
-    // scan schema — reading all columns for a narrow projection is wrong
+    // q13: a 3-column projection of the 9-column part table must prune
+    // the scan schema — reading all columns for a narrow projection is
+    // wrong
     val q13 = SparkEntry.queries("q13_projection")(spark, SparkTestSession.sfDir)
     val p13 = q13.queryExecution.executedPlan.toString
     val readSchema = p13.linesIterator

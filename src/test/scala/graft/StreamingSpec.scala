@@ -147,11 +147,13 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // 6 identical docs: every bucket membership is identical, so with
-    // maxBucket=3 only ids 1..3 enter state — pairs must be exactly the
-    // batch cap's 3·2/2 = 3, and docs 4..6 (past the cap) emit NOTHING,
-    // even when redelivered (they left no trace in state, so emission
-    // for them could not be deduplicated)
+    // 6 identical docs arriving in id order: with maxBucket=3 only ids
+    // 1..3 enter state — pairs are exactly the batch cap's 3·2/2 = 3, and
+    // docs 4..6 (past the cap) emit NOTHING, even when redelivered (they
+    // left no trace in state, so emission for them could not be
+    // deduplicated). NB: exact batch parity requires ascending arrival —
+    // out-of-order ids can emit pairs against members that later evict
+    // (documented superset behavior, not exercised here)
     val docs = (1L to 6L).map(i => (i, "boilerplate header repeated"))
     val mem = MemoryStream[(Long, String)]
     val pairs = graft.streaming.StreamingDedup.simHashNearDupStream(
