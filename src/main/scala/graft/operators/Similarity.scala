@@ -339,6 +339,15 @@ object Similarity {
     * parquet, so two cheap scans beat holding the corpus in block
     * storage.
     *
+    * Sizing `nPlanes` at scale: each table has 2^nPlanes buckets, so
+    * random collisions per table ≈ n²/2^(nPlanes+1) — pick nPlanes ≈
+    * log2(n / targetBucketSize) and raise nTables to recover per-pair
+    * recall (1 − (1 − p^nPlanes)^nTables). Probed at 20k vectors on the
+    * near-threshold fixture: runtime is bound by the ~1.5 M VERIFIED
+    * pairs, not random collisions, so the small defaults hold there;
+    * on sparse real corpora the collision term dominates and nPlanes
+    * must grow with log n.
+    *
     * The returned plan reads the membership checkpoint blocks; free them
     * with [[graft.CacheUtil.release]] on the result when done (as with
     * [[Dedup.minHashCandidates]] — repeated calls otherwise accumulate
