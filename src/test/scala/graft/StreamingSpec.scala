@@ -184,6 +184,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash dedup, ACTIVE cap + out-of-order ids: documented superset, still exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // identical docs arriving high-ids-first with maxBucket=3: batch 1
+    // fills state [4,5,6] and emits its 3 pairs; each of 1,2,3 then
+    // enters, emits against the 3 members it finds, and evicts the
+    // highest — 12 distinct pairs total, a SUPERSET of the batch cap's 3
+    // (pairs among final members {1,2,3}). This pins the documented
+    // semantics: emitted pairs can involve later-evicted members (no
+    // retraction in append mode), but every pair appears exactly once.
+    val mem = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.simHashNearDupStream(
+      spark,
+      mem.toDF().toDF("doc_id", "text"),
+      "text",
+      "doc_id",
+      maxHamming = 3,
+      maxBucket = 3
+    )
+    val q = pairs.toDF().writeStream
+      .format("memory")
+      .queryName("ooo_out")
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(Seq(4L, 5L, 6L).map(i => (i, "boilerplate header repeated")))
+      q.processAllAvailable()
+      mem.addData(Seq(1L, 2L, 3L).map(i => (i, "boilerplate header repeated")))
+      q.processAllAvailable()
+      val got = spark.table("ooo_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, "pair emitted more than once")
+      assert(got.length === 12, s"expected the documented superset of 12, got ${got.sorted.toSeq}")
+      // the batch cap's pairs (among the final lowest ids) are included
+      assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(got.toSet))
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup: planted near-dup found across micro-batches, exactly-once, replay-safe (d02 twin)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
