@@ -29,7 +29,7 @@ object Bench {
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d07_lsh_neardup",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
-    "m01_binary_meta", "m02_decode_stub", "m03_frame_sample"
+    "m01_binary_meta", "m02_decode_stub", "m03_frame_sample", "m04_resize_stub"
   )
 
   def main(args: Array[String]): Unit = {

@@ -945,6 +945,29 @@ object SparkEntry {
              |                   (a, b) -> (a * 31 + b) % 1000000007) AS checksum
              |FROM documents""".stripMargin)
     ),
+    // batched resize stub: every 3rd payload byte (deterministic stand-in
+    // for spatial downsampling; ASCII payload ⇒ byte == character, so the
+    // oracle reconstructs the decimation with string indexing)
+    Q(
+      "m04_resize_stub",
+      (s, d) =>
+        operators.Multimodal
+          .resizeStub(s, operators.Multimodal.toMedia(documents(s, d)), factor = 3)
+          .toDF()
+          .select(
+            col("doc_id"),
+            col("n_orig"),
+            col("n_resized"),
+            col("resized").cast("string").as("resized_str")
+          ),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS INT) AS n_orig,
+             |       CAST(ceil(octet_length(encode(text)) / 3.0) AS INT) AS n_resized,
+             |       array_to_string(
+             |         list_transform(range(CAST(ceil(octet_length(encode(text)) / 3.0) AS BIGINT)),
+             |                        i -> text[CAST(i*3+1 AS BIGINT)]), '') AS resized_str
+             |FROM documents""".stripMargin)
+    ),
     // B20 CSV scan & sink: write through CSV, read back, aggregate — the
     // distributed replacement for per-node fread/write.csv
     Q(

@@ -14,9 +14,17 @@ final case class DecodedRow(
     features: Array[Double]
 )
 
+/** Resize output: decimated payload + size metadata. */
+final case class ResizedRow(
+    doc_id: Long,
+    n_orig: Int,
+    n_resized: Int,
+    resized: Array[Byte]
+)
+
 /** Multimodal column plumbing (north-star extension): image/audio/video as
   * opaque `binary` columns with typed metadata; decode / feature-extract /
-  * frame-sample as batched per-partition transforms.
+  * resize / frame-sample as batched per-partition transforms.
   *
   * The decode step is a STUB — the real image/audio codecs are not in this
   * container — but the Spark-side plumbing is real and tested: schema
@@ -73,6 +81,42 @@ object Multimodal {
               h,
               Array(bytes.length.toDouble, (h % 256).toDouble)
             )
+          }
+        }
+      }
+  }
+
+  /** Batched resize: keep every `factor`-th byte of the payload — the
+    * deterministic stand-in for spatial downsampling (a real resize is a
+    * native/GPU call on the decoded pixels; the Spark-side shape is the
+    * same partition-local batched iterator as [[decodeStub]]). Output
+    * carries the original and resized sizes, so a pipeline can assert its
+    * storage win.
+    */
+  def resizeStub(
+      spark: SparkSession,
+      media: DataFrame,
+      factor: Int,
+      batchSize: Int = 64
+  ): Dataset[ResizedRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real resizer would process `batch` as one vectorized call
+          batch.iterator.map { m =>
+            val bytes = m.payload
+            val n = (bytes.length + factor - 1) / factor
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              out(i) = bytes(i * factor)
+              i += 1
+            }
+            ResizedRow(m.doc_id, bytes.length, n, out)
           }
         }
       }

@@ -667,6 +667,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(2L).features(0) === 4.0)
   }
 
+  test("resizeStub: byte decimation arithmetic, empty payload, factor 1 identity") {
+    val docs = Seq(
+      Doc(1, "abcdefghij"), // 10 bytes, factor 3 → a,d,g,j
+      Doc(2, ""),           // empty → empty
+      Doc(3, "xy")          // shorter than factor → first byte
+    ).toDS.toDF
+    val media = Multimodal.toMedia(docs)
+    val got = Multimodal.resizeStub(spark, media, factor = 3)
+      .collect().map(r => r.doc_id -> (r.n_orig, r.n_resized, new String(r.resized))).toMap
+    assert(got(1L) === ((10, 4, "adgj")))
+    assert(got(2L) === ((0, 0, "")))
+    assert(got(3L) === ((2, 1, "x")))
+    val identity = Multimodal.resizeStub(spark, media, factor = 1)
+      .collect().map(r => new String(r.resized)).toSet
+    assert(identity === Set("abcdefghij", "", "xy"))
+  }
+
   test("frameSample: counts follow ceil arithmetic") {
     val df = Seq(Doc(1, "x" * 130)).toDS.toDF // 130 bytes, 64-byte frames → 3 frames
     val got = Multimodal.frameSample(Multimodal.toMedia(df), frameBytes = 64, every = 2)
