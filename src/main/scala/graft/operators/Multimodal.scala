@@ -53,6 +53,28 @@ object Multimodal {
       substring(col("payload"), 1, 4).as("magic")
     )
 
+  /** Partition-local batched iteration over media rows — the shape a real
+    * vectorized decoder/resizer (or Arrow bridge) consumes: `f` sees each
+    * row, but rows arrive grouped so a native implementation can process
+    * a whole batch in one call. Shared by every *Stub transform.
+    */
+  private def batched[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int
+  )(f: MediaRow => T): Dataset[T] = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real implementation would process `batch` as ONE call
+          batch.iterator.map(f)
+        }
+      }
+  }
+
   /** Batched decode: partition-local, batches of `batchSize` rows — the
     * iterator shape a real vectorized decoder (or Arrow/pandas bridge)
     * consumes. STUB: features are deterministic byte statistics standing
@@ -64,26 +86,18 @@ object Multimodal {
       batchSize: Int = 64
   ): Dataset[DecodedRow] = {
     import spark.implicits._
-    media
-      .select(col("doc_id"), col("kind"), col("payload"))
-      .as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one vectorized call
-          batch.iterator.map { m =>
-            val bytes = m.payload
-            // shared kernel with the text fingerprint (ASCII payload ⇒
-            // byte loop == code-point loop)
-            val h = graft.functions.HashExpressionImpls.rollingHashBytes(bytes)
-            DecodedRow(
-              m.doc_id,
-              bytes.length,
-              h,
-              Array(bytes.length.toDouble, (h % 256).toDouble)
-            )
-          }
-        }
-      }
+    batched(spark, media, batchSize) { m =>
+      val bytes = m.payload
+      // shared kernel with the text fingerprint (ASCII payload ⇒
+      // byte loop == code-point loop)
+      val h = graft.functions.HashExpressionImpls.rollingHashBytes(bytes)
+      DecodedRow(
+        m.doc_id,
+        bytes.length,
+        h,
+        Array(bytes.length.toDouble, (h % 256).toDouble)
+      )
+    }
   }
 
   /** Batched resize: keep every `factor`-th byte of the payload — the
@@ -101,25 +115,19 @@ object Multimodal {
   ): Dataset[ResizedRow] = {
     import spark.implicits._
     require(factor >= 1, s"factor must be >= 1, got $factor")
-    media
-      .select(col("doc_id"), col("kind"), col("payload"))
-      .as[MediaRow]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // a real resizer would process `batch` as one vectorized call
-          batch.iterator.map { m =>
-            val bytes = m.payload
-            val n = (bytes.length + factor - 1) / factor
-            val out = new Array[Byte](n)
-            var i = 0
-            while (i < n) {
-              out(i) = bytes(i * factor)
-              i += 1
-            }
-            ResizedRow(m.doc_id, bytes.length, n, out)
-          }
-        }
+    batched(spark, media, batchSize) { m =>
+      val bytes = m.payload
+      // ceil without the (len + factor - 1) form: that sum overflows Int
+      // for factor near Int.MaxValue and would size a negative array
+      val n = bytes.length / factor + (if (bytes.length % factor == 0) 0 else 1)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = bytes(i * factor)
+        i += 1
       }
+      ResizedRow(m.doc_id, bytes.length, n, out)
+    }
   }
 
   /** Frame sampling: slice the payload into fixed-size frames and keep
