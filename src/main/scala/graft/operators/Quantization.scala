@@ -376,6 +376,46 @@ object Quantization {
     )
   }
 
+  /** Re-ranked IVF-PQ search (the IVFADC+R refinement, Jégou et al. §V):
+    * over-fetch `k × refine` candidates by ADC — cheap, codes only — then
+    * rescore just those few rows EXACTLY against the original vectors and
+    * keep the true top-k. The exact pass touches `k × refine` vectors
+    * regardless of corpus size (the candidate id list is broadcast into a
+    * semi-join against the vector table), so the quantization error only
+    * has to land true neighbors inside the over-fetched set, not rank
+    * them perfectly.
+    */
+  def ivfPqSearchReranked(
+      idx: IvfPqIndex,
+      vectors: DataFrame,
+      vecCol: String,
+      query: Array[Double],
+      topK: Int,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cands = ivfPqSearch(idx, query, topK * refine, nProbe, excludeId)
+      .select(col("neighbor_id"))
+    val qLit = array(query.map(lit): _*)
+    Similarity.rankLimited(
+      vectors
+        .join(
+          broadcast(cands),
+          col(idx.idCol) === col("neighbor_id"),
+          "left_semi"
+        )
+        .withColumn(
+          "_d",
+          graft.functions.VectorFunctions.sqDist(col(vecCol), qLit)
+        )
+        .orderBy(col("_d").asc, col(idx.idCol).asc)
+        .limit(topK),
+      idx.idCol
+    )
+  }
+
   /** End-to-end registry/gate form for one query id (build + probe under
     * one deterministic call; production amortizes the build).
     */
@@ -400,19 +440,25 @@ object Quantization {
     ivfPqSearch(idx, q, topK, nProbe, Some(queryId))
   }
 
-  // ------------------------------------------------- compiled kernels
+}
 
-  /** Row-level PQ kernels, shared by interpreted eval and generated Java
-    * (the [[graft.functions.VectorKernels]] pattern). Codebooks/LUTs ride
-    * along as codegen reference objects — the generated source stays
-    * constant-size in m and k, so the code cache hits across training
-    * iterations (inlining them as literal structs made janino compilation
-    * dominate the runtime 6:1).
-    */
-  object PQKernels {
+// --------------------------------------------------- compiled kernels
 
-    /** argmin code per subspace; ties to the lowest code (strict <). */
-    def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
+/** Row-level PQ kernels, shared by interpreted eval and generated Java
+  * (the [[graft.functions.VectorKernels]] pattern). TOP-LEVEL object on
+  * purpose: Scala only emits Java-visible static forwarders for top-level
+  * objects — nested inside [[Quantization]], the generated Java could not
+  * resolve the call and every row silently fell back to interpreted eval
+  * (caught via the UnsafeProjection codegen-error WARN). Codebooks/LUTs
+  * ride along as codegen reference objects — the generated source stays
+  * constant-size in m and k, so the code cache hits across training
+  * iterations (inlining them as literal structs made janino compilation
+  * dominate the runtime 6:1).
+  */
+object PQKernels {
+
+  /** argmin code per subspace; ties to the lowest code (strict <). */
+  def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
       val m = cb.length
       val out = new Array[Int](m)
       var sub = 0
@@ -442,7 +488,7 @@ object Quantization {
       new GenericArrayData(out)
     }
 
-    def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+  def adc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
       var s = 0.0
       var sub = 0
       while (sub < lut.length) {
@@ -470,7 +516,7 @@ object Quantization {
       defineCodeGen(
         ctx,
         ev,
-        c => s"graft.operators.Quantization.PQKernels.encode($c, $cbRef)"
+        c => s"graft.operators.PQKernels.encode($c, $cbRef)"
       )
     }
 
@@ -495,11 +541,10 @@ object Quantization {
       defineCodeGen(
         ctx,
         ev,
-        c => s"graft.operators.Quantization.PQKernels.adc($c, $lutRef)"
+        c => s"graft.operators.PQKernels.adc($c, $lutRef)"
       )
     }
 
     override protected def withNewChildInternal(newChild: Expression): PQAdc =
       copy(child = newChild)
   }
-}

@@ -621,6 +621,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"mean recall@10 $mean below the fixture floor (got $recalls)")
   }
 
+  test("IVF-PQ re-ranking lifts recall toward exact (IVFADC+R)") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val idx = Quantization.ivfPqBuild(
+      emb, "embedding", "vec_id",
+      nCentroids = 16, refineIters = 1, m = 16, k = 32, iters = 2)
+    val (plain, reranked) = Seq(0L, 1L, 2L, 3L, 4L).map { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+      val exact = emb.filter($"vec_id" =!= qid)
+        .select($"vec_id", graft.functions.VectorFunctions
+          .sqDist($"embedding", array(qv.map(lit): _*)).as("d"))
+        .orderBy($"d".asc, $"vec_id".asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val p = Quantization
+        .ivfPqSearch(idx, qv, 10, nProbe = 6, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      val r = Quantization
+        .ivfPqSearchReranked(idx, emb, "embedding", qv, 10,
+          nProbe = 6, refine = 4, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      ((exact intersect p).size / 10.0, (exact intersect r).size / 10.0)
+    }.unzip
+    val (mp, mr) = (plain.sum / plain.length, reranked.sum / reranked.length)
+    // exact rescoring of the over-fetched set can only fix ADC ranking
+    // errors, never introduce them — and on the fixture it must show a
+    // real lift over code-only ranking
+    assert(mr >= mp, s"re-ranked recall $mr below plain ADC $mp")
+    assert(mr >= mp + 0.1, s"re-ranking shows no lift: plain $mp, reranked $mr")
+    graft.CacheUtil.release(idx.encoded)
+  }
+
   test("written IVF-PQ index probes as a partition-pruned scan of codes (s05 scale shape)") {
     import graft.operators.Quantization
     val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
