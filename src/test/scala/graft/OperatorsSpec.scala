@@ -416,6 +416,46 @@ class OperatorsSpec extends AnyFunSuite {
     n.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("every compiled expression survives CODEGEN_ONLY (no silent interpreter fallback)") {
+    // Scala only emits Java-visible static forwarders for TOP-LEVEL
+    // objects: a kernel nested in another object compiles in Scala but the
+    // generated Java can't resolve it, and Spark quietly falls back to
+    // interpreted eval with only a WARN (this bit the PQ kernels in round
+    // 6). CODEGEN_ONLY turns that fallback into a hard failure.
+    import graft.operators.Quantization
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val docs = Seq(Doc(1L, "alpha beta gamma delta epsilon")).toDS.toDF
+      docs.select(
+        Dedup.minHashSignature($"text", 32, 3),
+        Dedup.simHash($"text"),
+        TextFunctions.fingerprintRolling($"text"),
+        TextFunctions.shingleSet($"text", 3)
+      ).collect()
+      val vecs = Seq(Vec(1L, Array.tabulate(8)(_.toFloat + 1f))).toDS.toDF
+      val cb = Quantization.PQCodebooks(
+        2, 2, 8,
+        Array.tabulate(2)(s => Array.tabulate(2)(c =>
+          Array.fill(4)(s + c + 1.0))))
+      vecs.select(
+        VectorFunctions.dot($"embedding", $"embedding"),
+        VectorFunctions.euclidean($"embedding", $"embedding"),
+        VectorFunctions.vecSub($"embedding", $"embedding"),
+        VectorFunctions.l2Normalize($"embedding")
+      ).collect()
+      Quantization.pqEncode(vecs, "embedding", cb)
+        .select(Quantization.adcScore($"_pq", Array(Array(0.1, 0.2), Array(0.3, 0.4))))
+        .collect()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("vector kernels fail fast on mismatched lengths (no out-of-bounds reads)") {
     // a dim parameter that disagrees with the real embedding width must
     // surface as a clear error, not garbage signatures (the replaced HOF
