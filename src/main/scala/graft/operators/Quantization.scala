@@ -202,12 +202,7 @@ object Quantization {
       iters: Int = 2
   ): DataFrame = {
     val cb = pqTrain(df, vecCol, idCol, m, k, iters)
-    val q = df
-      .filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>"))
-      .head()
-      .getSeq[Double](0)
-      .toArray
+    val q = lookupQueryVec(df, vecCol, idCol, queryId)
     pqSearchEncoded(pqEncode(df, vecCol, cb), idCol, q, cb, topK, Some(queryId))
   }
 
@@ -431,14 +426,31 @@ object Quantization {
       k: Int = 16
   ): DataFrame = {
     val idx = ivfPqBuild(df, vecCol, idCol, nCentroids, refineIters = 1, m = m, k = k)
-    val q = df
-      .filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>"))
-      .head()
-      .getSeq[Double](0)
-      .toArray
+    val q = lookupQueryVec(df, vecCol, idCol, queryId)
     ivfPqSearch(idx, q, topK, nProbe, Some(queryId))
   }
+
+  /** Fetch the query vector by id, naming the id/column in the error when
+    * absent (a bare `.head()` surfaces a missing id as "next on empty
+    * iterator" with no hint the query id was wrong).
+    */
+  private def lookupQueryVec(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long
+  ): Array[Double] =
+    df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .head(1)
+      .headOption
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"query id $queryId not found in column '$idCol'"
+        )
+      )
+      .getSeq[Double](0)
+      .toArray
 
 }
 
@@ -457,9 +469,25 @@ object Quantization {
   */
 object PQKernels {
 
-  /** argmin code per subspace; ties to the lowest code (strict <). */
+  /** argmin code per subspace; ties to the lowest code (strict <).
+    *
+    * Fails fast on a vector/codebook dim mismatch (the
+    * [[graft.functions.VectorKernels]] checkSameLength policy):
+    * pqEncode/pqSearchEncoded accept user-supplied codebooks (e.g. from
+    * ivfPqRead), and reading past the input array would return garbage
+    * codes on UnsafeArrayData or AIOOBE on GenericArrayData.
+    */
   def encode(vec: ArrayData, cb: Array[Array[Array[Double]]]): ArrayData = {
       val m = cb.length
+      var expected = 0
+      var s = 0
+      while (s < m) { expected += cb(s)(0).length; s += 1 }
+      if (vec.numElements() != expected)
+        throw new IllegalArgumentException(
+          s"pq_encode requires vector length == codebook dim, got vector " +
+            s"length ${vec.numElements()} and codebook dim $expected " +
+            s"($m subspaces)"
+        )
       val out = new Array[Int](m)
       var sub = 0
       var off = 0

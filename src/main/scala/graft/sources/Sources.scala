@@ -96,11 +96,22 @@ object Sources {
     // Ceiling division keeps files at ≤ targetFileMB, not up to 2×; the
     // clamp arithmetic stays in BigInt (a .toLong of a huge estimate
     // would wrap, min(1) it, and funnel a huge result through ONE task).
+    val inputParts = df.rdd.getNumPartitions.max(1)
+    // Estimates BELOW the sentinel can still be inflated by orders of
+    // magnitude: post-filter/join stages carry no selectivity, so a
+    // 99%-selective filter inherits its scan's full sizeInBytes and would
+    // ask for thousands of near-empty files. Cap at a small multiple of
+    // the input partition count — each input partition is already at most
+    // ~maxPartitionBytes (≈ targetFileMB for scans), so the output can
+    // never usefully need many more files than input partitions.
     val files =
-      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue))
-        df.rdd.getNumPartitions.max(1)
+      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue)) inputParts
       else
-        ((bytes + target - 1) / target).min(BigInt(100000)).toInt
+        ((bytes + target - 1) / target)
+          .min(BigInt(100000))
+          .toInt
+          .min(inputParts * 4)
+          .max(1)
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 

@@ -251,8 +251,13 @@ object StreamingDedup {
           val other = sigs(i)
           // cheap gate first: a pair colliding in several bands runs this
           // transition in each of them, but only its lowest matching band
-          // may emit — skip the full numHashes agreement scan elsewhere
-          if (lowestMatchingBandIs(band, other, e.sig)) {
+          // may emit — skip the full numHashes agreement scan elsewhere.
+          // The bucket key is xxhash64 of the band slice, so also verify
+          // THIS band's slices really match: a 64-bit hash-collision
+          // bucket would otherwise emit a pair that its true lowest
+          // matching band emits too (duplicate output).
+          if (sliceMatches(band, other, e.sig) &&
+              lowestMatchingBandIs(band, other, e.sig)) {
             var agree = 0
             var j = 0
             while (j < numHashes) {

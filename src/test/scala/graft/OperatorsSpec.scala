@@ -472,6 +472,38 @@ class OperatorsSpec extends AnyFunSuite {
     )
   }
 
+  test("pq encode fails fast on vector/codebook dim mismatch") {
+    // pqEncode accepts user-supplied codebooks (e.g. from ivfPqRead); a
+    // dim mismatch must surface as a clear error, not garbage codes from
+    // reading past the UnsafeArrayData
+    val vecs = Seq(Vec(1L, Array.tabulate(8)(_.toFloat + 1f))).toDS.toDF
+    val narrow = Quantization.PQCodebooks(
+      2, 2, 6,
+      Array.tabulate(2)(s => Array.tabulate(2)(c =>
+        Array.fill(3)(s + c + 1.0))))
+    val e = intercept[Exception] {
+      Quantization.pqEncode(vecs, "embedding", narrow).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(
+      rootMessages(e).exists(m =>
+        m.contains("codebook dim") && m.contains("8") && m.contains("6")),
+      s"unexpected error: $e"
+    )
+  }
+
+  test("missing ANN query id names the id in the error, not 'empty iterator'") {
+    val vecs = (0L until 8L)
+      .map(i => Vec(i, Array.tabulate(8)(j => (i + j).toFloat)))
+      .toDS.toDF
+    val e = intercept[IllegalArgumentException] {
+      Quantization.pqSearch(vecs, "embedding", "vec_id", queryId = 999L,
+        topK = 1, m = 2, k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("999") && e.getMessage.contains("vec_id"))
+  }
+
   test("knn ranks by cosine: crafted vectors in known order") {
     val df = Seq(
       Vec(0, Array(1f, 0f, 0f)),
