@@ -818,6 +818,26 @@ object SparkEntry {
           ),
       None
     ),
+    // incremental dedup of a delta against a persisted corpus band index
+    // (hash-seed dependent — rows-only; the ScalaTest gate proves
+    // incremental(corpus, delta) == batch(corpus ∪ delta) pair-for-pair).
+    // The index build is part of the measured op: a real pipeline builds
+    // once and probes daily, but a deterministic registry entry must be
+    // self-contained.
+    Q(
+      "d08_incremental_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val idx = operators.Dedup
+          .writeMinHashIndex(corpus, "text", "doc_id", "d08_idx", buckets = 8)
+        operators.Dedup
+          .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
+          .select(col("id_a"), col("id_b"))
+      },
+      None
+    ),
     // ---- similarity search (north-star) --------------------------------
     // brute-force cosine top-k of one query vector; output ids+rank only
     // (ranks stable: adjacent-cosine gaps ~1e-3 at sf0.01)

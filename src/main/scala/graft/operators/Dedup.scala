@@ -150,6 +150,19 @@ object Dedup {
   ): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least one pair")
     val banded = minHashBanded(df, textCol, idCol, numHashes, bands, shingleSize)
+    candidatePairsFromBanded(banded, bands, maxBucket)
+  }
+
+  /** Steps (1)+(2) of [[minHashCandidates]] from an already-banded
+    * (_id, _band, _bucket, _lower) table — shared with the incremental
+    * path, which bands the delta once and reuses it for both the
+    * within-delta self-join and the delta-vs-index join.
+    */
+  private def candidatePairsFromBanded(
+      banded: DataFrame,
+      bands: Int,
+      maxBucket: Int
+  ): DataFrame = {
     val members = banded
       .groupBy(col("_band"), col("_bucket"))
       .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
@@ -166,15 +179,6 @@ object Dedup {
         col("_m._lower").as("_lower")
       )
       .localCheckpoint(true)
-    // both sides of a (band, bucket) match carry `_band` lower-band
-    // values, so for b < _band the subscript is always defined
-    val noLowerBandMatches = (0 until bands - 1)
-      .map { b =>
-        col("a._band") <= lit(b) ||
-          col("a._lower")(b) =!= col("b._lower")(b)
-      }
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
     members
       .as("a")
       .join(
@@ -182,10 +186,28 @@ object Dedup {
         col("a._band") === col("b._band") &&
           col("a._bucket") === col("b._bucket") &&
           col("a._id") < col("b._id") &&
-          noLowerBandMatches
+          noLowerBandMatches(bands, "a", "b")
       )
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
   }
+
+  /** Lowest-matching-band emission conjunction: true iff no band BELOW
+    * the joined rows' own band also matches. Both sides of a (band,
+    * bucket) match carry `_band` lower-band values, so for b < _band the
+    * subscript is always defined.
+    */
+  private def noLowerBandMatches(
+      bands: Int,
+      left: String,
+      right: String
+  ): Column =
+    (0 until bands - 1)
+      .map { b =>
+        col(s"$left._band") <= lit(b) ||
+          col(s"$left._lower")(b) =!= col(s"$right._lower")(b)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
 
   /** Audit view for [[minHashCandidates]]'s bucket cap: every (band,
     * bucket) whose membership exceeds `maxBucket`, with its size. Cheap
@@ -287,6 +309,213 @@ object Dedup {
         col("b._sid").as("id_b"),
         col("jacc")
       )
+  }
+
+  // ------------------------------------- incremental MinHash band index
+
+  /** Handle for a persisted MinHash dedup index (two bucketed catalog
+    * tables + the banding parameters that produced them — mixing
+    * parameters between build and probe would silently produce disjoint
+    * bucket spaces, so they travel with the handle).
+    *
+    *  - `bandTable`: the (_id, _band, _bucket, _lower) banded membership,
+    *    bucketed by (_band, _bucket) — the delta-vs-corpus candidate join
+    *    reads it with NO shuffle on the corpus side.
+    *  - `shingleTable`: (_sid, _sh) shingle sets, bucketed by _sid — the
+    *    Jaccard verification joins look up corpus shingles without
+    *    recomputing them from text.
+    *
+    * This is the shape a 100 TB/day pipeline needs: dedup each day's
+    * delta against yesterday's corpus without re-banding the corpus. The
+    * corpus-side cost per incremental call is a bucketed scan (sequential
+    * IO, zero Exchange), not a recompute of |corpus| signatures.
+    */
+  case class MinHashIndex(
+      bandTable: String,
+      shingleTable: String,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      buckets: Int
+  )
+
+  /** Build and persist a MinHash index for `df` under catalog tables
+    * `<name>_bands` / `<name>_shingles`. One pass over the corpus
+    * evaluates each signature and shingle set exactly once.
+    */
+  def writeMinHashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3,
+      buckets: Int = 32
+  ): MinHashIndex = {
+    val idx =
+      MinHashIndex(s"${name}_bands", s"${name}_shingles", numHashes, bands, shingleSize, buckets)
+    writeIndexTables(df, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
+    idx
+  }
+
+  /** Fold a delta into an existing index (after its pairs have been
+    * emitted via [[minHashNearDupsIncremental]]) so the NEXT delta dedups
+    * against corpus ∪ this delta. Appends to both bucketed tables with
+    * the index's own bucket spec — Spark validates the spec matches.
+    */
+  def appendToMinHashIndex(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: MinHashIndex
+  ): Unit =
+    writeIndexTables(delta, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+
+  /** Drop a managed table AND its warehouse directory. With the
+    * in-memory catalog the metadata dies with the session but the files
+    * survive, so a later session's Overwrite hits
+    * `locationAlreadyExists` — clear both.
+    */
+  private def dropStaleTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    )
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  private def writeIndexTables(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: MinHashIndex,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit = {
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      dropStaleTable(df.sparkSession, idx.bandTable)
+      dropStaleTable(df.sparkSession, idx.shingleTable)
+    }
+    minHashBanded(df, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
+      .write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(idx.buckets, "_band", "_bucket")
+      .sortBy("_band", "_bucket")
+      .saveAsTable(idx.bandTable)
+    df.select(
+        col(idCol).as("_sid"),
+        TextFunctions.shingleSet(col(textCol), idx.shingleSize).as("_sh")
+      )
+      .write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(idx.buckets, "_sid")
+      .sortBy("_sid")
+      .saveAsTable(idx.shingleTable)
+  }
+
+  /** Candidate pairs for an incremental dedup: every pair with at least
+    * one member in `delta` = (delta × corpus) via the bucketed band table
+    * ∪ (delta × delta) via the batch self-join. Corpus × corpus pairs
+    * were emitted when the corpus itself was indexed — union the calls'
+    * outputs for the full pair set.
+    *
+    * Scale shape: the delta is banded ONCE (localCheckpoint) and reused by
+    * both joins. The corpus side of the cross join is the bucketed
+    * `bandTable` scan — its side of the (_band, _bucket) equi-join plans
+    * with ZERO Exchange (only the small delta shuffles, into the index's
+    * bucket partitioning). Exactly-once emission uses the same
+    * lowest-matching-band conjunction as the batch path, evaluated across
+    * the delta/corpus pair.
+    *
+    * Caps: the within-delta leg caps buckets at `maxBucket` like the
+    * batch path. The corpus side is NOT capped — capping it would shuffle
+    * the corpus, defeating the index; audit hot buckets with
+    * [[hotMinHashBuckets]] at build time instead. A delta doc landing in
+    * a corpus bucket of size s contributes ≤ s cross candidates.
+    */
+  def minHashCandidatesIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: MinHashIndex,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spark = delta.sparkSession
+    val banded =
+      minHashBanded(delta, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
+        .localCheckpoint(true)
+    val within = candidatePairsFromBanded(banded, idx.bands, maxBucket)
+    val corpus = spark.table(idx.bandTable)
+    val cross = banded
+      .as("d")
+      .join(
+        corpus.as("c"),
+        col("d._band") === col("c._band") &&
+          col("d._bucket") === col("c._bucket") &&
+          col("d._id") =!= col("c._id") &&
+          noLowerBandMatches(idx.bands, "d", "c")
+      )
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b")
+      )
+    cross.unionByName(within)
+  }
+
+  /** Incremental near-dup pairs, verified: [[minHashCandidatesIncremental]]
+    * candidates, then exact shingle-Jaccard ≥ threshold. Corpus shingles
+    * come from the index's bucketed shingle table (no text recompute, no
+    * corpus-side Exchange on the lookup joins); delta shingles are
+    * computed once and localCheckpointed (they are joined twice). Each
+    * candidate side resolves against corpus-then-delta via left joins +
+    * coalesce, so pairs mix sources freely.
+    *
+    * Result is materialized (localCheckpoint) and intermediate blocks are
+    * released before returning, as in [[minHashNearDups]].
+    */
+  def minHashNearDupsIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      idx: MinHashIndex,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val spark = delta.sparkSession
+    val cands = minHashCandidatesIncremental(delta, textCol, idCol, idx, maxBucket)
+    val corpusSh = spark.table(idx.shingleTable)
+    val deltaSh = delta
+      .select(
+        col(idCol).as("_sid"),
+        TextFunctions.shingleSet(col(textCol), idx.shingleSize).as("_sh")
+      )
+      .localCheckpoint(true)
+    val withA = cands
+      .join(corpusSh.as("ca"), col("id_a") === col("ca._sid"), "left")
+      .join(deltaSh.as("da"), col("id_a") === col("da._sid"), "left")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        coalesce(col("ca._sh"), col("da._sh")).as("_sh_a")
+      )
+    val out = withA
+      .join(corpusSh.as("cb"), col("id_b") === col("cb._sid"), "left")
+      .join(deltaSh.as("db"), col("id_b") === col("db._sid"), "left")
+      .withColumn("jaccard", jaccard(col("_sh_a"), coalesce(col("cb._sh"), col("db._sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+    graft.CacheUtil.release(cands)
+    graft.CacheUtil.release(deltaSh)
+    out
   }
 
   // -------------------------------------------------------------- SimHash

@@ -23,7 +23,8 @@ class EntrySpec extends AnyFunSuite {
     * and the near-dup thresholds exceed the tiny slice's max similarity.
     */
   private val mayBeEmpty =
-    Set("q11_join_anti", "d02_minhash_neardup", "d03_simhash_neardup")
+    Set("q11_join_anti", "d02_minhash_neardup", "d03_simhash_neardup",
+      "d08_incremental_dedup")
 
   for (q <- SparkEntry.queryDefs)
     test(s"${q.name} runs at sf0.001 with rows") {

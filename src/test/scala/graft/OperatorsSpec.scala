@@ -199,6 +199,91 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("incremental dedup against a persisted index == batch on the union (gate)") {
+    // the daily-pipeline contract: pairs(corpus) ∪ incremental(delta, idx)
+    // must equal batch(corpus ∪ delta) — no missed cross pairs, no
+    // duplicates, no corpus recompute
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "inc_gate", buckets = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incr = pairs(
+        Dedup.minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx))
+      val batch = pairs(
+        Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.4)).toSet
+      val corpusOnly = pairs(
+        Dedup.minHashNearDups(corpus, "text", "doc_id", threshold = 0.4)).toSet
+      val touchesDelta = batch.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(touchesDelta.nonEmpty, "fixture yields no cross/delta pairs — gate is vacuous")
+      assert(incr.toSet === touchesDelta)
+      assert(incr.length === incr.toSet.size, "pair emitted more than once")
+      assert(corpusOnly.union(incr.toSet) === batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_gate_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_gate_shingles")
+    }
+  }
+
+  test("appendToMinHashIndex folds a delta in: the next delta pairs against it") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      Doc(1, "completely different content about spark query engines and shuffles"),
+      Doc(2, "another unrelated paragraph mentioning parquet files and buckets")
+    ).toDS.toDF
+    val idx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "inc_app", buckets = 4)
+    try {
+      val delta1 = Seq(Doc(10, base)).toDS.toDF
+      assert(
+        Dedup.minHashNearDupsIncremental(delta1, "text", "doc_id", 0.5, idx).count() === 0)
+      Dedup.appendToMinHashIndex(delta1, "text", "doc_id", idx)
+      // delta2 is a near-dup of delta1's doc — only visible via the append
+      val delta2 = Seq(Doc(20, base.replace("today", "tomorrow"))).toDS.toDF
+      val got = Dedup
+        .minHashNearDupsIncremental(delta2, "text", "doc_id", 0.5, idx)
+        .select("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((10L, 20L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS inc_app_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_app_shingles")
+    }
+  }
+
+  test("incremental candidates read the corpus index with no corpus-side Exchange") {
+    // the point of the persisted index at 100 TB: the corpus side of the
+    // delta-vs-corpus join must be a bucketed scan feeding the join
+    // directly (only the small delta may shuffle)
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "inc_plan", buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the claim is tested on the sort-merge path a
+      // corpus-scale index would take (B22 test pattern)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cands = Dedup.minHashCandidatesIncremental(delta, "text", "doc_id", idx)
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}"
+      )
+      assert(
+        !plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}"
+      )
+      assert(cands.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS inc_plan_bands")
+      spark.sql("DROP TABLE IF EXISTS inc_plan_shingles")
+    }
+  }
+
   test("simHash: identical text → distance 0; near text → small distance") {
     val df = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -325,6 +410,16 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.4))
     assertReleasable("simHashNearDups")(
       Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10))
+    assertReleasable("minHashNearDupsIncremental") {
+      val idx = Dedup.writeMinHashIndex(
+        docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_idx", buckets = 8)
+      try
+        Dedup.minHashNearDupsIncremental(
+          docs.filter($"doc_id" % 3 === 0), "text", "doc_id", 0.4, idx)
+      finally ()
+    }
+    spark.sql("DROP TABLE IF EXISTS leak_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS leak_idx_shingles")
     assertReleasable("lshNearDups")(
       Similarity.lshNearDups(emb, "embedding", "vec_id", threshold = 0.3))
     assertReleasable("ivfPqBuild/search") {
