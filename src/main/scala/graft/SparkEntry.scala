@@ -988,6 +988,24 @@ object SparkEntry {
              |                        i -> text[CAST(i*3+1 AS BIGINT)]), '') AS resized_str
              |FROM documents""".stripMargin)
     ),
+    // real binaryFile ingestion: the corpus written out as one file per
+    // doc, read back through spark.read.format("binaryFile") — name,
+    // size, and content checksum must match the source table exactly
+    Q(
+      "m05_binaryfile_ingest",
+      (s, d) => {
+        val tmp = s"/root/repo/target/tmp/m05_bin_${d.replaceAll("[^0-9.]", "")}"
+        operators.Multimodal
+          .writeTextCorpusAsFiles(documents(s, d), "doc_id", "text", tmp)
+        operators.Multimodal
+          .fromBinaryFiles(s, tmp)
+          .select(col("name"), col("n_bytes"), md5(col("payload")).as("checksum"))
+      },
+      Some("""SELECT CAST(doc_id AS VARCHAR) || '.bin' AS name,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       md5(text) AS checksum
+             |FROM documents""".stripMargin)
+    ),
     // B20 CSV scan & sink: write through CSV, read back, aggregate — the
     // distributed replacement for per-node fread/write.csv
     Q(

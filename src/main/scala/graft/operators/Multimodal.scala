@@ -44,6 +44,78 @@ object Multimodal {
       col(textCol).cast("binary").as("payload")
     )
 
+  /** Real ingestion entry point: read a directory of binary assets via
+    * Spark's `binaryFile` source — the scan a 100 TB image/audio corpus
+    * starts from (it distributes by file, carries (path, length,
+    * modificationTime, content), and prunes on path filters). Returns the
+    * file-level frame; [[mediaFromBinaryFiles]] adapts it to the media
+    * schema the decode/resize/frame operators consume.
+    */
+  def fromBinaryFiles(
+      spark: SparkSession,
+      dir: String,
+      kind: String = "bin"
+  ): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("name"),
+        lit(kind).as("kind"),
+        col("content").as("payload"),
+        col("length").cast("long").as("n_bytes"),
+        col("modificationTime").as("mod_time")
+      )
+
+  /** [[fromBinaryFiles]] adapted to the (doc_id, kind, payload) media
+    * schema: the numeric prefix of each file name becomes the id (the
+    * layout [[writeTextCorpusAsFiles]] produces). Files without a numeric
+    * prefix are rejected loudly rather than silently dropped.
+    */
+  def mediaFromBinaryFiles(
+      spark: SparkSession,
+      dir: String,
+      kind: String = "bin"
+  ): DataFrame = {
+    val idFromName = regexp_extract(col("name"), "^(\\d+)", 1)
+    fromBinaryFiles(spark, dir, kind)
+      .select(
+        when(idFromName === "", raise_error(concat(lit("file name has no numeric id prefix: "), col("name"))))
+          .otherwise(idFromName.cast("long"))
+          .as("doc_id"),
+        col("kind"),
+        col("payload")
+      )
+  }
+
+  /** Fixture generator: write each doc's text bytes as `<doc_id>.bin`
+    * under `dir` (one file per row, written from the executors). LOCAL
+    * testing aid for the binaryFile ingestion path — in this container
+    * there are no real image/audio assets, so the corpus stands in. On a
+    * real cluster point [[fromBinaryFiles]] at the actual asset store
+    * instead.
+    */
+  def writeTextCorpusAsFiles(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String
+  ): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    fs.mkdirs(path)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        )
+        ()
+      }
+  }
+
   /** Binary metadata projection — pure column expressions over the blob. */
   def metadata(media: DataFrame): DataFrame =
     media.select(

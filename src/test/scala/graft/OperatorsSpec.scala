@@ -883,6 +883,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(identity === Set("abcdefghij", "", "xy"))
   }
 
+  test("binaryFile ingestion round-trips the corpus: files == toMedia, byte-for-byte") {
+    // the real entry point a 100 TB asset pipeline starts from: write the
+    // fixture corpus as one file per doc, read it back via the binaryFile
+    // source, and require the media frame to match the in-table stand-in
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(50)
+    val dir = "/root/repo/target/tmp/binfiles_rt"
+    Multimodal.writeTextCorpusAsFiles(docs, "doc_id", "text", dir)
+    val fromFiles = Multimodal.mediaFromBinaryFiles(spark, dir)
+      .select($"doc_id", $"kind", $"payload".cast("string").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val fromTable = Multimodal.toMedia(docs)
+      .select($"doc_id", $"payload".cast("string").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fromFiles === fromTable)
+    // and the downstream transforms consume it unchanged
+    val decoded = Multimodal
+      .decodeStub(spark, Multimodal.mediaFromBinaryFiles(spark, dir))
+      .collect()
+    assert(decoded.length === fromTable.size)
+  }
+
+  test("mediaFromBinaryFiles rejects files without a numeric id prefix") {
+    val dir = "/root/repo/target/tmp/binfiles_bad"
+    val p = java.nio.file.Paths.get(dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("noid.bin"), "x".getBytes)
+    val e = intercept[Exception] {
+      Multimodal.mediaFromBinaryFiles(spark, dir).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("no numeric id prefix")), s"unexpected: $e")
+  }
+
   test("frameSample: counts follow ceil arithmetic") {
     val df = Seq(Doc(1, "x" * 130)).toDS.toDF // 130 bytes, 64-byte frames → 3 frames
     val got = Multimodal.frameSample(Multimodal.toMedia(df), frameBytes = 64, every = 2)
