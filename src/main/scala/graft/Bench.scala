@@ -25,9 +25,10 @@ object Bench {
     "q33_pivot_case", "q34_quantiles", "q35_stats",
     "q36_global_sort", "q37_salted_agg",
     "e01_window_hourly", "e02_window_5min", "e03_sessionize", "e04_asof_join",
-    "t01_token_count", "t03_lang_id", "t04_fingerprint", "t05_quality_score",
+    "t01_token_count", "t02_quality", "t03_lang_id", "t04_fingerprint",
+    "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
-    "d07_lsh_neardup",
+    "d07_lsh_neardup", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample", "m04_resize_stub"
   )

@@ -32,6 +32,12 @@ object SparkEntry {
   // Reference-parity surface (SURVEY.md §2.B) on the TPC-H-ish fixtures
   // ------------------------------------------------------------------
 
+  /** Unique memory-sink names for st01: the sink table dies with the
+    * query but its NAME persists in the catalog until dropped, and two
+    * bench passes must never collide.
+    */
+  private val streamOutSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val registry: Seq[Q] = Seq(
     // B1 full-table aggregate (reference tests-06-readme.R:136-143):
     // global partial→final agg, Spark-native (OuterAgg.Auto).
@@ -137,29 +143,35 @@ object SparkEntry {
              |FROM lineitem GROUP BY 1""".stripMargin)
     ),
     // B7 uniqueN / countDistinct (reference R/big.data.table.R:45).
-    // Three distinct columns → one pass with per-column pre-dedup: union
-    // the (flag, which-column, key) legs, distinct once (map-side partial
-    // dedup makes the shuffle carry only distinct tuples), then count per
-    // flag — no Expand ×3 of the full fact table.
+    // Three distinct columns in ONE scan: explode (flag, 3k+g packed
+    // key), distinct once, count per flag. The partial HashAggregate
+    // before the exchange dedups map-side, so the shuffle carries only
+    // per-task-distinct (string, long) rows — vs native multi-
+    // countDistinct's Expand×3, whose rows haul 3 nullable long slots +
+    // gid (~2× the bytes) for the same row count. All shapes measured
+    // within noise at sf0.1/4 cores (the cost is the distinct row count,
+    // not width — see NEXT.md); the narrowest shuffle wins at 100 TB.
     Q(
       "q07_uniqueN",
       (s, d) => {
         val li = lineitem(s, d)
-        def leg(c: String, g: Int) =
-          li.select(
+        // keys are ≤ 2^61 so 3k+g is lossless
+        li.select(
             col("l_returnflag"),
-            lit(g).as("_g"),
-            col(c).cast("long").as("_k")
+            explode(
+              array(
+                col("l_partkey") * 3,
+                col("l_suppkey") * 3 + 1,
+                col("l_orderkey") * 3 + 2
+              )
+            ).as("_key")
           )
-        leg("l_partkey", 0)
-          .union(leg("l_suppkey", 1))
-          .union(leg("l_orderkey", 2))
           .distinct()
           .groupBy(col("l_returnflag"))
           .agg(
-            count(when(col("_g") === 0, 1)).as("n_parts"),
-            count(when(col("_g") === 1, 1)).as("n_supps"),
-            count(when(col("_g") === 2, 1)).as("n_orders")
+            count(when(pmod(col("_key"), lit(3)) === 0, 1)).as("n_parts"),
+            count(when(pmod(col("_key"), lit(3)) === 1, 1)).as("n_supps"),
+            count(when(pmod(col("_key"), lit(3)) === 2, 1)).as("n_orders")
           )
       },
       Some("""SELECT l_returnflag,
@@ -802,9 +814,10 @@ object SparkEntry {
     // d05 (hyperplane-table dependent; rows-only, recall-gated in ScalaTest)
     Q(
       "d07_lsh_neardup",
-      // (3 planes, 12 tables) measured at sf0.1 (2000 vecs, threshold
-      // 0.3 — the fixture sits near-threshold, hyperplane LSH's hard
-      // case): recall 14195/14922 = 0.951 vs brute, 1.6× faster than
+      // (3 planes, 12 tables) = Similarity.suggestLshParams(2000, 250,
+      // 0.94, 0.3) — measured at sf0.1 (2000 vecs, threshold 0.3, the
+      // near-threshold fixture, hyperplane LSH's hard case): recall
+      // 14195/14922 = 0.951 vs brute (bound: 0.943), 1.6× faster than
       // (2, 8) whose 4-value buckets make candidates near-quadratic.
       (s, d) =>
         operators.Similarity
@@ -835,6 +848,51 @@ object SparkEntry {
         operators.Dedup
           .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
           .select(col("id_a"), col("id_b"))
+      },
+      None
+    ),
+    // streaming simhash dedup, one MemoryStream micro-batch over the
+    // fixture corpus — keeps the stateful path's cost visible in the
+    // bench round over round (rows-only: StreamingSpec proves
+    // batch-parity; the batch twin d03 carries the oracle burden)
+    Q(
+      "st01_stream_simhash",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val fixture = documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .collect()
+        val mem = MemoryStream[(Long, String)]
+        val name = s"st01_out_${streamOutSeq.incrementAndGet()}"
+        // radius 3 (4×16-bit chunks): the streaming-appropriate setting —
+        // narrow-chunk radii (d03 runs 10 = 11×5-6-bit chunks) put most
+        // of the corpus in a few buckets, and a per-bucket state
+        // transition verifies arrivals against members serially, so hot
+        // buckets cost O(members²) in ONE task (18 s at sf0.1; radius 3
+        // is 0.5 s). Batch d03 keeps the wide radius; the stream twin is
+        // for high-similarity live dedup.
+        val q = streaming.StreamingDedup
+          .simHashNearDupStream(
+            s, mem.toDF().toDF("doc_id", "text"), "text", "doc_id",
+            maxHamming = 3, maxBucket = 8192)
+          .toDF()
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .start()
+        try {
+          mem.addData(fixture.toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        // the memory sink dies with the query name — copy the (small)
+        // pair list out so the returned frame stands alone
+        val out = s.table(name).select(col("id_a"), col("id_b")).localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        out
       },
       None
     ),

@@ -599,6 +599,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("999") && e.getMessage.contains("vec_id"))
   }
 
+  test("suggestLshParams reproduces the probe's known-good points") {
+    // the sf0.1 probe (NEXT.md round 6): 2000 near-threshold vectors at
+    // cosine 0.3, (3 planes, 12 tables) measured recall 0.951. The
+    // at-threshold bound for (3, 12) is 0.943, so asking for 0.94
+    // reproduces the known-good config and 0.95 adds one table.
+    import Similarity.{suggestLshParams, LshParams}
+    assert(suggestLshParams(2000, 250, recallTarget = 0.94, threshold = 0.3)
+      === LshParams(3, 12))
+    assert(suggestLshParams(2000, 250, recallTarget = 0.95, threshold = 0.3)
+      === LshParams(3, 13))
+    // planes grow with log(n): 1000× the corpus at the same bucket target
+    val big = suggestLshParams(2000L * 1000, 250, 0.94, 0.3)
+    assert(big.nPlanes === 13, s"expected log2(2M/250)=13, got $big")
+    // more planes → lower per-table collision → more tables to recover
+    assert(big.nTables > 12)
+    // near-duplicate threshold (cosine ~0.95) needs very few tables
+    val tight = suggestLshParams(2000L * 1000, 250, 0.95, 0.95)
+    assert(tight.nTables < big.nTables)
+  }
+
   test("knn ranks by cosine: crafted vectors in known order") {
     val df = Seq(
       Vec(0, Array(1f, 0f, 0f)),

@@ -296,6 +296,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suite runs under the RocksDB state store (100 TB/day state path)") {
+    // the default HDFS-backed store keeps every version's state in
+    // executor memory — at 100 TB/day fingerprint volume it is the first
+    // thing to fall over. RocksDB spills to local disk with incremental
+    // checkpointing; the dedup state transitions must behave identically
+    // under it. Same assertions as the per-provider twins above, under
+    // the swapped provider.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(
+      key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      // simhash twin: cross-batch pair, exactly once, replay-safe
+      val mem = MemoryStream[(Long, String)]
+      val pairs = graft.streaming.StreamingDedup.simHashNearDupStream(
+        spark, mem.toDF().toDF("doc_id", "text"), "text", "doc_id", maxHamming = 3)
+      val q = pairs.toDF().writeStream
+        .format("memory").queryName("rocks_out").outputMode("append").start()
+      try {
+        mem.addData(Seq((1L, "alpha beta gamma delta epsilon zeta")))
+        q.processAllAvailable()
+        mem.addData(Seq((2L, "alpha beta gamma delta epsilon zeta")))
+        q.processAllAvailable()
+        val got = spark.table("rocks_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.toSeq === Seq((1L, 2L)))
+        mem.addData(Seq((1L, "alpha beta gamma delta epsilon zeta")))
+        q.processAllAvailable()
+        assert(spark.table("rocks_out").count() === 1L, "replay emitted duplicates")
+        // prove the query really ran on RocksDB, not a silently-ignored
+        // conf: the provider surfaces rocksdb* custom metrics
+        val ops = q.lastProgress.stateOperators
+        assert(ops.nonEmpty, "no state operator in progress — test is vacuous")
+        val metricKeys = ops.flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(
+          metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics — provider not in effect: ${metricKeys.mkString(",")}"
+        )
+      } finally q.stop()
+      // exact-dedup twin under RocksDB (watermark-evicted fingerprints)
+      val mem2 = MemoryStream[Ev]
+      val deduped = graft.streaming.StreamingDedup.exactDedupStream(
+        mem2.toDF().withColumn("text", concat(lit("doc-"), $"value".cast("int"))),
+        "text", "ts", watermark = "10 minutes")
+      val q2 = deduped.writeStream
+        .format("memory").queryName("rocks_exact_out").outputMode("append").start()
+      try {
+        mem2.addData(Ev(1, t(0), 1.0), Ev(2, t(1), 2.0))
+        q2.processAllAvailable()
+        mem2.addData(Ev(3, t(2), 1.0), Ev(4, t(3), 3.0))
+        q2.processAllAvailable()
+        val out = spark.table("rocks_exact_out").select($"text").collect().map(_.getString(0))
+        assert(out.toSet === Set("doc-1", "doc-2", "doc-3"))
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming windowed counts == batch windowed counts on the fixture") {
     val dir = SparkTestSession.sfDir
     val stream = Streams.eventStream(spark, dir)
