@@ -851,6 +851,25 @@ object SparkEntry {
       },
       None
     ),
+    // incremental simhash against a persisted chunk index: the simhash
+    // twin of d08 — one self-contained bucketed table, inline
+    // bit_count(xor) verification, zero corpus-side Exchange (hash-seed
+    // dependent — rows-only; the ScalaTest gate proves incremental ==
+    // batch on the union pair-for-pair)
+    Q(
+      "d09_incremental_simhash",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val idx = operators.Dedup
+          .writeSimHashIndex(corpus, "text", "doc_id", "d09_idx", maxHamming = 10, buckets = 8)
+        operators.Dedup
+          .simHashNearDupsIncremental(delta, "text", "doc_id", idx)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+      },
+      None
+    ),
     // streaming simhash dedup, one MemoryStream micro-batch over the
     // fixture corpus — keeps the stateful path's cost visible in the
     // bench round over round (rows-only: StreamingSpec proves

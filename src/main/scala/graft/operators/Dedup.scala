@@ -390,6 +390,28 @@ object Dedup {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Bucketed-catalog-table write shared by the persisted dedup indexes
+    * (MinHash band/shingle tables, SimHash chunk table). Overwrite clears
+    * stale metadata AND files first (see [[dropStaleTable]]); Append
+    * reuses the table's own bucket spec — Spark validates it matches.
+    */
+  private def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      nBuckets: Int,
+      keys: Seq[String],
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit = {
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite)
+      dropStaleTable(df.sparkSession, table)
+    df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   private def writeIndexTables(
       df: DataFrame,
       textCol: String,
@@ -397,27 +419,23 @@ object Dedup {
       idx: MinHashIndex,
       mode: org.apache.spark.sql.SaveMode
   ): Unit = {
-    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
-      dropStaleTable(df.sparkSession, idx.bandTable)
-      dropStaleTable(df.sparkSession, idx.shingleTable)
-    }
-    minHashBanded(df, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
-      .write
-      .mode(mode)
-      .format("parquet")
-      .bucketBy(idx.buckets, "_band", "_bucket")
-      .sortBy("_band", "_bucket")
-      .saveAsTable(idx.bandTable)
-    df.select(
+    writeBucketedTable(
+      minHashBanded(df, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize),
+      idx.bandTable,
+      idx.buckets,
+      Seq("_band", "_bucket"),
+      mode
+    )
+    writeBucketedTable(
+      df.select(
         col(idCol).as("_sid"),
         TextFunctions.shingleSet(col(textCol), idx.shingleSize).as("_sh")
-      )
-      .write
-      .mode(mode)
-      .format("parquet")
-      .bucketBy(idx.buckets, "_sid")
-      .sortBy("_sid")
-      .saveAsTable(idx.shingleTable)
+      ),
+      idx.shingleTable,
+      idx.buckets,
+      Seq("_sid"),
+      mode
+    )
   }
 
   /** Candidate pairs for an incremental dedup: every pair with at least
@@ -560,7 +578,22 @@ object Dedup {
       s"maxHamming must be in [0, 64), got $maxHamming"
     )
     require(maxBucket > 1, "maxBucket must allow at least one pair")
-    val chunked = simHashChunked(df, textCol, idCol, maxHamming)
+    simHashPairsFromChunked(
+      simHashChunked(df, textCol, idCol, maxHamming),
+      maxHamming,
+      maxBucket
+    )
+  }
+
+  /** Verified pair emission from a (_id, _simhash, _chunk, _val) blocking
+    * table — the join half of [[simHashNearDups]], shared with the
+    * within-delta leg of [[simHashNearDupsIncremental]].
+    */
+  private def simHashPairsFromChunked(
+      chunked: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int
+  ): DataFrame = {
     // Same two-step shape as [[minHashCandidates]] (see the full rationale
     // there): (1) ONE job evaluates every SimHash once, groups by
     // (chunk, value), caps each bucket at the `maxBucket` lowest members
@@ -610,17 +643,6 @@ object Dedup {
         col("_m._simhash").as("_simhash")
       )
       .localCheckpoint(true)
-    val chunks = maxHamming + 1
-    val (widths, offsets) = chunkLayout(chunks)
-    def chunkVal(h: Column, c: Int): Column =
-      shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c))))
-    val noLowerChunkMatches = (0 until chunks - 1)
-      .map { c =>
-        col("a._chunk") <= lit(c) ||
-          chunkVal(col("a._simhash"), c) =!= chunkVal(col("b._simhash"), c)
-      }
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
     members
       .as("a")
       .join(
@@ -628,7 +650,7 @@ object Dedup {
         col("a._chunk") === col("b._chunk") &&
           col("a._val") === col("b._val") &&
           col("a._id") < col("b._id") &&
-          noLowerChunkMatches
+          noLowerChunkMatches(maxHamming + 1, "a", "b")
       )
       .select(
         col("a._id").as("id_a"),
@@ -680,6 +702,30 @@ object Dedup {
 
   private[graft] def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
 
+  /** Exactly-once emission conjunction for chunk-blocked joins: true iff
+    * NO chunk below the bucket's own chunk matches between the two sides,
+    * each chunk value recomputed at plan time from the carried 64-bit
+    * hashes (`<alias>._simhash`). The SimHash twin of
+    * [[noLowerBandMatches]] — see the emission rationale in
+    * [[simHashPairsFromChunked]].
+    */
+  private def noLowerChunkMatches(
+      chunks: Int,
+      left: String,
+      right: String
+  ): Column = {
+    val (widths, offsets) = chunkLayout(chunks)
+    def chunkVal(h: Column, c: Int): Column =
+      shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c))))
+    (0 until chunks - 1)
+      .map { c =>
+        col(s"$left._chunk") <= lit(c) ||
+          chunkVal(col(s"$left._simhash"), c) =!= chunkVal(col(s"$right._simhash"), c)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+  }
+
   /** Audit view for [[simHashNearDups]]'s bucket cap: every (chunk, value)
     * block larger than `maxBucket`, with its size.
     */
@@ -695,6 +741,139 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
       .select(col("_chunk").as("chunk"), col("_val").as("value"), col("bucket_size"))
+
+  // ------------------------------------ incremental SimHash chunk index
+
+  /** Handle for a persisted SimHash dedup index: ONE bucketed catalog
+    * table holding the (_chunk, _val) pigeonhole membership with the
+    * carried 64-bit hash. Unlike [[MinHashIndex]] no second lookup table
+    * is needed — verification (`bit_count(xor) ≤ radius`) runs inline
+    * from the carried hashes, so the index is self-contained. The radius
+    * travels with the handle: the chunk layout is a function of
+    * `maxHamming`, and probing with a different radius would block on a
+    * disjoint (chunk, value) space.
+    */
+  case class SimHashIndex(chunkTable: String, maxHamming: Int, buckets: Int)
+
+  /** Build and persist a SimHash index for `df` under catalog table
+    * `<name>_chunks`, bucketed by (_chunk, _val) so incremental probes
+    * read the corpus side with zero Exchange. One pass evaluates each
+    * SimHash once ([[simHashChunked]] spreads the hash compute first).
+    */
+  def writeSimHashIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      maxHamming: Int = 3,
+      buckets: Int = 32
+  ): SimHashIndex = {
+    require(
+      maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming"
+    )
+    val idx = SimHashIndex(s"${name}_chunks", maxHamming, buckets)
+    writeBucketedTable(
+      simHashChunked(df, textCol, idCol, maxHamming),
+      idx.chunkTable,
+      buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    idx
+  }
+
+  /** Fold a delta into an existing SimHash index (after its pairs were
+    * emitted via [[simHashNearDupsIncremental]]) so the NEXT delta dedups
+    * against corpus ∪ this delta.
+    */
+  def appendToSimHashIndex(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashIndex
+  ): Unit =
+    writeBucketedTable(
+      simHashChunked(delta, textCol, idCol, idx.maxHamming),
+      idx.chunkTable,
+      idx.buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+
+  /** Incremental SimHash near-dups: every pair within `idx.maxHamming`
+    * with at least one member in `delta` = (delta × corpus) via the
+    * bucketed chunk table ∪ (delta × delta) via the batch self-join.
+    * Corpus × corpus pairs were emitted when the corpus was indexed —
+    * union the calls' outputs for the full pair set.
+    *
+    * Scale shape mirrors [[minHashNearDupsIncremental]]: the delta is
+    * chunked ONCE (localCheckpoint) and reused by both legs; the corpus
+    * side of the cross join is a bucketed scan feeding the (_chunk, _val)
+    * equi-join with ZERO Exchange (only the delta shuffles, into the
+    * index's bucket partitioning). Exactly-once emission uses the same
+    * lowest-matching-chunk conjunction as the batch path, evaluated
+    * across the delta/corpus pair from the carried hashes; verification
+    * is inline `bit_count(xor)` — no lookup join at all. The within-delta
+    * leg caps buckets at `maxBucket` like the batch path; the corpus side
+    * is NOT capped (capping it would shuffle the corpus — audit with
+    * [[hotSimHashBuckets]] at build time instead).
+    *
+    * Result is materialized (localCheckpoint) and the delta-side blocks
+    * are released before returning.
+    */
+  def simHashNearDupsIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashIndex,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val lazyPairs =
+      simHashPairsIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+    val out = lazyPairs.localCheckpoint(true)
+    // releasing the lazy plan frees BOTH delta-side checkpoints it reads
+    // (the chunked delta and the capped within-delta membership)
+    graft.CacheUtil.release(lazyPairs)
+    out
+  }
+
+  /** The un-materialized plan behind [[simHashNearDupsIncremental]].
+    * Exposed for plan-shape tests (the public wrapper eagerly
+    * checkpoints, which hides the join from `executedPlan`); callers must
+    * [[graft.CacheUtil.release]] it when done.
+    */
+  private[graft] def simHashPairsIncrementalLazy(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashIndex,
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spark = delta.sparkSession
+    val chunked =
+      simHashChunked(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
+    val within = simHashPairsFromChunked(chunked, idx.maxHamming, maxBucket)
+    val corpus = spark.table(idx.chunkTable)
+    val cross = chunked
+      .as("d")
+      .join(
+        corpus.as("c"),
+        col("d._chunk") === col("c._chunk") &&
+          col("d._val") === col("c._val") &&
+          col("d._id") =!= col("c._id") &&
+          noLowerChunkMatches(idx.maxHamming + 1, "d", "c")
+      )
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b"),
+        bit_count(col("d._simhash").bitwiseXOR(col("c._simhash")))
+          .as("hamming")
+      )
+      .filter(col("hamming") <= idx.maxHamming)
+    cross.unionByName(within)
+  }
 
   // ------------------------------------------------ cluster resolution
 

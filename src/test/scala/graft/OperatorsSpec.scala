@@ -284,6 +284,84 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental simhash against a persisted index == batch on the union (gate)") {
+    // same daily-pipeline contract as the minhash gate, for the simhash
+    // index: pairs(corpus) ∪ incremental(delta, idx) == batch(corpus ∪
+    // delta), exactly once, with no corpus recompute
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val h = 10
+    val idx =
+      Dedup.writeSimHashIndex(corpus, "text", "doc_id", "sinc_gate", maxHamming = h, buckets = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incr = pairs(Dedup.simHashNearDupsIncremental(delta, "text", "doc_id", idx))
+      val batch = pairs(Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = h)).toSet
+      val corpusOnly =
+        pairs(Dedup.simHashNearDups(corpus, "text", "doc_id", maxHamming = h)).toSet
+      val touchesDelta = batch.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(touchesDelta.nonEmpty, "fixture yields no cross/delta pairs — gate is vacuous")
+      assert(incr.toSet === touchesDelta)
+      assert(incr.length === incr.toSet.size, "pair emitted more than once")
+      assert(corpusOnly.union(incr.toSet) === batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sinc_gate_chunks")
+    }
+  }
+
+  test("appendToSimHashIndex folds a delta in: the next delta pairs against it") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      Doc(1, "completely different content about spark query engines and shuffles"),
+      Doc(2, "another unrelated paragraph mentioning parquet files and buckets")
+    ).toDS.toDF
+    val idx =
+      Dedup.writeSimHashIndex(corpus, "text", "doc_id", "sinc_app", maxHamming = 16, buckets = 4)
+    try {
+      val delta1 = Seq(Doc(10, base)).toDS.toDF
+      assert(
+        Dedup.simHashNearDupsIncremental(delta1, "text", "doc_id", idx).count() === 0)
+      Dedup.appendToSimHashIndex(delta1, "text", "doc_id", idx)
+      val delta2 = Seq(Doc(20, base.replace("today", "tomorrow"))).toDS.toDF
+      val got = Dedup
+        .simHashNearDupsIncremental(delta2, "text", "doc_id", idx)
+        .select("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((10L, 20L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sinc_app_chunks")
+    }
+  }
+
+  test("incremental simhash reads the corpus index with no corpus-side Exchange") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx =
+      Dedup.writeSimHashIndex(corpus, "text", "doc_id", "sinc_plan", maxHamming = 10, buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the public wrapper eagerly checkpoints (hiding the join), so
+      // assert on the lazy plan it materializes
+      val pairs =
+        Dedup.simHashPairsIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      assert(pairs.count() > 0)
+      graft.CacheUtil.release(pairs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS sinc_plan_chunks")
+    }
+  }
+
   test("simHash: identical text → distance 0; near text → small distance") {
     val df = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -420,6 +498,14 @@ class OperatorsSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE IF EXISTS leak_idx_bands")
     spark.sql("DROP TABLE IF EXISTS leak_idx_shingles")
+    assertReleasable("simHashNearDupsIncremental") {
+      val idx = Dedup.writeSimHashIndex(
+        docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_sidx",
+        maxHamming = 10, buckets = 8)
+      Dedup.simHashNearDupsIncremental(
+        docs.filter($"doc_id" % 3 === 0), "text", "doc_id", idx)
+    }
+    spark.sql("DROP TABLE IF EXISTS leak_sidx_chunks")
     assertReleasable("lshNearDups")(
       Similarity.lshNearDups(emb, "embedding", "vec_id", threshold = 0.3))
     assertReleasable("ivfPqBuild/search") {
