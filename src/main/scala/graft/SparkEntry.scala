@@ -870,6 +870,51 @@ object SparkEntry {
       },
       None
     ),
+    // benchmark decontamination: corpus docs sharing any 8-gram with the
+    // benchmark split (doc_id % 10 == 0) are removed. String-shingle
+    // matching — fully oracle-expressible with the d04 shingle SQL shape
+    Q(
+      "d10_decontaminate",
+      (s, d) => {
+        val docs = documents(s, d)
+        operators.Decontaminate
+          .decontaminate(
+            docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+            docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+          .select(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |sh AS (SELECT doc_id,
+             |        list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+             |             ELSE list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))
+             |        END) AS s FROM tok),
+             |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+             |cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+             |cont AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin)
+    ),
+    // contamination evidence report: (doc_id, distinct shared 8-grams)
+    // for every corpus doc colliding with the benchmark split
+    Q(
+      "d11_contamination_report",
+      (s, d) => {
+        val docs = documents(s, d)
+        operators.Decontaminate
+          .contaminationReport(
+            docs.filter(col("doc_id") % 10 =!= 0), "text", "doc_id",
+            docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+      },
+      Some("""WITH tok AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |sh AS (SELECT doc_id,
+             |        list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+             |             ELSE list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))
+             |        END) AS s FROM tok),
+             |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+             |cg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0)
+             |SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (g)
+             |GROUP BY cg.doc_id""".stripMargin)
+    ),
     // streaming simhash dedup, one MemoryStream micro-batch over the
     // fixture corpus — keeps the stateful path's cost visible in the
     // bench round over round (rows-only: StreamingSpec proves

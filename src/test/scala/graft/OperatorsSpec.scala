@@ -527,6 +527,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leaked.size <= 1, s"leaked cached RDDs: $leaked")
   }
 
+  test("decontaminate removes exactly the docs sharing a benchmark n-gram") {
+    val bench = Seq(
+      Doc(100, "the secret benchmark question about distributed joins appears here verbatim")
+    ).toDS.toDF
+    val corpus = Seq(
+      // contains an 8-gram of the benchmark text → contaminated
+      Doc(1, "prefix words then the secret benchmark question about distributed joins appears and more"),
+      // shares only shorter spans → clean at n = 8
+      Doc(2, "the secret benchmark question is mentioned but differently continued here today"),
+      Doc(3, "entirely unrelated text about parquet bucketing and shuffle hygiene")
+    ).toDS.toDF
+    val report = operators.Decontaminate
+      .contaminationReport(corpus, "text", "doc_id", bench, "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report.keySet === Set(1L))
+    assert(report(1L) >= 1)
+    val clean = operators.Decontaminate
+      .decontaminate(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L, 3L))
+  }
+
+  test("contaminationReport minMatches thresholds on distinct shared grams") {
+    val bench = Seq(Doc(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDS.toDF
+    val corpus = Seq(
+      // shares two distinct 4-grams (alpha..delta, beta..epsilon) via a 5-token overlap
+      Doc(1, "alpha beta gamma delta epsilon completely different tail content here"),
+      // shares exactly one 4-gram
+      Doc(2, "alpha beta gamma delta then something else entirely follows now")
+    ).toDS.toDF
+    def ids(minMatches: Int): Set[Long] = operators.Decontaminate
+      .contaminationReport(corpus, "text", "doc_id", bench, "text", n = 4, minMatches = minMatches)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) === Set(1L, 2L))
+    assert(ids(2) === Set(1L))
+  }
+
+  test("decontamination broadcasts the benchmark side (corpus never shuffles for the probe)") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val report = operators.Decontaminate.contaminationReport(
+      docs.filter($"doc_id" % 10 =!= 0), "text", "doc_id",
+      docs.filter($"doc_id" % 10 === 0), "text", n = 8)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram probe is not a broadcast join:\n${plan.take(3000)}")
+    assert(report.count() > 0, "fixture yields no contamination — gate is vacuous")
+  }
+
   // ------------------------------------------------- vectors/similarity
 
   test("cosine: identity 1, orthogonal 0") {
