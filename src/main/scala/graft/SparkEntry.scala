@@ -915,6 +915,53 @@ object SparkEntry {
              |SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (g)
              |GROUP BY cg.doc_id""".stripMargin)
     ),
+    // deterministic hash split (train side at 0.8): md5-prefix sampling
+    // is engine-portable, so the oracle reproduces the exact membership
+    Q(
+      "p01_hash_split",
+      (s, d) =>
+        operators.Sampling
+          .split(documents(s, d), "doc_id", trainFrac = 0.8)
+          ._1
+          .select(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'""".stripMargin)
+    ),
+    // per-stratum deterministic subsampling (data mixing): keep 50% of
+    // en, all of zh, none of fr, 25% of everything else
+    Q(
+      "p02_stratified_sample",
+      (s, d) =>
+        operators.Sampling
+          .sampleByStratum(
+            documents(s, d), "doc_id", "lang",
+            Map("en" -> 0.5, "zh" -> 1.0, "fr" -> 0.0), default = 0.25)
+          .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000')
+             |   OR lang = 'zh'
+             |   OR (lang NOT IN ('en', 'zh', 'fr')
+             |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000')""".stripMargin)
+    ),
+    // weighted mixture upsampling: src0 at 2.5x, src1 at 0.5x, rest 1x —
+    // floor(w) copies plus a deterministic frac(w) extra, _copy indexed
+    Q(
+      "p03_upsample_mix",
+      (s, d) =>
+        operators.Sampling
+          .upsampleByWeight(
+            documents(s, d), "doc_id", "source",
+            Map("src0" -> 2.5, "src1" -> 0.5), default = 1.0)
+          .select(col("doc_id"), col("source"), col("_copy").cast("long").as("_copy")),
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |    (CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END
+             |     + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             |              (CASE WHEN source IN ('src0', 'src1') THEN '80000000' ELSE '00000000' END)
+             |            THEN 1 ELSE 0 END) AS c
+             |  FROM documents)
+             |SELECT doc_id, source, unnest(range(c)) AS _copy FROM n WHERE c > 0""".stripMargin)
+    ),
     // streaming simhash dedup, one MemoryStream micro-batch over the
     // fixture corpus — keeps the stateful path's cost visible in the
     // bench round over round (rows-only: StreamingSpec proves

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines:
+  * train/holdout splits, per-stratum subsampling (data mixing), and
+  * weight > 1 upsampling — all keyed on a content hash of the row id, so
+  * results are reproducible across runs, engines, partitionings, and
+  * cluster sizes with NO seed state and no shuffle (every decision is a
+  * per-row codegen'd predicate on the scan).
+  *
+  * Contrast with `df.sample()` / `df.stat.sampleBy()`: Spark's samplers
+  * are seeded per-partition, so the selected set changes with the
+  * partitioning — a repartitioned 100 TB corpus yields a different
+  * sample. Hash sampling is stable under any layout, and samples are
+  * NESTED by construction (the 10 % sample is a subset of the 20 %
+  * sample with the same salt), which makes scaling-law subset curves
+  * consistent. Use a different `salt` per independent decision (e.g.
+  * the holdout split vs a downsampling pass) to decorrelate them.
+  *
+  * North-star extension beyond the reference surface (SURVEY.md §7.2);
+  * the md5-prefix formulation is chosen over xxhash64 because every
+  * engine (Spark, DuckDB, Trino, …) produces the identical lowercase
+  * hex digest, making the sample membership itself portable.
+  */
+object Sampling {
+
+  /** Fraction of the 32-bit hash space as a zero-padded 8-hex-char
+    * threshold; lexicographic compare on fixed-width lowercase hex is
+    * numeric compare. Granularity 1/2^32.
+    */
+  private def fracThreshold(frac: Double): String =
+    f"${(frac * 4294967296L).toLong}%08x"
+
+  /** Deterministic inclusion predicate: true for ~`frac` of ids. The
+    * hash input is `id` cast to string (portable), plus `salt` so
+    * independent sampling decisions don't reuse the same hash bits.
+    */
+  def hashSample(id: Column, frac: Double, salt: String = ""): Column =
+    if (frac >= 1.0) lit(true)
+    else if (frac <= 0.0) lit(false)
+    else
+      substring(md5(concat(id.cast("string"), lit(salt))), 1, 8) <
+        lit(fracThreshold(frac))
+
+  /** (train, holdout) split at `trainFrac` — complementary by the same
+    * predicate, so every row lands in exactly one side.
+    */
+  def split(
+      df: DataFrame,
+      idCol: String,
+      trainFrac: Double,
+      salt: String = ""
+  ): (DataFrame, DataFrame) = {
+    val p = hashSample(col(idCol), trainFrac, salt)
+    (df.filter(p), df.filter(!p))
+  }
+
+  /** Per-stratum deterministic subsampling — the data-mixing primitive:
+    * keep `fracs(stratum)` of each stratum (languages, sources, quality
+    * buckets), `default` of unlisted strata. One scan, no shuffle, no
+    * seed; proportions are binomial in expectation, not exact-count (an
+    * exact-count sampler needs a per-stratum sort — wrong trade at
+    * 100 TB).
+    */
+  def sampleByStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fracs: Map[String, Double],
+      default: Double = 0.0,
+      salt: String = ""
+  ): DataFrame = {
+    val pred = fracs.foldLeft(lit(false)) { case (acc, (k, f)) =>
+      acc || (col(stratumCol) === lit(k) && hashSample(col(idCol), f, salt))
+    } || (!col(stratumCol).isInCollection(fracs.keys.toSeq) &&
+      hashSample(col(idCol), default, salt))
+    df.filter(pred)
+  }
+
+  /** Weight ≥ 0 mixture upsampling: emit `floor(w)` copies of each row
+    * plus one more for a deterministic `frac(w)` subset, so a stratum
+    * with weight 2.3 appears 2.3× in expectation — the epoch-mixing
+    * primitive for weighted training mixtures. Output adds `_copy`
+    * (0-based) so downstream shuffling/interleaving can distinguish
+    * copies. Rows of unlisted strata get weight `default`. The explode
+    * is a generator on the scan — no shuffle, output is mixture-sized.
+    */
+  def upsampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weights: Map[String, Double],
+      default: Double = 1.0,
+      salt: String = ""
+  ): DataFrame = {
+    require(weights.values.forall(_ >= 0) && default >= 0, "weights must be ≥ 0")
+    val whole = weights.foldLeft(lit(math.floor(default).toInt)) {
+      case (acc, (k, w)) =>
+        when(col(stratumCol) === lit(k), lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val fractional = weights.foldLeft(
+      hashSample(col(idCol), default - math.floor(default), salt)
+    ) { case (acc, (k, w)) =>
+      when(
+        col(stratumCol) === lit(k),
+        hashSample(col(idCol), w - math.floor(w), salt)
+      ).otherwise(acc)
+    }
+    val copies = whole + fractional.cast("int")
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      .select(
+        col("*"),
+        explode(sequence(lit(0), col("_copies") - 1)).as("_copy")
+      )
+      .drop("_copies")
+  }
+}

@@ -575,6 +575,72 @@ class OperatorsSpec extends AnyFunSuite {
     assert(report.count() > 0, "fixture yields no contamination — gate is vacuous")
   }
 
+  // ------------------------------------------------- deterministic sampling
+
+  test("hash split partitions exactly; membership is layout-independent") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val (train, hold) = operators.Sampling.split(docs, "doc_id", 0.8)
+    val all = docs.count()
+    assert(train.count() + hold.count() === all)
+    assert(train.join(hold, Seq("doc_id"), "inner").count() === 0)
+    // binomial at frac 0.8: loose sanity bounds, not exact-count
+    val frac = train.count().toDouble / all
+    assert(frac > 0.6 && frac < 0.95, s"train frac $frac")
+    // repartitioning must not change the selected set (the df.sample contrast)
+    val re = operators.Sampling.split(docs.repartition(7), "doc_id", 0.8)._1
+    assert(re.select("doc_id").collect().map(_.getLong(0)).sorted ===
+      train.select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("hash samples are nested across fractions and decorrelated by salt") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    def ids(frac: Double, salt: String = ""): Set[Long] = docs
+      .filter(operators.Sampling.hashSample($"doc_id", frac, salt))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(0.1); val s20 = ids(0.2)
+    assert(s10.subsetOf(s20), "smaller sample must nest inside larger")
+    val salted = ids(0.2, salt = "other-decision")
+    assert(salted !== s20, "salt must produce an independent selection")
+  }
+
+  test("sampleByStratum honors per-stratum fractions exactly at 0 and 1") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val out = operators.Sampling.sampleByStratum(
+      docs, "doc_id", "lang", Map("zh" -> 1.0, "fr" -> 0.0), default = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") === inLang("zh"), "frac 1.0 keeps every row")
+    assert(!byLang.contains("fr"), "frac 0.0 keeps none")
+    val enFrac = byLang("en").toDouble / inLang("en")
+    assert(enFrac > 0.25 && enFrac < 0.75, s"default frac applied: $enFrac")
+  }
+
+  test("upsampleByWeight emits floor(w) + deterministic-frac copies") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val out = operators.Sampling.upsampleByWeight(
+      docs, "doc_id", "source", Map("src0" -> 2.0, "src1" -> 0.0), default = 1.0)
+    val perDoc = out.groupBy("doc_id", "source").count()
+    assert(perDoc.filter($"source" === "src0" && $"count" =!= 2).count() === 0,
+      "integer weight 2.0 → exactly 2 copies")
+    assert(out.filter($"source" === "src1").count() === 0, "weight 0 drops the stratum")
+    assert(perDoc.filter($"source" =!= "src0" && $"count" =!= 1).count() === 0,
+      "default weight 1.0 → exactly 1 copy")
+    // _copy indexes 0..n-1
+    val copies = out.filter($"source" === "src0").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list($"_copy")).as("cs"))
+      .select("cs").collect().map(_.getSeq[Int](0))
+    assert(copies.forall(_ == Seq(0, 1)))
+    // fractional weight reruns identically (determinism)
+    val f1 = operators.Sampling.upsampleByWeight(
+      docs, "doc_id", "source", Map("src2" -> 1.5), default = 1.0).count()
+    val f2 = operators.Sampling.upsampleByWeight(
+      docs, "doc_id", "source", Map("src2" -> 1.5), default = 1.0).count()
+    assert(f1 === f2)
+  }
+
   // ------------------------------------------------- vectors/similarity
 
   test("cosine: identity 1, orthogonal 0") {
