@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative subset: one per operator family, scale-path variants
-    * only (brute-force O(n²) oracle forms d04/d05 are excluded — their
-    * production counterparts d02/s02 are in).
+    * only (brute-force O(n²) oracle forms d04/d05/d12 are excluded —
+    * their production counterparts d02/s02/d08+d06 are in). d08/d09 time
+    * index build + incremental probe together (the registry forms are
+    * self-contained); the amortized production path builds once.
     */
   private val headline: Seq[String] = Seq(
     "q01_global_agg", "q03_group_multi", "q05_count_groups", "q07_uniqueN",
@@ -28,7 +30,8 @@ object Bench {
     "t01_token_count", "t02_quality", "t03_lang_id", "t04_fingerprint",
     "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
-    "d07_lsh_neardup", "st01_stream_simhash",
+    "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
+    "d10_decontaminate", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample", "m04_resize_stub"
   )

@@ -915,6 +915,43 @@ object SparkEntry {
              |SELECT cg.doc_id, count(*) AS hits FROM cg JOIN bg USING (g)
              |GROUP BY cg.doc_id""".stripMargin)
     ),
+    // end-to-end fuzzy dedup: cluster the near-dup pairs, keep each
+    // cluster's min id, leave unpaired docs untouched — d06's recursive
+    // oracle plus an anti-join (pairs from the oracle-stable brute form;
+    // minHashNearDups / the incremental forms are the scale path)
+    Q(
+      "d12_near_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        operators.Dedup
+          .dedupByPairs(
+            docs, "doc_id",
+            operators.Dedup.jaccardPairsBrute(docs, "text", "doc_id", threshold = 0.2))
+          .select(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents)),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a, sh b
+             |  WHERE a.doc_id < b.doc_id
+             |    AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM p
+             |      UNION SELECT id_b, id_a FROM p),
+             |walk(id, label) AS (
+             |  SELECT src, src FROM e
+             |  UNION
+             |  SELECT e.src, w.label FROM e JOIN walk w ON e.dst = w.id),
+             |victims AS (
+             |  SELECT id FROM (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+             |  WHERE id <> cluster_id)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM victims)""".stripMargin)
+    ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership
     Q(

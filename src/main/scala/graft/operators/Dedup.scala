@@ -908,6 +908,31 @@ object Dedup {
     * checkpoint) is released before return; only the returned result's own
     * checkpoint blocks remain — free them with [[graft.CacheUtil.release]].
     */
+  /** End-to-end fuzzy dedup — the composition a pipeline actually runs:
+    * resolve `pairs` into clusters ([[dupClusters]]) and drop every
+    * non-representative member (id ≠ cluster min), keeping unpaired docs
+    * untouched. `pairs` is any verified near-dup pair list:
+    * [[minHashNearDups]] / [[simHashNearDups]] or their incremental
+    * forms at scale, [[jaccardPairsBrute]] as the oracle form.
+    *
+    * Scale shape: the victim id set is (cluster members − clusters)-sized
+    * — far smaller than the corpus unless it is pathologically dup-heavy
+    * — and is materialized (localCheckpoint) so the cluster iteration's
+    * blocks can be released eagerly; the final anti-join is left to the
+    * planner (broadcast when the victim set fits, shuffle join
+    * otherwise). Release the returned plan's blocks with
+    * [[graft.CacheUtil.release]] when done.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val victims = clusters
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+      .localCheckpoint(true)
+    graft.CacheUtil.release(clusters)
+    df.join(victims, Seq(idCol), "left_anti")
+  }
+
   def dupClusters(
       pairs: DataFrame,
       idA: String = "id_a",

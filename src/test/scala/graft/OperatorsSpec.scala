@@ -517,6 +517,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupByPairs keeps cluster minima and every unpaired doc") {
+    val docs = Seq(
+      Doc(1, "a"), Doc(2, "b"), Doc(3, "c"), Doc(10, "d"), Doc(11, "e"), Doc(50, "f")
+    ).toDS.toDF
+    // clusters {1,2,3} and {10,11}; 50 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = operators.Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 50L))
+    // no leaked blocks beyond the victims checkpoint the plan still reads
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = operators.Dedup.dedupByPairs(docs, "doc_id", pairs)
+    out.count()
+    graft.CacheUtil.release(out)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"dedupByPairs leaked: $leaked")
+  }
+
   test("dupClusters releases its iteration caches (only the result stays)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val before = spark.sparkContext.getPersistentRDDs.keySet
