@@ -697,6 +697,29 @@ object SparkEntry {
            |FROM documents""".stripMargin
       }
     ),
+    // within-doc repetition: fraction of word bigrams repeating an
+    // earlier bigram (Gopher-style boilerplate signal) — total count is
+    // token arithmetic, distinct count is the compiled shingle kernel
+    Q(
+      "t06_repetition",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          functions.TextFunctions
+            .repeatedNgramFraction(col("text"), 2)
+            .as("rep_fraction")
+        ),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |g AS (SELECT doc_id,
+             |        greatest(len(w) - 1, 1) AS total,
+             |        len(list_distinct(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+             |             ELSE list_transform(range(len(w) - 1), i -> w[i+1]||' '||w[i+2])
+             |        END)) AS dist
+             |      FROM t)
+             |SELECT doc_id,
+             |       (total::DOUBLE - dist::DOUBLE) / total::DOUBLE AS rep_fraction
+             |FROM g""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",
@@ -951,6 +974,32 @@ object SparkEntry {
              |  WHERE id <> cluster_id)
              |SELECT doc_id FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM victims)""".stripMargin)
+    ),
+    // fixed-token-budget chunking (context-window prep): pure generator
+    // on the scan, ragged last chunk, 0-based index
+    Q(
+      "p04_chunk_tokens",
+      (s, d) =>
+        operators.Packing
+          .chunkByTokens(documents(s, d), "text", "doc_id", maxTokens = 16)
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk_text")),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |x AS (SELECT doc_id, w, unnest(range((len(w) - 1) // 16 + 1)) AS i FROM t)
+             |SELECT doc_id, i AS chunk_idx,
+             |       array_to_string(w[i*16+1 : i*16+16], ' ') AS chunk_text FROM x""".stripMargin)
+    ),
+    // greedy sequence packing by prefix sum over id-bucketed streams:
+    // deterministic pack assignment, parallel windows (one per bucket)
+    Q(
+      "p05_pack_greedy",
+      (s, d) =>
+        operators.Packing
+          .packGreedy(documents(s, d), "doc_id", "n_chars", budget = 2000L, nBuckets = 8)
+          .select(col("doc_id"), col("pack_bucket"), col("pack_seq")),
+      Some("""SELECT doc_id, doc_id % 8 AS pack_bucket,
+             |  CAST((sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - n_chars) // 2000
+             |       AS BIGINT) AS pack_seq
+             |FROM documents""".stripMargin)
     ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership

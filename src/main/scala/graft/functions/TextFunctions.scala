@@ -51,6 +51,19 @@ object TextFunctions {
   def shingleSetHof(text: Column, k: Int): Column =
     array_distinct(wordShingles(text, k))
 
+  /** Fraction of word n-grams that are repeats of an earlier n-gram in
+    * the same doc — the Gopher-style within-doc repetition signal (high
+    * values flag boilerplate/spam for quality filtering). Computed
+    * without materializing the full n-gram array: total n-gram count is
+    * arithmetic on the token count, distinct count comes from the
+    * compiled [[shingleSet]] kernel. Docs of ≤ n tokens have one
+    * whole-text shingle → fraction 0.
+    */
+  def repeatedNgramFraction(text: Column, n: Int): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("double")
+    (total - size(shingleSet(text, n)).cast("double")) / total
+  }
+
   /** MD5 document fingerprint (engine-portable exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -659,6 +659,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1 === f2)
   }
 
+  // ------------------------------------------------- chunking / packing
+
+  test("chunkByTokens splits on the budget with a ragged tail and survives reassembly") {
+    val df = Seq(
+      Doc(1, "a b c d e f g"), // 7 tokens → 3,3,1 at maxTokens=3
+      Doc(2, "x y"),           // under budget → one chunk unchanged
+      Doc(3, "solo")
+    ).toDS.toDF
+    val chunks = operators.Packing.chunkByTokens(df, "text", "doc_id", maxTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ===
+      Seq("a b c", "d e f", "g"))
+    assert(chunks.filter(_._1 == 2L).map(_._3).toSeq === Seq("x y"))
+    assert(chunks.filter(_._1 == 3L).map(_._3).toSeq === Seq("solo"))
+    // lossless: rejoining chunks in index order reproduces every doc
+    val rejoined = operators.Packing.chunkByTokens(df, "text", "doc_id", 3)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct($"chunk_idx", $"chunk_text"))
+        ).getField("chunk_text"), " ").as("t"))
+    val got = rejoined.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a b c d e f g", 2L -> "x y", 3L -> "solo"))
+  }
+
+  test("packGreedy fills packs to the budget and is layout-independent") {
+    val df = (1L to 40L).map(i => (i, 100L)).toDF("doc_id", "w")
+    val out = operators.Packing.packGreedy(df, "doc_id", "w", budget = 300L, nBuckets = 4)
+    // each bucket stream has 10 docs of weight 100 → packs of 3 (300 budget)
+    val sizes = out.groupBy("pack_bucket", "pack_seq").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.forall(s => s == 3 || s == 1), s"pack sizes: ${sizes.toSeq}")
+    assert(out.select("doc_id").distinct().count() === 40, "every doc packed exactly once")
+    // a doc heavier than the budget overflows its own pack, never splits
+    val heavy = Seq((1L, 1000L), (2L, 50L)).toDF("doc_id", "w")
+    val hp = operators.Packing.packGreedy(heavy, "doc_id", "w", budget = 300L, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(hp(1L) === 0L)
+    assert(hp(2L) === 3L, "next doc starts past the overflowed budget")
+    // partitioning must not change assignment
+    val re = operators.Packing.packGreedy(df.repartition(7), "doc_id", "w", 300L, 4)
+    assert(re.orderBy("doc_id").collect().toSeq ===
+      out.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("repeatedNgramFraction measures within-doc bigram repeats") {
+    val df = Seq(
+      Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
+      Doc(2, "all words here are unique"),  // no repeats → 0
+      Doc(3, "tiny")                        // ≤ n tokens → 0
+    ).toDS.toDF
+    val got = df.select($"doc_id",
+      functions.TextFunctions.repeatedNgramFraction($"text", 2).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-12)
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)
+  }
+
   // ------------------------------------------------- vectors/similarity
 
   test("cosine: identity 1, orthogonal 0") {
