@@ -720,6 +720,43 @@ object SparkEntry {
              |       (total::DOUBLE - dist::DOUBLE) / total::DOUBLE AS rep_fraction
              |FROM g""".stripMargin)
     ),
+    // PII scrub: email/IPv4/phone redaction over documents plus planted
+    // rows carrying each PII shape (the fixture text itself is clean, so
+    // the planted union keeps the oracle non-vacuous); patterns live in
+    // the Java-regex ∩ RE2 subset and are shared with the oracle SQL
+    Q(
+      "t07_redact",
+      (s, d) => {
+        import s.implicits._
+        val extra = Seq(
+          (1000001L, "contact me at alice@example.com or bob.smith@mail.co for details"),
+          (1000002L, "server at 192.168.1.1 responded while 10.0.0.255 timed out"),
+          (1000003L, "call 555-123-4567 or 555.987.6543 after noon"),
+          (1000004L, "no sensitive content in this row at all")
+        ).toDF("doc_id", "text")
+        documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .unionByName(extra)
+          .select(
+            col("doc_id"),
+            functions.TextFunctions.redactPii(col("text")).as("redacted")
+          )
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (1000001, 'contact me at alice@example.com or bob.smith@mail.co for details'),
+             |    (1000002, 'server at 192.168.1.1 responded while 10.0.0.255 timed out'),
+             |    (1000003, 'call 555-123-4567 or 555.987.6543 after noon'),
+             |    (1000004, 'no sensitive content in this row at all')) v(doc_id, text))
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted
+             |FROM all_docs""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",

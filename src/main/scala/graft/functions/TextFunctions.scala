@@ -64,6 +64,27 @@ object TextFunctions {
     (total - size(shingleSet(text, n)).cast("double")) / total
   }
 
+  /** PII scrub patterns shared by [[redactPii]] and its oracle SQL: the
+    * regexes stay inside the Java-regex ∩ RE2 common subset (character
+    * classes, bounded repetition, ASCII `\b`) so Spark and DuckDB apply
+    * them identically.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b" -> "<PHONE>"
+  )
+
+  /** Training-data PII scrub: replace emails, IPv4 addresses, and
+    * phone-shaped digit runs with typed tokens. A chain of codegen'd
+    * `regexp_replace`s — per-row, no shuffle, order fixed (emails first
+    * so address-like digit runs inside them can't half-match).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, tok)) =>
+      regexp_replace(acc, pat, tok)
+    }
+
   /** MD5 document fingerprint (engine-portable exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -705,6 +705,23 @@ class OperatorsSpec extends AnyFunSuite {
       out.orderBy("doc_id").collect().toSeq)
   }
 
+  test("redactPii replaces each PII shape and leaves clean text alone") {
+    val df = Seq(
+      Doc(1, "write to jane.doe+test@sub.example.org today"),
+      Doc(2, "host 10.0.0.1 and peer 255.255.255.255 up"),
+      Doc(3, "dial 555-123-4567 or 555.987.6543 or 555 222 3333"),
+      Doc(4, "version 1.2.3 costs 12.50 at 3pm")
+    ).toDS.toDF
+    val got = df.select($"doc_id",
+      functions.TextFunctions.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "write to <EMAIL> today")
+    assert(got(2L) === "host <IP> and peer <IP> up")
+    assert(got(3L) === "dial <PHONE> or <PHONE> or <PHONE>")
+    assert(got(4L) === "version 1.2.3 costs 12.50 at 3pm",
+      "version strings and prices must survive")
+  }
+
   test("repeatedNgramFraction measures within-doc bigram repeats") {
     val df = Seq(
       Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
