@@ -1316,6 +1316,25 @@ object SparkEntry {
              |       max(n_name) AS max_name
              |FROM nation GROUP BY 1""".stripMargin)
     ),
+    // JSONL scan & sink round-trip (the interchange format LLM corpora
+    // ship in): write supplier as line-delimited JSON, read it back with
+    // schema inference, aggregate — oracle is the original table
+    Q(
+      "q29_jsonl_roundtrip",
+      (s, d) => {
+        val tmp = s"/root/repo/target/tmp/q29_jsonl_${d.replaceAll("[^0-9.]", "")}"
+        val rt = sources.Sources.roundTrip(
+          supplier(s, d).select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          tmp,
+          "json"
+        )
+        rt.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), max(col("s_name")).as("max_name"))
+      },
+      Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+             |       max(s_name) AS max_name
+             |FROM supplier GROUP BY 1""".stripMargin)
+    ),
     // window functions (beyond-reference extra): top-3 orders per market
     // segment by value, deterministic tie-break
     Q(

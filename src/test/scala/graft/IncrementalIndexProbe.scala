@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-scoped scale probe: what does the persisted dedup index buy a
+  * daily pipeline vs re-running batch dedup on corpus ∪ delta?
+  *
+  * `sbt "Test/runMain graft.IncrementalIndexProbe [replicas] [sfDir]"`
+  * replicates the fixture corpus (disjoint ids, per-replica suffix so
+  * replicas are near- not exact-dups), takes a ~3% delta, and times
+  *  - batch:       minHashNearDups(corpus ∪ delta)      — the recompute
+  *  - build(once): writeMinHashIndex(corpus)            — amortized
+  *  - incremental: minHashNearDupsIncremental(delta)    — the daily cost
+  * and the simhash twins. The daily-cost : recompute ratio is the
+  * number that matters; it shrinks linearly as corpus/delta grows (the
+  * probe's 10×/3% is conservative vs a 100 TB corpus with a 0.1% day).
+  */
+object IncrementalIndexProbe {
+
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val all = (0 until replicas)
+      .map(r =>
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10_000_000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$r")).as("text")
+        )
+      )
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val corpus = all.filter(col("doc_id") % 32 =!= 0).localCheckpoint(true)
+    val delta = all.filter(col("doc_id") % 32 === 0).localCheckpoint(true)
+    println(
+      s"[incprobe] corpus=${corpus.count()} delta=${delta.count()} (replicas=$replicas)")
+
+    def timed(name: String)(make: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val df = make
+      val n = df.count()
+      println(f"[incprobe] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      CacheUtil.release(df)
+    }
+    def timedUnit(name: String)(run: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      run
+      println(f"[incprobe] $name t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    import operators.Dedup
+    timed("minhash-batch")(
+      Dedup.minHashNearDups(all, "text", "doc_id", threshold = 0.4))
+    var mIdx: Dedup.MinHashIndex = null
+    timedUnit("minhash-index-build") {
+      mIdx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "incprobe_m")
+    }
+    timed("minhash-incremental")(
+      Dedup.minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, mIdx))
+
+    timed("simhash-batch")(
+      Dedup.simHashNearDups(all, "text", "doc_id", maxHamming = 10, maxBucket = 8192))
+    var sIdx: Dedup.SimHashIndex = null
+    timedUnit("simhash-index-build") {
+      sIdx = Dedup.writeSimHashIndex(corpus, "text", "doc_id", "incprobe_s", maxHamming = 10)
+    }
+    timed("simhash-incremental")(
+      Dedup.simHashNearDupsIncremental(delta, "text", "doc_id", sIdx))
+
+    spark.sql("DROP TABLE IF EXISTS incprobe_m_bands")
+    spark.sql("DROP TABLE IF EXISTS incprobe_m_shingles")
+    spark.sql("DROP TABLE IF EXISTS incprobe_s_chunks")
+    spark.stop()
+  }
+}
