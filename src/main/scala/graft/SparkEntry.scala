@@ -720,6 +720,34 @@ object SparkEntry {
              |       (total::DOUBLE - dist::DOUBLE) / total::DOUBLE AS rep_fraction
              |FROM g""".stripMargin)
     ),
+    // composite quality filter: length + lexical diversity + repetition
+    // rule stack — every component individually oracle-proven (t01, t05,
+    // t06), so the conjunction's threshold flips are engine-identical
+    Q(
+      "t08_quality_filter",
+      (s, d) =>
+        documents(s, d)
+          .filter(
+            functions.TextFunctions.qualityPredicate(
+              col("text"),
+              minTokens = 20,
+              minTypeTokenRatio = 0.55,
+              maxRepeatedBigrams = 0.15
+            )
+          )
+          .select(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |m AS (SELECT doc_id,
+             |  len(w) AS toks,
+             |  len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+             |  (greatest(len(w) - 1, 1)::DOUBLE
+             |   - len(list_distinct(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+             |        ELSE list_transform(range(len(w) - 1), i -> w[i+1]||' '||w[i+2])
+             |     END))::DOUBLE) / greatest(len(w) - 1, 1)::DOUBLE AS rep
+             |FROM t)
+             |SELECT doc_id FROM m
+             |WHERE toks >= 20 AND ttr >= 0.55 AND rep <= 0.15""".stripMargin)
+    ),
     // PII scrub: email/IPv4/phone redaction over documents plus planted
     // rows carrying each PII shape (the fixture text itself is clean, so
     // the planted union keeps the oracle non-vacuous); patterns live in

@@ -64,6 +64,24 @@ object TextFunctions {
     (total - size(shingleSet(text, n)).cast("double")) / total
   }
 
+  /** Composite quality-filter predicate (Gopher-style rule stack): keep
+    * docs that are long enough, lexically diverse, and not repetitive.
+    * Pure per-row arithmetic over [[tokens]], [[typeTokenRatio]], and
+    * [[repeatedNgramFraction]] — codegen'd, no shuffle; thresholds are
+    * corpus-tuning knobs, the defaults match common pre-training
+    * filters. Compose with further conjuncts (`lang`, markers, length
+    * caps) at the call site.
+    */
+  def qualityPredicate(
+      text: Column,
+      minTokens: Int = 20,
+      minTypeTokenRatio: Double = 0.5,
+      maxRepeatedBigrams: Double = 0.2
+  ): Column =
+    size(tokens(text)) >= minTokens &&
+      typeTokenRatio(text) >= minTypeTokenRatio &&
+      repeatedNgramFraction(text, 2) <= maxRepeatedBigrams
+
   /** PII scrub patterns shared by [[redactPii]] and its oracle SQL: the
     * regexes stay inside the Java-regex ∩ RE2 common subset (character
     * classes, bounded repetition, ASCII `\b`) so Spark and DuckDB apply

@@ -144,6 +144,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-batch decontamination via foreachBatch == batch decontaminate") {
+    // stateless batch operators compose into streams through foreachBatch
+    // with no new code: each micro-batch is scrubbed against the static
+    // benchmark gram set (a broadcast stream-static pattern), and the
+    // union of scrubbed batches equals the batch-mode result because the
+    // decision is per-doc
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Decontaminate
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val want = Decontaminate
+      .decontaminate(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.size < corpus.count(), "fixture yields no contamination — vacuous")
+    val fixture = corpus.select($"doc_id", $"text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[Long]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= Decontaminate
+          .decontaminate(batch, "text", "doc_id", bench, "text", n = 8)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      fixture.grouped(math.max(1, fixture.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(got.toSet === want)
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
