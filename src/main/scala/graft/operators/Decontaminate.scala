@@ -51,14 +51,20 @@ object Decontaminate {
       bench: DataFrame,
       benchTextCol: String,
       n: Int,
-      minMatches: Int = 1
+      minMatches: Int = 1,
+      broadcastBench: Boolean = true
   ): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
     require(minMatches > 0, s"minMatches must be positive, got $minMatches")
     val grams = benchmarkGrams(bench, benchTextCol, n)
+    // escape hatch for a benchmark too large for executor memory
+    // (broadcastBench = false → shuffle hash/sort-merge on the gram):
+    // with it the corpus gram stream shuffles, so prefer splitting the
+    // benchmark and unioning reports if the probe set is merely large
+    val probe = if (broadcastBench) broadcast(grams) else grams
     corpus
       .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), n)).as("_gram"))
-      .join(broadcast(grams), "_gram")
+      .join(probe, "_gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minMatches)
@@ -79,9 +85,11 @@ object Decontaminate {
       bench: DataFrame,
       benchTextCol: String,
       n: Int,
-      minMatches: Int = 1
+      minMatches: Int = 1,
+      broadcastBench: Boolean = true
   ): DataFrame = {
-    val bad = contaminationReport(corpus, textCol, idCol, bench, benchTextCol, n, minMatches)
+    val bad = contaminationReport(
+      corpus, textCol, idCol, bench, benchTextCol, n, minMatches, broadcastBench)
       .select(col(idCol))
     corpus.join(broadcast(bad), Seq(idCol), "left_anti")
   }

@@ -736,6 +736,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) === 0.0)
   }
 
+  // ------------------------------------------------- sketches
+
+  test("uniqueNApprox tracks exact distinct counts within the rsd bound") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val exact = docs.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.countDistinct($"text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Sketches.uniqueNApprox(docs, Seq("lang"), "text", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang).toDouble
+      assert(math.abs(a - n) / n <= 0.06, s"$lang: approx $a vs exact $n")
+    }
+  }
+
+  test("merged per-increment HLL sketches == whole-corpus sketch, bit-for-bit") {
+    // the incremental-analytics contract: per-day sketches persisted and
+    // merged later must give the estimate a full recompute would
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .withColumn("_day", $"doc_id" % 5)
+    val daily = operators.Sketches.distinctSketch(docs, Seq("lang", "_day"), "text")
+    val merged = operators.Sketches.mergeSketches(daily, Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = operators.Sketches
+      .mergeSketches(
+        operators.Sketches.distinctSketch(docs, Seq("lang"), "text"), Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+    // and the estimate itself is accurate
+    val exact = docs.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.countDistinct($"text").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(merged(lang).toDouble - n) / n <= 0.05, s"$lang: ${merged(lang)} vs $n")
+    }
+  }
+
+  test("uniqueNApprox plans one partial-final aggregate pair — no Expand, no distinct shuffle") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val plan = operators.Sketches.uniqueNApprox(docs, Seq("lang"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in approx-distinct plan:\n${plan.take(2000)}")
+    assert(plan.contains("partial_approx_count_distinct") ||
+      "HashAggregate.*HashAggregate".r.findFirstIn(plan.replaceAll("\n", " ")).isDefined,
+      s"expected map-side partial aggregation:\n${plan.take(2000)}")
+  }
+
   // ------------------------------------------------- vectors/similarity
 
   test("cosine: identity 1, orthogonal 0") {
