@@ -760,7 +760,8 @@ object SparkEntry {
           (1000001L, "contact me at alice@example.com or bob.smith@mail.co for details"),
           (1000002L, "server at 192.168.1.1 responded while 10.0.0.255 timed out"),
           (1000003L, "call 555-123-4567 or 555.987.6543 after noon"),
-          (1000004L, "no sensitive content in this row at all")
+          (1000004L, "no sensitive content in this row at all"),
+          (1000005L, "Mixed-Case mail John.Doe@Example.COM must redact too")
         ).toDF("doc_id", "text")
         documents(s, d)
           .select(col("doc_id"), col("text"))
@@ -777,10 +778,11 @@ object SparkEntry {
              |    (1000001, 'contact me at alice@example.com or bob.smith@mail.co for details'),
              |    (1000002, 'server at 192.168.1.1 responded while 10.0.0.255 timed out'),
              |    (1000003, 'call 555-123-4567 or 555.987.6543 after noon'),
-             |    (1000004, 'no sensitive content in this row at all')) v(doc_id, text))
+             |    (1000004, 'no sensitive content in this row at all'),
+             |    (1000005, 'Mixed-Case mail John.Doe@Example.COM must redact too')) v(doc_id, text))
              |SELECT doc_id,
              |  regexp_replace(regexp_replace(regexp_replace(text,
-             |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |    '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted
              |FROM all_docs""".stripMargin)

@@ -61,7 +61,11 @@ object TextFunctions {
     */
   def repeatedNgramFraction(text: Column, n: Int): Column = {
     val total = greatest(size(tokens(text)) - (n - 1), lit(1)).cast("double")
-    (total - size(shingleSet(text, n)).cast("double")) / total
+    // size() of a NULL array is -1 (non-ANSI), which would compute an
+    // impossible 2.0 for NULL text — propagate NULL instead (matches
+    // what the same arithmetic yields in ANSI engines)
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise((total - size(shingleSet(text, n)).cast("double")) / total)
   }
 
   /** Composite quality-filter predicate (Gopher-style rule stack): keep
@@ -88,7 +92,7 @@ object TextFunctions {
     * them identically.
     */
   val piiPatterns: Seq[(String, String)] = Seq(
-    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b" -> "<PHONE>"
   )

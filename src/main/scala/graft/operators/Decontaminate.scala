@@ -73,10 +73,12 @@ object Decontaminate {
   /** The corpus with contaminated docs removed: anti-join against
     * [[contaminationReport]]'s id set. Two corpus scans by design (one
     * to find the contaminated ids, one to filter); the id set is
-    * contamination-sized, so the anti-join broadcasts and the second
-    * scan adds no shuffle. A pipeline that cannot afford the second
-    * scan should persist the report and push the filter into its next
-    * corpus read.
+    * contamination-sized, so the planner broadcasts it when it fits and
+    * falls back to a shuffle join when a benchmark overlaps the corpus
+    * pathologically (no forced-broadcast hint — a hint would bypass the
+    * size threshold and OOM the driver in exactly that case). A
+    * pipeline that cannot afford the second scan should persist the
+    * report and push the filter into its next corpus read.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -91,6 +93,6 @@ object Decontaminate {
     val bad = contaminationReport(
       corpus, textCol, idCol, bench, benchTextCol, n, minMatches, broadcastBench)
       .select(col(idCol))
-    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+    corpus.join(bad, Seq(idCol), "left_anti")
   }
 }

@@ -940,6 +940,18 @@ object Dedup {
       maxIter: Int = 25
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // label propagation runs on longs; a silent cast of string ids would
+    // produce all-NULL labels and an empty result — reject loudly
+    Seq(idA, idB).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(c).dataType
+      require(
+        Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"dupClusters needs integral pair ids; column '$c' is $dt — " +
+          "map string ids to longs (e.g. xxhash64) before clustering"
+      )
+    }
     val fwd =
       pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
     val rev =

@@ -80,7 +80,21 @@ object Multimodal {
     val idFromName = regexp_extract(col("name"), "^(\\d+)", 1)
     fromBinaryFiles(spark, dir, kind)
       .select(
-        when(idFromName === "", raise_error(concat(lit("file name has no numeric id prefix: "), col("name"))))
+        // two loud-rejection cases: no numeric prefix at all, and a
+        // prefix that overflows Long (cast would yield a silent NULL
+        // doc_id that breaks downstream joins). 19 digits can still
+        // exceed Long.MaxValue, so the >18 check over-rejects a sliver
+        // of the valid range — ids that large indicate a broken writer
+        // anyway. Leading-zero prefixes ("007" vs "7") collide by
+        // design: the id space is owned by writeTextCorpusAsFiles,
+        // which never zero-pads.
+        when(
+          idFromName === "",
+          raise_error(concat(lit("file name has no numeric id prefix: "), col("name")))
+        ).when(
+            length(idFromName) > 18,
+            raise_error(concat(lit("numeric id prefix overflows long: "), col("name")))
+          )
           .otherwise(idFromName.cast("long"))
           .as("doc_id"),
         col("kind"),

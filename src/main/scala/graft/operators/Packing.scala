@@ -31,14 +31,17 @@ object Packing {
   ): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val toks = TextFunctions.tokens(col(textCol))
+    // NULL text must yield NO chunks: size(NULL) is -1 (non-ANSI), and
+    // sequence(0, -2) would count DOWN, emitting phantom NULL chunks
+    val chunkArr = when(col(textCol).isNull, array()).otherwise(
+      transform(
+        sequence(lit(0), floor((size(toks) - 1) / lit(maxTokens)).cast("int")),
+        i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " ")
+      )
+    )
     df.select(
       col(idCol),
-      posexplode(
-        transform(
-          sequence(lit(0), floor((size(toks) - 1) / lit(maxTokens)).cast("int")),
-          i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " ")
-        )
-      ).as(Seq("chunk_idx", "chunk_text"))
+      posexplode(chunkArr).as(Seq("chunk_idx", "chunk_text"))
     )
   }
 

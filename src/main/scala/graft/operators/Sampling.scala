@@ -36,13 +36,19 @@ object Sampling {
   /** Deterministic inclusion predicate: true for ~`frac` of ids. The
     * hash input is `id` cast to string (portable), plus `salt` so
     * independent sampling decisions don't reuse the same hash bits.
+    * NULL ids evaluate to `false` — not NULL — so filter(p) /
+    * filter(!p) splits stay exhaustive (a NULL predicate would drop
+    * the row from BOTH sides).
     */
   def hashSample(id: Column, frac: Double, salt: String = ""): Column =
     if (frac >= 1.0) lit(true)
     else if (frac <= 0.0) lit(false)
     else
-      substring(md5(concat(id.cast("string"), lit(salt))), 1, 8) <
-        lit(fracThreshold(frac))
+      coalesce(
+        substring(md5(concat(id.cast("string"), lit(salt))), 1, 8) <
+          lit(fracThreshold(frac)),
+        lit(false)
+      )
 
   /** (train, holdout) split at `trainFrac` — complementary by the same
     * predicate, so every row lands in exactly one side.
@@ -72,11 +78,14 @@ object Sampling {
       default: Double = 0.0,
       salt: String = ""
   ): DataFrame = {
+    // NULL strata take the default fraction (isInCollection is NULL for
+    // NULL input, and a NULL predicate would silently drop the row)
+    val unlisted =
+      col(stratumCol).isNull || !col(stratumCol).isInCollection(fracs.keys.toSeq)
     val pred = fracs.foldLeft(lit(false)) { case (acc, (k, f)) =>
       acc || (col(stratumCol) === lit(k) && hashSample(col(idCol), f, salt))
-    } || (!col(stratumCol).isInCollection(fracs.keys.toSeq) &&
-      hashSample(col(idCol), default, salt))
-    df.filter(pred)
+    } || (unlisted && hashSample(col(idCol), default, salt))
+    df.filter(coalesce(pred, lit(false)))
   }
 
   /** Weight ≥ 0 mixture upsampling: emit `floor(w)` copies of each row

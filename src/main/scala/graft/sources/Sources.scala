@@ -74,10 +74,21 @@ object Sources {
     * inherits its input's partitioning, so a 10 000-partition scan that
     * keeps 1% of rows would otherwise write 10 000 tiny files, and at
     * 100 TB the NameNode/listing cost of millions of kilobyte files
-    * dominates reads. Sizing uses the optimizer's plan statistics
-    * (`sizeInBytes`; parquet scans report actual file bytes, post-filter
-    * stages an estimate), and the repartition is a round-robin rebalance —
-    * one extra shuffle traded for a bounded file count.
+    * dominates reads.
+    *
+    * Sizing is delegated to AQE's REBALANCE: the hint inserts a
+    * round-robin shuffle whose output partitions are coalesced AND
+    * skew-split to the advisory size from the shuffle's RUNTIME byte
+    * statistics. Earlier revisions sized from
+    * `optimizedPlan.stats.sizeInBytes` and were wrong in both
+    * directions — post-filter estimates carry no selectivity (1000
+    * near-empty files for a 99%-selective filter), and clamping by the
+    * input partition count broke fat-coalesced inputs (a 100 GB
+    * 2-partition frame forced into 8 huge files). Runtime sizes have
+    * neither failure mode. Files land somewhat under `targetFileMB`
+    * (shuffle bytes are uncompressed; parquet then compresses) — the
+    * remedy targets order-of-magnitude file-count sanity, not exact
+    * sizes. Requires AQE (on in every session this library builds).
     */
   def writeCompacted(
       df: DataFrame,
@@ -85,34 +96,20 @@ object Sources {
       targetFileMB: Int = 128
   ): Unit = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = BigInt(targetFileMB.toLong * 1024 * 1024)
-    // sizeInBytes is a BigInt: leaves without real statistics default to
-    // the spark.sql.defaultSizeInBytes sentinel (Long.MaxValue), and
-    // stat-less join estimates are PRODUCTS of child sizes that can
-    // exceed it — both mean "unknown", and sizing from them would emit
-    // the 100000-file clamp for a tiny input (the very problem this
-    // helper remedies). Fall back to the input's partition count then.
-    // Ceiling division keeps files at ≤ targetFileMB, not up to 2×; the
-    // clamp arithmetic stays in BigInt (a .toLong of a huge estimate
-    // would wrap, min(1) it, and funnel a huge result through ONE task).
-    val inputParts = df.rdd.getNumPartitions.max(1)
-    // Estimates BELOW the sentinel can still be inflated by orders of
-    // magnitude: post-filter/join stages carry no selectivity, so a
-    // 99%-selective filter inherits its scan's full sizeInBytes and would
-    // ask for thousands of near-empty files. Cap at a small multiple of
-    // the input partition count — each input partition is already at most
-    // ~maxPartitionBytes (≈ targetFileMB for scans), so the output can
-    // never usefully need many more files than input partitions.
-    val files =
-      if (bytes <= 0 || bytes >= BigInt(Long.MaxValue)) inputParts
-      else
-        ((bytes + target - 1) / target)
-          .min(BigInt(100000))
-          .toInt
-          .min(inputParts * 4)
-          .max(1)
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val rebalanceKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevAdvisory = spark.conf.getOption(advisoryKey)
+    val prevMin = spark.conf.getOption(rebalanceKey)
+    spark.conf.set(advisoryKey, s"${targetFileMB}m")
+    // floor at 1/4 target so AQE never splits below it for this write
+    spark.conf.set(rebalanceKey, s"${(targetFileMB + 3) / 4}m")
+    try
+      df.hint("rebalance").write.mode(SaveMode.Overwrite).parquet(path)
+    finally {
+      prevAdvisory.fold(spark.conf.unset(advisoryKey))(spark.conf.set(advisoryKey, _))
+      prevMin.fold(spark.conf.unset(rebalanceKey))(spark.conf.set(rebalanceKey, _))
+    }
   }
 
   /** Round-trip helper used by tests and the q28 query: write through a

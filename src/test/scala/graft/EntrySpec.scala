@@ -24,7 +24,7 @@ class EntrySpec extends AnyFunSuite {
     */
   private val mayBeEmpty =
     Set("q11_join_anti", "d02_minhash_neardup", "d03_simhash_neardup",
-      "d08_incremental_dedup", "st01_stream_simhash")
+      "d08_incremental_dedup", "d09_incremental_simhash", "st01_stream_simhash")
 
   for (q <- SparkEntry.queryDefs)
     test(s"${q.name} runs at sf0.001 with rows") {

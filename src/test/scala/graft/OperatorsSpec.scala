@@ -722,6 +722,44 @@ class OperatorsSpec extends AnyFunSuite {
       "version strings and prices must survive")
   }
 
+  test("NULL inputs: sampling, chunking, repetition, clustering stay well-defined") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("text", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "en", "alpha beta gamma delta epsilon"),
+        Row(2L, null, "some other words entirely here"),
+        Row(null, "en", "row with a null id")),
+      schema)
+    // split: NULL id lands in exactly one side (holdout), never vanishes
+    val (train, hold) = operators.Sampling.split(df, "doc_id", 0.8)
+    assert(train.count() + hold.count() === 3)
+    assert(hold.filter($"doc_id".isNull).count() === 1)
+    // sampleByStratum: NULL stratum takes the default fraction, not 0
+    assert(operators.Sampling
+      .sampleByStratum(df, "doc_id", "lang", Map("fr" -> 1.0), default = 1.0)
+      .count() === 3)
+    assert(operators.Sampling
+      .sampleByStratum(df, "doc_id", "lang", Map("en" -> 1.0), default = 0.0)
+      .count() === 2)
+    // chunkByTokens: NULL text yields no chunks (not phantom NULL rows)
+    val nullText = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, "en", null)), schema)
+    assert(operators.Packing.chunkByTokens(nullText, "text", "doc_id", 4).count() === 0)
+    // repeatedNgramFraction: NULL text → NULL, never an impossible 2.0
+    val f = nullText.select(
+      functions.TextFunctions.repeatedNgramFraction($"text", 2)).collect().head
+    assert(f.isNullAt(0))
+    // dupClusters: string ids are rejected loudly, not silently no-op'd
+    val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](operators.Dedup.dupClusters(strPairs))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("repeatedNgramFraction measures within-doc bigram repeats") {
     val df = Seq(
       Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
