@@ -960,6 +960,25 @@ object SparkEntry {
       },
       None
     ),
+    // incremental vector-LSH dedup against a persisted index: the third
+    // member of the incremental family (d08 minhash, d09 simhash) —
+    // bucketed band + vector tables, zero corpus-side Exchange
+    // (hyperplane-dependent — rows-only; ScalaTest gate proves
+    // incremental == batch on the union pair-for-pair)
+    Q(
+      "d13_incremental_lsh",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+        val delta = emb.filter(col("vec_id") % 3 === 0)
+        val idx = operators.Similarity.writeLshIndex(
+          corpus, "embedding", "vec_id", "d13_idx",
+          nPlanes = 3, nTables = 12, buckets = 8)
+        operators.Similarity
+          .lshNearDupsIncremental(delta, "embedding", "vec_id", 0.3, idx)
+      },
+      None
+    ),
     // benchmark decontamination: corpus docs sharing any 8-gram with the
     // benchmark split (doc_id % 10 == 0) are removed. String-shingle
     // matching — fully oracle-expressible with the d04 shingle SQL shape

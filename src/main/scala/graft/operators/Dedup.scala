@@ -395,7 +395,7 @@ object Dedup {
     * stale metadata AND files first (see [[dropStaleTable]]); Append
     * reuses the table's own bucket spec — Spark validates it matches.
     */
-  private def writeBucketedTable(
+  private[operators] def writeBucketedTable(
       df: DataFrame,
       table: String,
       nBuckets: Int,

@@ -411,17 +411,42 @@ object Similarity {
       maxBucket: Int = 10000
   ): DataFrame = {
     require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val banded = lshBanded(df, vecCol, idCol, nPlanes, dim, seed, nTables)
+    val cands = lshCandidatesFromBanded(banded, nTables, maxBucket)
+    val v = df.select(
+      col(idCol).as("_vid"),
+      VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+    )
+    cands
+      .join(v.select(col("_vid").as("_ida"), col("_nv").as("_va")), col("id_a") === col("_ida"))
+      .join(v.select(col("_vid").as("_idb"), col("_nv").as("_vb")), col("id_b") === col("_idb"))
+      .withColumn("cos", VectorFunctions.dot(col("_va"), col("_vb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** (_id, _tbl, _sig, _lower) hyperplane-table blocking rows. Each row
+    * carries the table signatures BELOW its own table for
+    * lowest-matching-table pair emission (see Dedup.minHashCandidates):
+    * a pair colliding in several tables is emitted only from the lowest
+    * one, so no distinct() over the candidate set is needed.
+    */
+  private def lshBanded(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nPlanes: Int,
+      dim: Int,
+      seed: Long,
+      nTables: Int
+  ): DataFrame = {
     val spread = df
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sigs = array((0 until nTables).map { t =>
       hyperplaneSignature(col("_v"), nPlanes, dim, seed + 1000L * t)
     }: _*)
-    // each row carries the table signatures BELOW its own table for
-    // lowest-matching-table pair emission (see Dedup.minHashCandidates):
-    // a pair colliding in several tables is emitted only from the lowest
-    // one, so no distinct() over the candidate set is needed
-    val banded = spread
+    spread
       .select(col("_id"), sigs.as("_sigs"))
       .select(
         col("_id"),
@@ -434,6 +459,33 @@ object Similarity {
         col("_sig"),
         slice(col("_sigs"), lit(1), col("_tbl")).as("_lower")
       )
+  }
+
+  /** True iff NO table below the bucket's own table matches between the
+    * two sides' carried `_lower` signature arrays. */
+  private def noLowerTableMatches(
+      nTables: Int,
+      left: String,
+      right: String
+  ): Column =
+    (0 until nTables - 1)
+      .map { t =>
+        col(s"$left._tbl") <= lit(t) ||
+          col(s"$left._lower")(t) =!= col(s"$right._lower")(t)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+
+  /** Capped-bucket membership + exactly-once self-join: the candidate
+    * half of [[lshNearDups]], shared with the within-delta leg of
+    * [[lshNearDupsIncremental]]. Returns (id_a, id_b); the returned plan
+    * reads a localCheckpoint (release via the final result).
+    */
+  private def lshCandidatesFromBanded(
+      banded: DataFrame,
+      nTables: Int,
+      maxBucket: Int
+  ): DataFrame = {
     val members = banded
       .groupBy(col("_tbl"), col("_sig"))
       .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
@@ -450,31 +502,174 @@ object Similarity {
         col("_m._lower").as("_lower")
       )
       .localCheckpoint(true)
-    val noLowerTableMatches = (0 until nTables - 1)
-      .map { t =>
-        col("a._tbl") <= lit(t) ||
-          col("a._lower")(t) =!= col("b._lower")(t)
-      }
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
-    val cands = members
+    members
       .as("a")
       .join(
         members.as("b"),
         col("a._tbl") === col("b._tbl") &&
           col("a._sig") === col("b._sig") &&
           col("a._id") < col("b._id") &&
-          noLowerTableMatches
+          noLowerTableMatches(nTables, "a", "b")
       )
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
-    val v = df.select(
-      col(idCol).as("_vid"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+  }
+
+  // ------------------------------------ incremental hyperplane-LSH index
+
+  /** Handle for a persisted vector-LSH dedup index — the third member of
+    * the incremental-index family ([[graft.operators.Dedup.MinHashIndex]],
+    * [[graft.operators.Dedup.SimHashIndex]]):
+    *  - `bandTable`: (_id, _tbl, _sig, _lower) hyperplane-table
+    *    membership, bucketed by (_tbl, _sig) — the delta-vs-corpus
+    *    candidate join reads it with NO corpus-side Exchange.
+    *  - `vecTable`: (_vid, _nv) L2-normalized vectors, bucketed by _vid —
+    *    cosine verification looks corpus vectors up without recompute.
+    * The hyperplane parameters travel with the handle: probing with a
+    * different seed/shape would hash into a disjoint signature space.
+    */
+  case class LshIndex(
+      bandTable: String,
+      vecTable: String,
+      nPlanes: Int,
+      dim: Int,
+      seed: Long,
+      nTables: Int,
+      buckets: Int
+  )
+
+  /** Build and persist an LSH index for `df` under catalog tables
+    * `<name>_bands` / `<name>_vecs`. */
+  def writeLshIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      name: String,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      nTables: Int = 4,
+      buckets: Int = 32
+  ): LshIndex = {
+    val idx = LshIndex(s"${name}_bands", s"${name}_vecs", nPlanes, dim, seed, nTables, buckets)
+    writeLshIndexTables(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
+    idx
+  }
+
+  /** Fold a delta into an existing LSH index (after its pairs were
+    * emitted via [[lshNearDupsIncremental]]). */
+  def appendToLshIndex(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: LshIndex
+  ): Unit =
+    writeLshIndexTables(delta, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeLshIndexTables(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: LshIndex,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit = {
+    Dedup.writeBucketedTable(
+      lshBanded(df, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables),
+      idx.bandTable,
+      idx.buckets,
+      Seq("_tbl", "_sig"),
+      mode
     )
-    cands
-      .join(v.select(col("_vid").as("_ida"), col("_nv").as("_va")), col("id_a") === col("_ida"))
-      .join(v.select(col("_vid").as("_idb"), col("_nv").as("_vb")), col("id_b") === col("_idb"))
-      .withColumn("cos", VectorFunctions.dot(col("_va"), col("_vb")))
+    Dedup.writeBucketedTable(
+      df.select(
+        col(idCol).as("_vid"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+      ),
+      idx.vecTable,
+      idx.buckets,
+      Seq("_vid"),
+      mode
+    )
+  }
+
+  /** Incremental vector near-dups: every pair above `threshold` cosine
+    * with at least one member in `delta` = (delta × corpus) via the
+    * bucketed band table ∪ (delta × delta) via the batch self-join —
+    * union the per-delta outputs with the corpus's own batch pairs for
+    * the full set. Scale shape mirrors the minhash/simhash twins: the
+    * delta is banded ONCE and reused by both legs, the corpus side is a
+    * bucketed scan feeding the (_tbl, _sig) equi-join with zero
+    * Exchange, exactly-once emission uses the carried lower-table
+    * signatures across the delta/corpus pair, and verification joins
+    * corpus vectors from the index's bucketed vector table (delta
+    * vectors are computed once and checkpointed). The within-delta leg
+    * caps buckets at `maxBucket`; the corpus side is NOT capped.
+    *
+    * Result is materialized (localCheckpoint) and delta-side blocks are
+    * released before returning.
+    */
+  def lshNearDupsIncremental(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      idx: LshIndex,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val lazyPairs =
+      lshPairsIncrementalLazy(delta, vecCol, idCol, threshold, idx, maxBucket)
+    val out = lazyPairs.localCheckpoint(true)
+    graft.CacheUtil.release(lazyPairs)
+    out
+  }
+
+  /** The un-materialized plan behind [[lshNearDupsIncremental]], exposed
+    * for plan-shape tests; callers must [[graft.CacheUtil.release]] it.
+    */
+  private[graft] def lshPairsIncrementalLazy(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      idx: LshIndex,
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spark = delta.sparkSession
+    val banded =
+      lshBanded(delta, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables)
+        .localCheckpoint(true)
+    val within = lshCandidatesFromBanded(banded, idx.nTables, maxBucket)
+    val corpus = spark.table(idx.bandTable)
+    val cross = banded
+      .as("d")
+      .join(
+        corpus.as("c"),
+        col("d._tbl") === col("c._tbl") &&
+          col("d._sig") === col("c._sig") &&
+          col("d._id") =!= col("c._id") &&
+          noLowerTableMatches(idx.nTables, "d", "c")
+      )
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b")
+      )
+    val cands = cross.unionByName(within)
+    val corpusV = spark.table(idx.vecTable)
+    val deltaV = delta
+      .select(col(idCol).as("_vid"), VectorFunctions.l2Normalize(col(vecCol)).as("_nv"))
+      .localCheckpoint(true)
+    val withA = cands
+      .join(corpusV.as("ca"), col("id_a") === col("ca._vid"), "left")
+      .join(deltaV.as("da"), col("id_a") === col("da._vid"), "left")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        coalesce(col("ca._nv"), col("da._nv")).as("_va")
+      )
+    withA
+      .join(corpusV.as("cb"), col("id_b") === col("cb._vid"), "left")
+      .join(deltaV.as("db"), col("id_b") === col("db._vid"), "left")
+      .withColumn("cos", VectorFunctions.dot(col("_va"), coalesce(col("cb._nv"), col("db._nv"))))
       .filter(col("cos") > threshold)
       .select(col("id_a"), col("id_b"))
   }

@@ -508,6 +508,15 @@ class OperatorsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS leak_sidx_chunks")
     assertReleasable("lshNearDups")(
       Similarity.lshNearDups(emb, "embedding", "vec_id", threshold = 0.3))
+    assertReleasable("lshNearDupsIncremental") {
+      val idx = Similarity.writeLshIndex(
+        emb.filter($"vec_id" % 3 =!= 0), "embedding", "vec_id", "leak_lidx",
+        nPlanes = 2, nTables = 8, buckets = 8)
+      Similarity.lshNearDupsIncremental(
+        emb.filter($"vec_id" % 3 === 0), "embedding", "vec_id", 0.3, idx)
+    }
+    spark.sql("DROP TABLE IF EXISTS leak_lidx_bands")
+    spark.sql("DROP TABLE IF EXISTS leak_lidx_vecs")
     assertReleasable("ivfPqBuild/search") {
       val idx = Quantization.ivfPqBuild(
         emb, "embedding", "vec_id", nCentroids = 8, refineIters = 1, m = 8, k = 16, iters = 1)
@@ -1076,6 +1085,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute), "cosine-verified pairs must be precision-exact")
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${brute.size})")
+  }
+
+  test("incremental LSH against a persisted index == batch on the union (gate)") {
+    // third member of the incremental-index family (d08 minhash, d09
+    // simhash): pairs(corpus) ∪ incremental(delta, idx) == batch(corpus
+    // ∪ delta), exactly once, no corpus recompute. Same (2, 8) params
+    // as the d07 gate so the fixture's near-threshold pairs collide.
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val idx = Similarity.writeLshIndex(
+      corpus, "embedding", "vec_id", "linc_gate", nPlanes = 2, nTables = 8, buckets = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incr = pairs(
+        Similarity.lshNearDupsIncremental(delta, "embedding", "vec_id", 0.3, idx))
+      val batch = pairs(Similarity.lshNearDups(
+        emb, "embedding", "vec_id", 0.3, nPlanes = 2, nTables = 8)).toSet
+      val corpusOnly = pairs(Similarity.lshNearDups(
+        corpus, "embedding", "vec_id", 0.3, nPlanes = 2, nTables = 8)).toSet
+      val touchesDelta = batch.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(touchesDelta.nonEmpty, "fixture yields no cross/delta pairs — gate is vacuous")
+      assert(incr.toSet === touchesDelta)
+      assert(incr.length === incr.toSet.size, "pair emitted more than once")
+      assert(corpusOnly.union(incr.toSet) === batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS linc_gate_bands")
+      spark.sql("DROP TABLE IF EXISTS linc_gate_vecs")
+    }
+  }
+
+  test("incremental LSH reads the corpus index with no corpus-side Exchange; appends fold in") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val idx = Similarity.writeLshIndex(
+      corpus, "embedding", "vec_id", "linc_plan", nPlanes = 2, nTables = 8, buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs = Similarity.lshPairsIncrementalLazy(
+        delta, "embedding", "vec_id", 0.3, idx, 10000)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      assert(pairs.count() > 0)
+      graft.CacheUtil.release(pairs)
+      // append: fold the delta in; the next (tiny) delta must pair
+      // against a vector that only the append made visible
+      Similarity.appendToLshIndex(delta, "embedding", "vec_id", idx)
+      val one = emb.filter($"vec_id" % 3 === 0).limit(1)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+      val got = Similarity.lshNearDupsIncremental(one, "embedding", "vec_id", 0.99, idx)
+      // the shifted copy of a delta vector is cosine-1 with its original,
+      // which lives in the index only via the append
+      assert(got.count() >= 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS linc_plan_bands")
+      spark.sql("DROP TABLE IF EXISTS linc_plan_vecs")
+    }
   }
 
   test("written IVF index probes as a partition-pruned scan, no cache/count (s03 scale shape)") {
