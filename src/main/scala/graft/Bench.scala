@@ -31,7 +31,7 @@ object Bench {
     "t05_quality_score",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
-    "d10_decontaminate", "st01_stream_simhash",
+    "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample", "m04_resize_stub"
   )

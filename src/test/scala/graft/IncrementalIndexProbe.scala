@@ -76,9 +76,32 @@ object IncrementalIndexProbe {
     timed("simhash-incremental")(
       Dedup.simHashNearDupsIncremental(delta, "text", "doc_id", sIdx))
 
+    // vector-LSH twin over a replicated embedding corpus (replicas get a
+    // disjoint id space; vectors identical → cosine-1 cross pairs)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val allV = (0 until replicas)
+      .map(r => emb.select(
+        (col("vec_id") + lit(r.toLong * 10_000_000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    val corpusV = allV.filter(col("vec_id") % 32 =!= 0).localCheckpoint(true)
+    val deltaV = allV.filter(col("vec_id") % 32 === 0).localCheckpoint(true)
+    import operators.Similarity
+    timed("lsh-batch")(
+      Similarity.lshNearDups(allV, "embedding", "vec_id", 0.3, nPlanes = 3, nTables = 12))
+    var lIdx: Similarity.LshIndex = null
+    timedUnit("lsh-index-build") {
+      lIdx = Similarity.writeLshIndex(
+        corpusV, "embedding", "vec_id", "incprobe_l", nPlanes = 3, nTables = 12)
+    }
+    timed("lsh-incremental")(
+      Similarity.lshNearDupsIncremental(deltaV, "embedding", "vec_id", 0.3, lIdx))
+
     spark.sql("DROP TABLE IF EXISTS incprobe_m_bands")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_shingles")
     spark.sql("DROP TABLE IF EXISTS incprobe_s_chunks")
+    spark.sql("DROP TABLE IF EXISTS incprobe_l_bands")
+    spark.sql("DROP TABLE IF EXISTS incprobe_l_vecs")
     spark.stop()
   }
 }
