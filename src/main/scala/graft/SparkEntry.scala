@@ -1087,6 +1087,29 @@ object SparkEntry {
              |       AS BIGINT) AS pack_seq
              |FROM documents""".stripMargin)
     ),
+    // pack materialization: concatenate each pack's members in id order
+    // (the text a tokenizer actually consumes), with bookkeeping
+    Q(
+      "p06_pack_texts",
+      (s, d) =>
+        operators.Packing
+          .packTexts(
+            documents(s, d), "text", "doc_id", "n_chars",
+            budget = 2000L, nBuckets = 8)
+          .select(
+            col("pack_bucket"), col("pack_seq"), col("pack_text"),
+            col("n_docs"), col("pack_weight")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, text, n_chars, doc_id % 8 AS pack_bucket,
+             |    CAST((sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - n_chars) // 2000
+             |         AS BIGINT) AS pack_seq
+             |  FROM documents)
+             |SELECT pack_bucket, pack_seq,
+             |       string_agg(text, ' ' ORDER BY doc_id) AS pack_text,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS pack_weight
+             |FROM p GROUP BY 1, 2""".stripMargin)
+    ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership
     Q(

@@ -79,4 +79,35 @@ object Packing {
         ).cast("long")
       )
   }
+
+  /** Materialize the packed training sequences: one row per pack with
+    * members concatenated in id order plus bookkeeping (member count,
+    * total weight). The aggregation is per-pack — groups are ~budget
+    * weight by construction, so collect_list state is bounded by the
+    * budget, never by the corpus. Output is the text actually fed to a
+    * tokenizer; keep [[packGreedy]]'s row-level form when only the
+    * assignment is needed.
+    */
+  def packTexts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      nBuckets: Int = 1024,
+      sep: String = " "
+  ): DataFrame =
+    packGreedy(df, idCol, weightCol, budget, nBuckets)
+      .groupBy(col("pack_bucket"), col("pack_seq"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            m => m.getField(textCol)
+          ),
+          sep
+        ).as("pack_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).as("pack_weight")
+      )
 }

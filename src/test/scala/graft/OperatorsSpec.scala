@@ -769,6 +769,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("packTexts concatenates members in id order with bounded bookkeeping") {
+    val df = Seq(
+      (3L, "cc", 100L), (1L, "aa", 100L), (2L, "bb", 100L), (11L, "dd", 100L)
+    ).toDF("doc_id", "text", "w")
+    val out = operators.Packing
+      .packTexts(df, "text", "doc_id", "w", budget = 300L, nBuckets = 1)
+      .orderBy("pack_seq")
+      .collect()
+    // one bucket: ids 1,2,3 fill pack 0 (300 = budget), 11 starts pack 1
+    assert(out.length === 2)
+    assert(out(0).getAs[String]("pack_text") === "aa bb cc", "id order, not arrival order")
+    assert(out(0).getAs[Long]("n_docs") === 3L)
+    assert(out(0).getAs[Long]("pack_weight") === 300L)
+    assert(out(1).getAs[String]("pack_text") === "dd")
+  }
+
   test("repeatedNgramFraction measures within-doc bigram repeats") {
     val df = Seq(
       Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
