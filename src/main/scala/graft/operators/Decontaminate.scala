@@ -72,13 +72,18 @@ object Decontaminate {
 
   /** The corpus with contaminated docs removed: anti-join against
     * [[contaminationReport]]'s id set. Two corpus scans by design (one
-    * to find the contaminated ids, one to filter); the id set is
-    * contamination-sized, so the planner broadcasts it when it fits and
-    * falls back to a shuffle join when a benchmark overlaps the corpus
-    * pathologically (no forced-broadcast hint — a hint would bypass the
-    * size threshold and OOM the driver in exactly that case). A
-    * pipeline that cannot afford the second scan should persist the
-    * report and push the filter into its next corpus read.
+    * to find the contaminated ids, one to filter). The id set is
+    * materialized (localCheckpoint — it is contamination-sized) and
+    * COUNTED, and the anti-join is broadcast-hinted only when the count
+    * is actually small: a static-stats decision would near-always pick
+    * a corpus-shuffling sort-merge join (the aggregate's size estimate
+    * is a product of child estimates), while an unconditional hint
+    * would OOM the driver on a benchmark that pathologically overlaps
+    * the corpus. Measuring is one cheap action on already-computed
+    * blocks. Release the returned plan's blocks with
+    * [[graft.CacheUtil.release]] when done; a pipeline that cannot
+    * afford the second corpus scan should persist the report and push
+    * the filter into its next corpus read.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -88,11 +93,14 @@ object Decontaminate {
       benchTextCol: String,
       n: Int,
       minMatches: Int = 1,
-      broadcastBench: Boolean = true
+      broadcastBench: Boolean = true,
+      maxBroadcastIds: Long = 10_000_000L
   ): DataFrame = {
     val bad = contaminationReport(
       corpus, textCol, idCol, bench, benchTextCol, n, minMatches, broadcastBench)
       .select(col(idCol))
-    corpus.join(bad, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val hinted = if (bad.count() <= maxBroadcastIds) broadcast(bad) else bad
+    corpus.join(hinted, Seq(idCol), "left_anti")
   }
 }

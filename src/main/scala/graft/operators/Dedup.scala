@@ -941,14 +941,21 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // label propagation runs on longs; a silent cast of string ids would
-    // produce all-NULL labels and an empty result — reject loudly
+    // produce all-NULL labels and an empty result — reject loudly.
+    // Resolution goes through select() (case-insensitive, like every
+    // other column reference); integer-like decimals (scale 0, ≤ 18
+    // digits — JDBC/Hive DECIMAL ids) cast losslessly and are accepted.
     Seq(idA, idB).foreach { c =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      val dt = pairs.schema(c).dataType
+      import org.apache.spark.sql.types._
+      val dt = pairs.select(col(c)).schema.head.dataType
+      val ok = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
+        case _ => false
+      }
       require(
-        Set[org.apache.spark.sql.types.DataType](
-          ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"dupClusters needs integral pair ids; column '$c' is $dt — " +
+        ok,
+        s"dupClusters needs integer-like pair ids; column '$c' is $dt — " +
           "map string ids to longs (e.g. xxhash64) before clustering"
       )
     }

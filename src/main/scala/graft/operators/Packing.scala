@@ -69,7 +69,14 @@ object Packing {
   ): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val bucket = pmod(col(idCol), lit(nBuckets)).cast("long")
+    // NULL ids would all land in the NULL window partition as RANGE-frame
+    // peers — one unbounded pack that packTexts would then concatenate
+    // into a single giant string. The id defines the pack order, so a
+    // NULL id is a contract violation: reject it loudly per row.
+    val bucket = when(
+      col(idCol).isNull,
+      raise_error(lit(s"packGreedy: NULL $idCol — pack order needs non-null ids"))
+    ).otherwise(pmod(col(idCol), lit(nBuckets)).cast("long"))
     val win = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
     df.withColumn("pack_bucket", bucket)
       .withColumn(

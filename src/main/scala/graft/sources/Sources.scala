@@ -89,6 +89,14 @@ object Sources {
     * (shuffle bytes are uncompressed; parquet then compresses) — the
     * remedy targets order-of-magnitude file-count sanity, not exact
     * sizes. Requires AQE (on in every session this library builds).
+    *
+    * Caveats of the conf window (advisory size is session-scoped, not
+    * per-plan): upstream shuffle stages of THIS job also coalesce
+    * toward `targetFileMB` — pass an already-materialized frame if the
+    * plan contains heavy joins and the target is large — and other
+    * queries planned on the same session DURING the write observe the
+    * altered advisory; on a session shared across threads, call this
+    * from a dedicated `spark.newSession()` whose conf is yours.
     */
   def writeCompacted(
       df: DataFrame,

@@ -87,15 +87,33 @@ object IncrementalIndexProbe {
     val corpusV = allV.filter(col("vec_id") % 32 =!= 0).localCheckpoint(true)
     val deltaV = allV.filter(col("vec_id") % 32 === 0).localCheckpoint(true)
     import operators.Similarity
+    // plane count sized for THIS corpus (the fixture's 3 planes would
+    // leave 8 buckets/table at 200k vectors — the maxBucket cap would
+    // bind and truncate the batch leg, making the legs non-equivalent).
+    // nTables stays at the fixture's 12: suggestLshParams' 0.95-recall
+    // sizing at this near-threshold regime would ask for hundreds of
+    // tables, and the probe measures timing parity, not recall — the
+    // dominant replica pairs sit at cosine 1.0 where every table
+    // collides, so both legs still see the bulk of the output. Both
+    // legs run uncapped with identical params ⇒ identical pair sets.
+    val lp = Similarity.LshParams(
+      nPlanes = math.max(1, math.round(
+        math.log(allV.count().toDouble / 250) / math.log(2.0)).toInt),
+      nTables = 12)
+    println(s"[incprobe] lsh params: nPlanes=${lp.nPlanes} nTables=${lp.nTables}")
     timed("lsh-batch")(
-      Similarity.lshNearDups(allV, "embedding", "vec_id", 0.3, nPlanes = 3, nTables = 12))
+      Similarity.lshNearDups(
+        allV, "embedding", "vec_id", 0.3,
+        nPlanes = lp.nPlanes, nTables = lp.nTables, maxBucket = Int.MaxValue))
     var lIdx: Similarity.LshIndex = null
     timedUnit("lsh-index-build") {
       lIdx = Similarity.writeLshIndex(
-        corpusV, "embedding", "vec_id", "incprobe_l", nPlanes = 3, nTables = 12)
+        corpusV, "embedding", "vec_id", "incprobe_l",
+        nPlanes = lp.nPlanes, nTables = lp.nTables)
     }
     timed("lsh-incremental")(
-      Similarity.lshNearDupsIncremental(deltaV, "embedding", "vec_id", 0.3, lIdx))
+      Similarity.lshNearDupsIncremental(
+        deltaV, "embedding", "vec_id", 0.3, lIdx, maxBucket = Int.MaxValue))
 
     spark.sql("DROP TABLE IF EXISTS incprobe_m_bands")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_shingles")

@@ -506,6 +506,10 @@ class OperatorsSpec extends AnyFunSuite {
         docs.filter($"doc_id" % 3 === 0), "text", "doc_id", idx)
     }
     spark.sql("DROP TABLE IF EXISTS leak_sidx_chunks")
+    assertReleasable("decontaminate")(
+      operators.Decontaminate.decontaminate(
+        docs.filter($"doc_id" % 10 =!= 0), "text", "doc_id",
+        docs.filter($"doc_id" % 10 === 0), "text", n = 8))
     assertReleasable("lshNearDups")(
       Similarity.lshNearDups(emb, "embedding", "vec_id", threshold = 0.3))
     assertReleasable("lshNearDupsIncremental") {
@@ -766,7 +770,7 @@ class OperatorsSpec extends AnyFunSuite {
     // dupClusters: string ids are rejected loudly, not silently no-op'd
     val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException](operators.Dedup.dupClusters(strPairs))
-    assert(e.getMessage.contains("integral"))
+    assert(e.getMessage.contains("integer-like"))
   }
 
   test("packTexts concatenates members in id order with bounded bookkeeping") {
