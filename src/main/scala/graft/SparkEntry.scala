@@ -1110,6 +1110,19 @@ object SparkEntry {
              |       CAST(sum(n_chars) AS BIGINT) AS pack_weight
              |FROM p GROUP BY 1, 2""".stripMargin)
     ),
+    // deterministic epoch shuffle: global sort by salted md5 of the id.
+    // The driver's compare sorts rows, so the oracle verifies the KEY
+    // mapping; the global ORDER itself is asserted in ScalaTest (the
+    // sort is the q36 range-partitioned shape)
+    Q(
+      "p07_shuffle",
+      (s, d) =>
+        operators.Sampling
+          .shuffleDeterministic(documents(s, d), "doc_id", salt = "epoch0")
+          .select(col("doc_id"), col("shuffle_key")),
+      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS shuffle_key
+             |FROM documents""".stripMargin)
+    ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership
     Q(

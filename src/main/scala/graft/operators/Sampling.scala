@@ -63,6 +63,25 @@ object Sampling {
     (df.filter(p), df.filter(!p))
   }
 
+  /** Deterministic training-order shuffle: global sort by a salted md5
+    * of the id, with the id as tie-break. The same corpus shuffles to
+    * the same order on any cluster size or input layout (unlike
+    * `orderBy(rand(seed))`, which is per-partition-seeded), and
+    * different salts give independent epoch orders. Scale shape: a
+    * range-partitioned global sort (sampled boundaries, no single-task
+    * stage) — the q36 shape; the added `shuffle_key` column is what
+    * downstream consumers resume/verify against.
+    */
+  def shuffleDeterministic(
+      df: DataFrame,
+      idCol: String,
+      salt: String = ""
+  ): DataFrame =
+    df.withColumn(
+      "shuffle_key",
+      md5(concat(col(idCol).cast("string"), lit(salt)))
+    ).orderBy(col("shuffle_key"), col(idCol))
+
   /** Per-stratum deterministic subsampling — the data-mixing primitive:
     * keep `fracs(stratum)` of each stratum (languages, sources, quality
     * buckets), `default` of unlisted strata. One scan, no shuffle, no

@@ -634,6 +634,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted !== s20, "salt must produce an independent selection")
   }
 
+  test("shuffleDeterministic: globally ordered, layout-independent, salt-varied") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val out = operators.Sampling.shuffleDeterministic(docs, "doc_id", "epoch0")
+      .select("doc_id", "shuffle_key").collect()
+    val keys = out.map(_.getString(1))
+    assert(keys.toSeq === keys.sorted.toSeq, "collected order must be the global key order")
+    // same order regardless of input partitioning
+    val re = operators.Sampling
+      .shuffleDeterministic(docs.repartition(13), "doc_id", "epoch0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(re.toSeq === out.map(_.getLong(0)).toSeq)
+    // a different salt gives a different epoch order
+    val other = operators.Sampling.shuffleDeterministic(docs, "doc_id", "epoch1")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(other.toSeq !== out.map(_.getLong(0)).toSeq)
+    // scale shape: range partitioning, not a single-task sort
+    val plan = operators.Sampling.shuffleDeterministic(docs, "doc_id", "e")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range sort:\n${plan.take(1500)}")
+  }
+
   test("sampleByStratum honors per-stratum fractions exactly at 0 and 1") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val out = operators.Sampling.sampleByStratum(
