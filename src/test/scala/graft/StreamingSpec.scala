@@ -180,6 +180,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + persisted index: probe-then-append micro-batches == batch pairs") {
+    // the production streaming-dedup shape for corpora too large for
+    // in-memory state: each micro-batch dedups against the persisted
+    // band index (zero corpus-side Exchange) and is then folded in, so
+    // the index grows with the stream. The union of per-batch pair
+    // emissions must equal the batch pair set over everything seen.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val fixture = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val batchPairs = Dedup
+      .minHashNearDups(docs, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture produced no near pairs — test is vacuous")
+    // seed an EMPTY index so the first micro-batch starts the corpus
+    val idx = Dedup.writeMinHashIndex(
+      docs.limit(0), "text", "doc_id", "stream_inc_idx", buckets = 4)
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint(true)
+        val pairs = Dedup.minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
+        got ++= pairs.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        Dedup.appendToMinHashIndex(delta, "text", "doc_id", idx)
+        graft.CacheUtil.release(pairs)
+        graft.CacheUtil.release(delta)
+        ()
+      }
+      .start()
+    try {
+      fixture.grouped(math.max(1, fixture.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      assert(got.toSet === batchPairs,
+        s"streamed ${got.size} vs batch ${batchPairs.size}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_inc_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS stream_inc_idx_shingles")
+    }
+  }
+
   test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
