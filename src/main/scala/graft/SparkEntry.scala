@@ -787,6 +787,51 @@ object SparkEntry {
              |    '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted
              |FROM all_docs""".stripMargin)
     ),
+    // HTML-to-text scrub over documents plus planted markup rows (the
+    // fixture is plain text, so the planted union keeps the oracle
+    // non-vacuous); identical regexp chains on both engines
+    Q(
+      "t09_strip_html",
+      (s, d) => {
+        import s.implicits._
+        val extra = Seq(
+          (2000001L, "<html><body><p>Hello &amp; welcome</p><script>var x = 1;</script><b>world</b></body></html>"),
+          (2000002L, "<div class=\"box\">A&nbsp;B</div> <!-- note --> C &lt;tag&gt;"),
+          (2000003L, "no markup here at all")
+        ).toDF("doc_id", "text")
+        documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .unionByName(extra)
+          .select(
+            col("doc_id"),
+            functions.TextFunctions.stripHtml(col("text")).as("clean")
+          )
+      },
+      Some {
+        // the same replace chain as TextFunctions.stripHtml, generated
+        // rather than hand-nested (nine nesting levels invite paren bugs)
+        val steps = Seq(
+          "(?is)<(script|style)[^>]*>.*?</(script|style)>" -> " ",
+          "(?s)<!--.*?-->" -> " ",
+          "<[^>]+>" -> " ",
+          "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&",
+          " +" -> " "
+        )
+        val expr = steps.foldLeft("text") { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        }
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT * FROM (VALUES
+           |    (2000001, '<html><body><p>Hello &amp; welcome</p><script>var x = 1;</script><b>world</b></body></html>'),
+           |    (2000002, '<div class="box">A&nbsp;B</div> <!-- note --> C &lt;tag&gt;'),
+           |    (2000003, 'no markup here at all')) v(doc_id, text))
+           |SELECT doc_id, trim($expr) AS clean
+           |FROM all_docs""".stripMargin
+      }
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",

@@ -107,6 +107,34 @@ object TextFunctions {
       regexp_replace(acc, pat, tok)
     }
 
+  /** Strip HTML markup to text: drop script/style blocks wholesale
+    * (their content is code, not prose), remove remaining tags and
+    * comments, decode the half-dozen named entities that dominate real
+    * corpora, and collapse the whitespace the removals leave behind.
+    * Step 0 of web-corpus curation, as a codegen'd regexp chain — the
+    * patterns live in the Java-regex ∩ RE2 subset so the oracle applies
+    * identical expressions. This is the fast scrub for overwhelmingly-
+    * text pages, not a DOM parser: boilerplate extraction (readability
+    * scoring, main-content detection) is a different, model-shaped
+    * problem.
+    */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>",
+      " "
+    )
+    val noTags =
+      regexp_replace(regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]+>", " ")
+    // &amp; decodes LAST: doing it earlier would turn &amp;lt; into &lt;
+    // and then double-decode it to <
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
   /** MD5 document fingerprint (engine-portable exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(text)
 

@@ -514,6 +514,30 @@ object Similarity {
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
   }
 
+  /** Audit view for [[lshNearDups]]' bucket cap — the vector twin of
+    * [[graft.operators.Dedup.hotMinHashBuckets]] /
+    * [[graft.operators.Dedup.hotSimHashBuckets]]: every (table,
+    * signature) block larger than `maxBucket`, with its size. Run at
+    * index-build time and size the cap (or re-plane with
+    * [[suggestLshParams]]) so it never triggers — a bound bucket cap
+    * silently drops pairs.
+    */
+  def hotLshBuckets(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      nTables: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame =
+    lshBanded(df, vecCol, idCol, nPlanes, dim, seed, nTables)
+      .groupBy(col("_tbl"), col("_sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(col("_tbl").as("table"), col("_sig").as("signature"), col("bucket_size"))
+
   // ------------------------------------ incremental hyperplane-LSH index
 
   /** Handle for a persisted vector-LSH dedup index — the third member of

@@ -810,6 +810,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("pack_text") === "dd")
   }
 
+  test("stripHtml drops tags/scripts/comments, decodes entities, keeps plain text") {
+    val df = Seq(
+      Doc(1, "<html><p>Hello &amp; welcome</p><script>var x=1;</script><b>world</b></html>"),
+      Doc(2, "<div class=\"box\">A&nbsp;B</div> <!-- note --> C &lt;tag&gt;"),
+      Doc(3, "no markup here at all"),
+      Doc(4, "edge: &amp;lt; must decode once to &lt; not twice to <")
+    ).toDS.toDF
+    val got = df.select($"doc_id", functions.TextFunctions.stripHtml($"text").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "Hello & welcome world")
+    assert(got(2L) === "A B C <tag>")
+    assert(got(3L) === "no markup here at all")
+    assert(got(4L) === "edge: &lt; must decode once to < not twice to <")
+  }
+
+  test("hotLshBuckets reports exactly the blocks the cap would truncate") {
+    // 50 identical vectors collide into one bucket per table
+    val vecs = (1L to 50L).map(i => Vec(i, Array.fill(8)(1f))).toDS.toDF
+    val hot = operators.Similarity.hotLshBuckets(
+      vecs, "embedding", "vec_id", nPlanes = 4, dim = 8, nTables = 2, maxBucket = 10)
+    val rows = hot.collect()
+    assert(rows.length === 2, s"one hot bucket per table: ${rows.toSeq}")
+    assert(rows.forall(_.getAs[Long]("bucket_size") === 50L))
+    // under a loose cap nothing is hot
+    assert(operators.Similarity.hotLshBuckets(
+      vecs, "embedding", "vec_id", nPlanes = 4, dim = 8, nTables = 2,
+      maxBucket = 100).count() === 0)
+  }
+
+  test("HLL sketches survive a parquet round-trip (the persist-per-day contract)") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .withColumn("_day", $"doc_id" % 3)
+    val path = "/root/repo/target/tmp/sketches_rt"
+    operators.Sketches.distinctSketch(docs, Seq("lang", "_day"), "text")
+      .write.mode("overwrite").parquet(path)
+    val merged = operators.Sketches
+      .mergeSketches(spark.read.parquet(path), Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = operators.Sketches
+      .mergeSketches(
+        operators.Sketches.distinctSketch(docs, Seq("lang"), "text"), Seq("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, "persisted sketches must merge to the direct estimate")
+  }
+
   test("repeatedNgramFraction measures within-doc bigram repeats") {
     val df = Seq(
       Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
