@@ -811,7 +811,8 @@ object SparkEntry {
         // the same replace chain as TextFunctions.stripHtml, generated
         // rather than hand-nested (nine nesting levels invite paren bugs)
         val steps = Seq(
-          "(?is)<(script|style)[^>]*>.*?</(script|style)>" -> " ",
+          "(?is)<script[^>]*>.*?</script>" -> " ",
+          "(?is)<style[^>]*>.*?</style>" -> " ",
           "(?s)<!--.*?-->" -> " ",
           "<[^>]+>" -> " ",
           "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
@@ -1165,7 +1166,8 @@ object SparkEntry {
         operators.Sampling
           .shuffleDeterministic(documents(s, d), "doc_id", salt = "epoch0")
           .select(col("doc_id"), col("shuffle_key")),
-      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'epoch0') AS shuffle_key
+      Some("""SELECT doc_id,
+             |       md5('shuffle:' || CAST(doc_id AS VARCHAR) || 'epoch0') AS shuffle_key
              |FROM documents""".stripMargin)
     ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling

@@ -119,11 +119,13 @@ object TextFunctions {
     * problem.
     */
   def stripHtml(text: Column): Column = {
-    val noBlocks = regexp_replace(
-      text,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>",
-      " "
-    )
+    // one pass per block tag: a combined <(script|style)>.*?</(script|
+    // style)> alternation lets a dangling <script> be "closed" by the
+    // next </style> and swallow the prose in between (RE2 has no
+    // backreferences to pin the closer to the opener)
+    val noBlocks = Seq("script", "style").foldLeft(text) { (acc, tag) =>
+      regexp_replace(acc, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
+    }
     val noTags =
       regexp_replace(regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]+>", " ")
     // &amp; decodes LAST: doing it earlier would turn &amp;lt; into &lt;

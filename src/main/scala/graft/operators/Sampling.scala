@@ -71,16 +71,29 @@ object Sampling {
     * range-partitioned global sort (sampled boundaries, no single-task
     * stage) — the q36 shape; the added `shuffle_key` column is what
     * downstream consumers resume/verify against.
+    *
+    * The hash input carries a fixed `"shuffle:"` domain separator so
+    * the order is INDEPENDENT of [[hashSample]]-based decisions even at
+    * the default salts: without it, rows kept by a sampling pass (md5
+    * prefix below the threshold) would sort as exactly the leading
+    * prefix of the epoch — a severe training-order skew.
     */
   def shuffleDeterministic(
       df: DataFrame,
       idCol: String,
       salt: String = ""
-  ): DataFrame =
+  ): DataFrame = {
+    require(
+      !df.columns.contains("shuffle_key"),
+      "input already has a shuffle_key column (a prior epoch's order?) — " +
+        "drop or rename it first; silently overwriting it would break " +
+        "consumers verifying against the stored key"
+    )
     df.withColumn(
       "shuffle_key",
-      md5(concat(col(idCol).cast("string"), lit(salt)))
+      md5(concat(lit("shuffle:"), col(idCol).cast("string"), lit(salt)))
     ).orderBy(col("shuffle_key"), col(idCol))
+  }
 
   /** Per-stratum deterministic subsampling — the data-mixing primitive:
     * keep `fracs(stratum)` of each stratum (languages, sources, quality

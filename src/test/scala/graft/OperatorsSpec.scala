@@ -653,6 +653,20 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = operators.Sampling.shuffleDeterministic(docs, "doc_id", "e")
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), s"expected range sort:\n${plan.take(1500)}")
+    // domain separation: the epoch order must NOT put a hashSample-kept
+    // set at the front (the shuffle hash is domain-prefixed; without
+    // that, sampled membership and epoch position share one hash)
+    val n = out.length
+    val kept = docs.filter(operators.Sampling.hashSample($"doc_id", 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val firstHalf = out.map(_.getLong(0)).take(n / 2).count(kept)
+    assert(firstHalf < (n / 2) * 9 / 10 && firstHalf > (n / 2) / 10,
+      s"sampled set clusters in the epoch order: $firstHalf of ${n / 2}")
+    // a stale shuffle_key column is rejected, not silently clobbered
+    val withKey = operators.Sampling.shuffleDeterministic(docs, "doc_id", "x")
+    val e = intercept[IllegalArgumentException](
+      operators.Sampling.shuffleDeterministic(withKey, "doc_id", "y"))
+    assert(e.getMessage.contains("shuffle_key"))
   }
 
   test("sampleByStratum honors per-stratum fractions exactly at 0 and 1") {
@@ -823,6 +837,13 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) === "A B C <tag>")
     assert(got(3L) === "no markup here at all")
     assert(got(4L) === "edge: &lt; must decode once to < not twice to <")
+    // a dangling <script/> must not let </style> close it and swallow prose
+    val dangling = Seq(
+      Doc(5, "<script src=\"a.js\"/><p>Real text</p><style>.x{}</style>")
+    ).toDS.toDF
+    val d5 = dangling.select(functions.TextFunctions.stripHtml($"text"))
+      .collect().head.getString(0)
+    assert(d5 === "Real text", s"got '$d5'")
   }
 
   test("hotLshBuckets reports exactly the blocks the cap would truncate") {
