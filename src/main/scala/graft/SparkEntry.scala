@@ -1170,6 +1170,18 @@ object SparkEntry {
              |       md5('shuffle:' || CAST(doc_id AS VARCHAR) || 'epoch0') AS shuffle_key
              |FROM documents""".stripMargin)
     ),
+    // deterministic exact-k sample: the 100 lowest salted hashes —
+    // TakeOrdered per-partition heaps, no global sort
+    Q(
+      "p08_sample_k",
+      (s, d) =>
+        operators.Sampling
+          .sampleExactK(documents(s, d), "doc_id", k = 100, salt = "eval")
+          .select(col("doc_id")),
+      Some("""SELECT doc_id FROM documents
+             |ORDER BY md5('samplek:' || CAST(doc_id AS VARCHAR) || 'eval'), doc_id
+             |LIMIT 100""".stripMargin)
+    ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership
     Q(

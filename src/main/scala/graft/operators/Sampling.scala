@@ -95,6 +95,31 @@ object Sampling {
     ).orderBy(col("shuffle_key"), col(idCol))
   }
 
+  /** Deterministic EXACT-k sample: the k rows with the smallest salted
+    * hash — a fixed-size eval/debug subset, stable across runs and
+    * layouts, nested in the same hash order as [[shuffleDeterministic]]
+    * uses (distinct domain though: this is its own `"samplek:"`
+    * domain). Scale shape: `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition heaps of k, no global sort,
+    * driver merge of partition heads only. Use [[hashSample]] when a
+    * FRACTION (not an exact count) is wanted — it needs no ordering at
+    * all.
+    */
+  def sampleExactK(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn(
+      "_sample_key",
+      md5(concat(lit("samplek:"), col(idCol).cast("string"), lit(salt)))
+    ).orderBy(col("_sample_key"), col(idCol))
+      .limit(k)
+      .drop("_sample_key")
+  }
+
   /** Per-stratum deterministic subsampling — the data-mixing primitive:
     * keep `fracs(stratum)` of each stratum (languages, sources, quality
     * buckets), `default` of unlisted strata. One scan, no shuffle, no

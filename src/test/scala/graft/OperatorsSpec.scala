@@ -669,6 +669,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shuffle_key"))
   }
 
+  test("sampleExactK: exact size, layout-independent, nested, TakeOrdered plan") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val k50 = operators.Sampling.sampleExactK(docs, "doc_id", 50, "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k50.size === 50)
+    val re = operators.Sampling.sampleExactK(docs.repartition(11), "doc_id", 50, "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re === k50, "layout must not change the selected set")
+    val k100 = operators.Sampling.sampleExactK(docs, "doc_id", 100, "eval")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k50.subsetOf(k100), "smaller k nests inside larger")
+    val plan = operators.Sampling.sampleExactK(docs, "doc_id", 50, "eval")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected per-partition heaps:\n${plan.take(1200)}")
+  }
+
   test("sampleByStratum honors per-stratum fractions exactly at 0 and 1") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val out = operators.Sampling.sampleByStratum(
