@@ -833,6 +833,23 @@ object SparkEntry {
            |FROM all_docs""".stripMargin
       }
     ),
+    // corpus-level boilerplate mining: document frequency of 3-grams
+    // reaching 5 docs (the shingle kernel is a per-doc SET, so the
+    // count is document frequency with no per-doc distinct)
+    Q(
+      "t10_ngram_docfreq",
+      (s, d) =>
+        operators.CorpusStats
+          .ngramDocFrequency(documents(s, d), "text", n = 3, minDocs = 5L),
+      Some("""WITH sh AS (SELECT doc_id,
+             |        list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_transform(range(len(w) - 2), i -> array_to_string(w[i+1:i+3], ' '))
+             |        END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents)),
+             |g AS (SELECT unnest(s) AS gram FROM sh)
+             |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+             |FROM g GROUP BY gram HAVING count(*) >= 5""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",

@@ -892,6 +892,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged === direct, "persisted sketches must merge to the direct estimate")
   }
 
+  test("ngramDocFrequency counts docs, not occurrences, and prunes below minDocs") {
+    val df = Seq(
+      Doc(1, "the boilerplate footer text ends here"),
+      Doc(2, "content one then the boilerplate footer text ends here"),
+      // repeats the gram WITHIN one doc — must still count once
+      Doc(3, "the boilerplate footer the boilerplate footer unrelated tail words")
+    ).toDS.toDF
+    val got = operators.CorpusStats.ngramDocFrequency(df, "text", n = 3, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("the boilerplate footer" -> 3L))
+    val loose = operators.CorpusStats.ngramDocFrequency(df, "text", n = 3, minDocs = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(loose("boilerplate footer text") === 2L)
+    assert(!loose.contains("content one then"))
+  }
+
   test("repeatedNgramFraction measures within-doc bigram repeats") {
     val df = Seq(
       Doc(1, "spam spam spam spam"),        // 3 bigrams, 1 distinct → 2/3
