@@ -850,6 +850,39 @@ object SparkEntry {
              |SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
              |FROM g GROUP BY gram HAVING count(*) >= 5""".stripMargin)
     ),
+    // statistical LM quality (CCNet-style, KenLM → in-engine add-k
+    // bigram model): train counts on the corpus, score each doc's mean
+    // bigram log-probability. Counts and arithmetic are engine-exact;
+    // only ln() can differ in the last ulp, absorbed by the aggregate
+    // round(4). Docs with <2 tokens have no bigrams and are omitted.
+    Q(
+      "t11_ngram_lm",
+      (s, d) => {
+        val docs = documents(s, d)
+        val model = operators.NgramLM.train(docs, "text", addK = 0.1)
+        operators.NgramLM.scoreLogProb(docs, "text", "doc_id", model)
+      },
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c1
+             |        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+             |v AS (SELECT CAST(count(*) AS DOUBLE) AS vs FROM uni),
+             |bi AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM (
+             |         SELECT w[i+1] AS w1, w[i+2] AS w2
+             |         FROM (SELECT w, unnest(range(len(w) - 1)) AS i FROM t
+             |               WHERE len(w) >= 2))
+             |       GROUP BY 1, 2),
+             |db AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+             |       FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t
+             |             WHERE len(w) >= 2)),
+             |s AS (SELECT doc_id,
+             |             ln((coalesce(c12, 0) + 0.1) / (coalesce(c1, 0) + 0.1 * vs)) AS lp
+             |      FROM db LEFT JOIN bi USING (w1, w2)
+             |              LEFT JOIN uni ON db.w1 = uni.tok
+             |              CROSS JOIN v)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |       round(avg(lp), 4) AS avg_logp
+             |FROM s GROUP BY 1""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",
@@ -899,6 +932,97 @@ object SparkEntry {
             maxHamming = 10, maxBucket = 8192)
           .select(col("id_a"), col("id_b")),
       None
+    ),
+    // Manku combination-blocking SimHash pairs at the production radius
+    // h=3 / blocks=6 (hash-dependent; rows-only — the OperatorsSpec d14
+    // gate proves combo == pigeonhole == brute on this exact shape). The
+    // fixture has no pairs at h=3, so a perturbed twin of every doc is
+    // planted (one token appended, id+100000) — deterministic at every
+    // SF, and the planted pairs sit at hamming 0-3 where the 32-bit
+    // combination keys are the 10⁹-doc scale path (d03's 16-bit
+    // pigeonhole keys stop discriminating past ~10⁷ docs).
+    Q(
+      "d14_simhash_combo",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"), col("text"))
+        val planted = base.union(
+          base.select(
+            (col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" perturbed")).as("text")
+          )
+        )
+        operators.Dedup
+          .simHashNearDupsCombination(
+            planted, "text", "doc_id",
+            maxHamming = 3, blocks = 6, maxBucket = 8192)
+          .select(col("id_a"), col("id_b"))
+      },
+      None
+    ),
+    // exact substring (passage) dedup, Lee et al. ACL'22 ExactSubstr
+    // re-expressed as sliding-window fingerprints: the corpus-wide
+    // duplicated-passage catalogue. md5 is engine-identical, so unlike
+    // the simhash/minhash families this one has a FULL DuckDB oracle.
+    Q(
+      "d15_dup_passages",
+      (s, d) =>
+        operators.Passages
+          .duplicatedPassages(documents(s, d), "text", "doc_id", windowTokens = 8),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |f AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS fp_md5
+             |      FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t
+             |            WHERE len(w) >= 8))
+             |SELECT fp_md5,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_occ
+             |FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)
+    ),
+    // per-doc duplicated-passage profile: windows shared with ≥2 docs as
+    // a fraction of the doc's windows; short docs kept at 0.0
+    Q(
+      "d16_passage_dup_fraction",
+      (s, d) =>
+        operators.Passages
+          .passageDupFraction(documents(s, d), "text", "doc_id", windowTokens = 8),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |f AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS fp_md5
+             |      FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t
+             |            WHERE len(w) >= 8)),
+             |d AS (SELECT fp_md5 FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+             |c AS (SELECT doc_id, count(*) AS nwin,
+             |             sum(CASE WHEN fp_md5 IN (SELECT fp_md5 FROM d)
+             |                 THEN 1 ELSE 0 END) AS ndup
+             |      FROM f GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |       CAST(coalesce(c.nwin, 0) AS BIGINT) AS n_windows,
+             |       CAST(coalesce(c.ndup, 0) AS BIGINT) AS n_dup_windows,
+             |       CAST(coalesce(c.ndup, 0) AS DOUBLE)
+             |         / greatest(coalesce(c.nwin, 0), 1) AS dup_fraction
+             |FROM t LEFT JOIN c USING (doc_id)""".stripMargin)
+    ),
+    // document retention rule on the passage profile: drop docs that are
+    // mostly cross-doc boilerplate (dup_fraction > 0.2)
+    Q(
+      "d17_passage_dedup_docs",
+      (s, d) =>
+        operators.Passages
+          .dropDuplicatedPassageDocs(
+            documents(s, d), "text", "doc_id",
+            windowTokens = 8, maxDupFraction = 0.2)
+          .select(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |f AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS fp_md5
+             |      FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t
+             |            WHERE len(w) >= 8)),
+             |d AS (SELECT fp_md5 FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+             |c AS (SELECT doc_id, count(*) AS nwin,
+             |             sum(CASE WHEN fp_md5 IN (SELECT fp_md5 FROM d)
+             |                 THEN 1 ELSE 0 END) AS ndup
+             |      FROM f GROUP BY doc_id)
+             |SELECT t.doc_id
+             |FROM t LEFT JOIN c USING (doc_id)
+             |WHERE CAST(coalesce(c.ndup, 0) AS DOUBLE)
+             |        / greatest(coalesce(c.nwin, 0), 1) <= 0.2""".stripMargin)
     ),
     // exact n-gram Jaccard pairs, brute force — oracle-expressible via
     // DuckDB list functions (shingles built identically in SQL)

@@ -559,8 +559,8 @@ object Dedup {
     * Scale note: chunk width shrinks as the radius grows (h=10 → 11
     * chunks of 5-6 bits → 2^5-2^6 buckets per chunk), so large radii
     * over huge corpora inflate the candidate join; at 100 TB keep the
-    * radius small or step up to Manku-style multi-chunk combination
-    * blocking (wider buckets, more probes).
+    * radius small or step up to [[simHashNearDupsCombination]] (Manku
+    * combination blocking: wider keys, more probes — the ≥10⁷-doc path).
     *
     * The returned plan reads localCheckpoint blocks (the capped bucket
     * membership) — free them with [[graft.CacheUtil.release]] on the
@@ -593,6 +593,30 @@ object Dedup {
       chunked: DataFrame,
       maxHamming: Int,
       maxBucket: Int
+  ): DataFrame = {
+    val (widths, offsets) = chunkLayout(maxHamming + 1)
+    simHashPairsFromKeyed(
+      chunked,
+      maxHamming,
+      maxBucket,
+      maxHamming + 1,
+      (h, c) => shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c))))
+    )
+  }
+
+  /** Verified pair emission from a generic (_id, _simhash, _chunk, _val)
+    * blocking table, where `_val` for key index `c` equals `keyVal(hash,
+    * c)` — shared by pigeonhole ([[simHashNearDups]]) and combination
+    * ([[simHashNearDupsCombination]]) blocking. `keyVal` must be a pure
+    * plan-time function of the carried hash so the lowest-matching-key
+    * emission conjunction can recompute every key from `_simhash`.
+    */
+  private def simHashPairsFromKeyed(
+      chunked: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      numKeys: Int,
+      keyVal: (Column, Int) => Column
   ): DataFrame = {
     // Same two-step shape as [[minHashCandidates]] (see the full rationale
     // there): (1) ONE job evaluates every SimHash once, groups by
@@ -650,7 +674,7 @@ object Dedup {
         col("a._chunk") === col("b._chunk") &&
           col("a._val") === col("b._val") &&
           col("a._id") < col("b._id") &&
-          noLowerChunkMatches(maxHamming + 1, "a", "b")
+          noLowerKeyMatches(numKeys, keyVal, "a", "b")
       )
       .select(
         col("a._id").as("id_a"),
@@ -715,16 +739,32 @@ object Dedup {
       right: String
   ): Column = {
     val (widths, offsets) = chunkLayout(chunks)
-    def chunkVal(h: Column, c: Int): Column =
-      shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c))))
-    (0 until chunks - 1)
+    noLowerKeyMatches(
+      chunks,
+      (h, c) => shiftrightunsigned(h, offsets(c)).bitwiseAND(lit(chunkMask(widths(c)))),
+      left,
+      right
+    )
+  }
+
+  /** Generic lowest-matching-key emission conjunction: true iff NO key
+    * index below the bucket's own `_chunk` matches between the two sides,
+    * each key recomputed at plan time from the carried 64-bit hashes via
+    * `keyVal`. Shared by pigeonhole chunks and Manku combination keys.
+    */
+  private def noLowerKeyMatches(
+      numKeys: Int,
+      keyVal: (Column, Int) => Column,
+      left: String,
+      right: String
+  ): Column =
+    (0 until numKeys - 1)
       .map { c =>
         col(s"$left._chunk") <= lit(c) ||
-          chunkVal(col(s"$left._simhash"), c) =!= chunkVal(col(s"$right._simhash"), c)
+          keyVal(col(s"$left._simhash"), c) =!= keyVal(col(s"$right._simhash"), c)
       }
       .reduceOption(_ && _)
       .getOrElse(lit(true))
-  }
 
   /** Audit view for [[simHashNearDups]]'s bucket cap: every (chunk, value)
     * block larger than `maxBucket`, with its size.
@@ -741,6 +781,143 @@ object Dedup {
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
       .select(col("_chunk").as("chunk"), col("_val").as("value"), col("bucket_size"))
+
+  // ------------------------- Manku combination blocking (web-scale h≤4)
+
+  /** All C(blocks, t) block-index subsets of size `t`, lexicographic.
+    * Order matters: the lowest-matching-key emission conjunction assumes
+    * key index == position in this sequence.
+    */
+  private[graft] def combinationSubsets(blocks: Int, t: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(t).map(_.toSeq).toSeq
+
+  /** One combination key packed into a long: the subset's block values
+    * shifted into consecutive low bits (total width = Σ subset widths ≤
+    * 64). A pure plan-time function of the carried hash, so the
+    * exactly-once conjunction can recompute any key from `_simhash`.
+    */
+  private[graft] def comboVal(
+      h: Column,
+      subset: Seq[Int],
+      widths: Seq[Int],
+      offsets: Seq[Int]
+  ): Column =
+    subset
+      .foldLeft((lit(0L), 0)) { case ((acc, pos), blk) =>
+        val v = shiftrightunsigned(h, offsets(blk))
+          .bitwiseAND(lit(chunkMask(widths(blk))))
+        (acc.bitwiseOR(shiftleft(v, pos)), pos + widths(blk))
+      }
+      ._1
+
+  /** SimHash near-dup pairs via Manku-style combination blocking (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): split the 64-bit fingerprint into `blocks` > maxHamming
+    * blocks; a pair within Hamming ≤ maxHamming agrees on ≥ blocks −
+    * maxHamming blocks, so it agrees entirely on at least one of the
+    * C(blocks, t) subsets of size t = blocks − maxHamming. Each subset's
+    * concatenated block values form one bucket key — recall is exact
+    * (same guarantee as [[simHashNearDups]]'s pigeonhole chunks) but the
+    * keys are ~64·t/blocks bits wide instead of ~64/(maxHamming+1).
+    *
+    * Why this exists next to [[simHashNearDups]]: pigeonhole blocking at
+    * h=3 uses 16-bit keys — random-collision candidate mass ≈ n²/2^15,
+    * fine to ~10⁷ docs but quadratic death at 10⁹+ (100 TB corpora). The
+    * default here (h=3, blocks=6, t=3) probes 20 keys/row of ~32 bits —
+    * collision mass ≈ 20·n²/2^33, ~13,000× fewer random candidates for
+    * 5× the probe rows. Use the pigeonhole form below ~10⁷ docs (fewer
+    * probe rows shuffle less and random collisions don't dominate yet);
+    * use this form above. Radii ≥ ~10 on 64 bits are intrinsically dense
+    * — no blocking discriminates; keep h ≤ 4 at scale (or move to a
+    * 128-bit fingerprint).
+    *
+    * Same kernel as [[simHashNearDups]]: one job caps each (key, value)
+    * bucket, localCheckpoints the membership, then a codegen'd self-join
+    * verifies `bit_count(xor)` inline with lowest-matching-key
+    * exactly-once emission. Release the result's checkpoint blocks with
+    * [[graft.CacheUtil.release]].
+    */
+  def simHashNearDupsCombination(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val subsets = comboSubsetsChecked(maxHamming, blocks)
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val (widths, offsets) = chunkLayout(blocks)
+    simHashPairsFromKeyed(
+      simHashComboKeyed(df, textCol, idCol, subsets, widths, offsets),
+      maxHamming,
+      maxBucket,
+      subsets.length,
+      (h, c) => comboVal(h, subsets(c), widths, offsets)
+    )
+  }
+
+  /** Audit view for [[simHashNearDupsCombination]]'s bucket cap: every
+    * (key, value) bucket larger than `maxBucket`, with its size.
+    */
+  def hotSimHashComboBuckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val subsets = comboSubsetsChecked(maxHamming, blocks)
+    val (widths, offsets) = chunkLayout(blocks)
+    simHashComboKeyed(df, textCol, idCol, subsets, widths, offsets)
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+      .select(col("_chunk").as("combo"), col("_val").as("value"), col("bucket_size"))
+  }
+
+  private def comboSubsetsChecked(maxHamming: Int, blocks: Int): Seq[Seq[Int]] = {
+    require(
+      maxHamming >= 0 && blocks > maxHamming && blocks <= 64,
+      s"need maxHamming ≥ 0 < blocks ≤ 64 with blocks > maxHamming, " +
+        s"got maxHamming=$maxHamming blocks=$blocks"
+    )
+    val subsets = combinationSubsets(blocks, blocks - maxHamming)
+    // each probe row carries one key and the emission conjunction has
+    // C(blocks, t) − 1 terms — cap both before the plan explodes
+    require(
+      subsets.length <= 512,
+      s"C($blocks, ${blocks - maxHamming}) = ${subsets.length} combination " +
+        "keys — too many probe rows/plan terms; pick blocks closer to maxHamming"
+    )
+    subsets
+  }
+
+  /** (_id, _simhash, _chunk, _val) combination-key blocking table:
+    * `_chunk` is the subset index, `_val` the packed key. The combination
+    * twin of [[simHashChunked]].
+    */
+  private def simHashComboKeyed(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      subsets: Seq[Seq[Int]],
+      widths: Seq[Int],
+      offsets: Seq[Int]
+  ): DataFrame = {
+    val withSim = df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("_id"), simHash(col("_t")).as("_simhash"))
+    withSim.select(
+      col("_id"),
+      col("_simhash"),
+      posexplode(
+        array(subsets.map(s => comboVal(col("_simhash"), s, widths, offsets)): _*)
+      ).as(Seq("_chunk", "_val"))
+    )
+  }
 
   // ------------------------------------ incremental SimHash chunk index
 

@@ -408,6 +408,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotRows.length === got.size, "pair emitted more than once")
   }
 
+  test("combination blocking covers every damage set: some subset avoids any ≤h blocks") {
+    // the Manku guarantee, checked exhaustively: a pair within Hamming h
+    // damages ≤ h blocks; recall is exact iff for EVERY damage set of
+    // size ≤ h some C(blocks, t) subset avoids it entirely
+    for ((h, b) <- Seq((3, 6), (3, 8), (4, 7), (2, 4), (0, 1))) {
+      val t = b - h
+      val subsets = Dedup.combinationSubsets(b, t).map(_.toSet)
+      for (k <- 0 to h; damage <- (0 until b).combinations(k).map(_.toSet))
+        assert(
+          subsets.exists(s => (s & damage).isEmpty),
+          s"h=$h blocks=$b: no subset avoids damage $damage"
+        )
+    }
+  }
+
+  test("simHashNearDupsCombination == brute == pigeonhole pairs (d14 gate)") {
+    // fixture docs plus one near-dup per doc (a token appended) so pairs
+    // exist at the production radius h=3; both blocked forms must emit
+    // exactly the brute bit_count(xor) pair set, each pair exactly once
+    val base = Tables.documents(spark, SparkTestSession.sfDir)
+      .select($"doc_id", $"text")
+    val docs = base.union(
+      base.select($"doc_id" + 100000L, concat($"text", lit(" perturbed")))
+    )
+    val h = 3
+    val hashes = docs
+      .select($"doc_id", Dedup.simHash($"text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= h
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture produced no near pairs — gate is vacuous")
+    val comboRows = Dedup
+      .simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = h, blocks = 6)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(comboRows.toSet === brute)
+    assert(comboRows.length === comboRows.toSet.size, "pair emitted more than once")
+    val pigeon = Dedup
+      .simHashNearDups(docs, "text", "doc_id", maxHamming = h)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pigeon === brute)
+  }
+
+  test("planted hot bucket: cap bounds pairs, audit reports one bucket per combo key") {
+    val docs = (1L to 300L).map(i => Doc(i, "boilerplate header repeated everywhere"))
+    val df = docs.toDS.toDF
+    val capped = Dedup
+      .simHashNearDupsCombination(df, "text", "doc_id", maxHamming = 3, blocks = 6, maxBucket = 40)
+      .count()
+    assert(capped === 40L * 39 / 2, s"expected capped pair count, got $capped")
+    val hot = Dedup
+      .hotSimHashComboBuckets(df, "text", "doc_id", maxHamming = 3, blocks = 6, maxBucket = 40)
+      .collect()
+    assert(hot.length === 20) // identical docs: one hot bucket per C(6,3) key
+    assert(hot.forall(_.getLong(2) === 300L))
+  }
+
   test("planted hot bucket: cap bounds the pair expansion, audit reports it (minhash)") {
     // 300 identical docs land in the same bucket in every band; uncapped
     // that is 300·299/2 = 44850 pairs — the cap keeps the lowest 40 ids
@@ -435,6 +500,68 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
     assert(hot.length === 4) // identical docs: one hot bucket per chunk
     assert(hot.forall(_.getLong(2) === 300L))
+  }
+
+  test("passage dedup: windows, cross-doc dup detection, fractions, stride, short docs") {
+    // doc1/doc2 share "a b c" and "b c d"; doc4 repeats a window only
+    // WITHIN itself (must not count as duplicated); doc3 is too short
+    val df = Seq(
+      Doc(1, "a b c d e"),
+      Doc(2, "x a b c d"),
+      Doc(3, "z z"),
+      Doc(4, "q q q q")
+    ).toDS.toDF
+    val fps = Passages.passageFingerprints(df, "text", "doc_id", windowTokens = 3)
+    assert(fps.count() === 3 + 3 + 0 + 2)
+    val dup = Passages
+      .duplicatedPassages(df, "text", "doc_id", windowTokens = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(dup.length === 2 && dup.forall(_ === ((2L, 2L))))
+    val frac = Passages
+      .passageDupFraction(df, "text", "doc_id", windowTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(frac(1L) === ((3L, 2L, 2.0 / 3)))
+    assert(frac(2L) === ((3L, 2L, 2.0 / 3)))
+    assert(frac(3L) === ((0L, 0L, 0.0)))
+    assert(frac(4L) === ((2L, 0L, 0.0)))
+    // stride skips starts: doc1 at stride 2 → windows at 0 and 2 only
+    val strided = Passages
+      .passageFingerprints(df.filter($"doc_id" === 1), "text", "doc_id", 3, stride = 2)
+      .select("pos").collect().map(_.getInt(0)).sorted
+    assert(strided === Array(0, 2))
+    // retention: dup-heavy docs 1 and 2 dropped at a 0.5 threshold
+    val kept = Passages
+      .dropDuplicatedPassageDocs(df, "text", "doc_id", 3, maxDupFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L))
+  }
+
+  test("ngram LM: hand-computed add-k bigram logprobs, unseen fallbacks, short docs") {
+    val train = Seq(Doc(1, "a b a"), Doc(2, "a b")).toDS.toDF
+    // uni: a→3, b→2 (V=2); bi: (a,b)→2, (b,a)→1; k=0.1
+    val model = NgramLM.train(train, "text", addK = 0.1)
+    assert(model.vocabSize === 2L)
+    val score = Seq(
+      Doc(1, "a b a"), // ln(2.1/3.2), ln(1.1/2.2)
+      Doc(3, "a c"),   // seen w1, unseen bigram: ln(0.1/3.2)
+      Doc(4, "x y"),   // unseen w1: ln(0.1/0.2)
+      Doc(5, "solo")   // 1 token → no bigrams → omitted
+    ).toDS.toDF
+    val got = NgramLM
+      .scoreLogProb(score, "text", "doc_id", model)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // Spark's round() works on the shortest-decimal repr (BigDecimal.valueOf)
+    def r4(x: Double) =
+      BigDecimal.valueOf(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 3L, 4L))
+    assert(got(1L) === ((2L, r4((math.log(2.1 / 3.2) + math.log(1.1 / 2.2)) / 2))))
+    assert(got(3L) === ((1L, r4(math.log(0.1 / 3.2)))))
+    assert(got(4L) === ((1L, r4(math.log(0.1 / 0.2)))))
   }
 
   test("jaccard exact: known set overlap") {
@@ -488,6 +615,8 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.minHashNearDups(docs, "text", "doc_id", threshold = 0.4))
     assertReleasable("simHashNearDups")(
       Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10))
+    assertReleasable("simHashNearDupsCombination")(
+      Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
     assertReleasable("minHashNearDupsIncremental") {
       val idx = Dedup.writeMinHashIndex(
         docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_idx", buckets = 8)
