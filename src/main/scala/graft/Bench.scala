@@ -34,6 +34,7 @@ object Bench {
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
+    "s06_semdedup",
     "m01_binary_meta", "m02_decode_stub", "m03_frame_sample", "m04_resize_stub"
   )
 

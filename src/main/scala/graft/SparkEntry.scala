@@ -1516,6 +1516,33 @@ object SparkEntry {
         ),
       None
     ),
+    // SemDeDup: k-means cluster the embeddings, verify cosine within
+    // clusters only. Planted near-colinear twins (scaled + nudged every
+    // 7th axis, id+100000) give pairs at cosine ~0.999 — far above the
+    // fixture's natural ≤~0.5 — so the emitted set is the twin graph.
+    // Centroid means are float-sum-order dependent → rows-only; the
+    // OperatorsSpec s06 gates prove one-cluster == brute and a ≥90%
+    // planted-recall floor at nClusters=8.
+    Q(
+      "s06_semdedup",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val twins = emb.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) =>
+              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
+          ).as("embedding")
+        )
+        operators.Similarity
+          .semDedupPairs(
+            emb.unionByName(twins), "embedding", "vec_id",
+            nClusters = 8, threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+      },
+      None
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

@@ -318,6 +318,99 @@ object Similarity {
     ivfProbe(index, qVec, k, nProbe, excludeId = Some(queryId))
   }
 
+  // ------------------------------------------------------- SemDeDup
+
+  /** Semantic near-dup pairs via k-means clustering — SemDeDup (Abbas
+    * et al., arXiv:2303.09540): cluster the embeddings with the IVF
+    * coarse quantizer, then verify cosine similarity only WITHIN each
+    * cluster. Complements [[lshNearDups]]: LSH recall is per-pair
+    * probabilistic but global; SemDeDup recall is exact within a cluster
+    * and zero across cluster boundaries (the paper's accepted loss —
+    * near-dups are near the same centroid, so boundary misses are rare
+    * for genuinely close pairs and grow as the threshold loosens).
+    *
+    * Scale shape: assignment is a per-row argmin over centroid literals
+    * (no shuffle), the within-cluster join is the same capped-bucket →
+    * localCheckpoint → codegen'd self-equi-join kernel as every other
+    * dedup path, with clusters as the buckets — candidate mass is
+    * Σ C(cluster, 2), controlled by `nClusters` ≈ n / targetClusterSize.
+    * Unlike the multi-table LSH path each vector is in exactly ONE
+    * cluster, so no exactly-once conjunction is needed. Audit cluster
+    * sizes with `index.assigned.groupBy("_centroid").count()` before
+    * trusting a `maxCluster` cap. Release the result's checkpoint blocks
+    * with [[graft.CacheUtil.release]].
+    */
+  def semDedupPairsFromIndex(
+      index: IvfIndex,
+      threshold: Double,
+      maxCluster: Int = 10000
+  ): DataFrame = {
+    require(maxCluster > 1, "maxCluster must allow at least one pair")
+    val members = index.assigned
+      .select(
+        col(index.idCol).as("_id"),
+        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
+        col("_centroid")
+      )
+      .groupBy(col("_centroid"))
+      .agg(collect_list(struct(col("_id"), col("_nv"))).as("_ms"))
+      .filter(size(col("_ms")) > 1)
+      .select(
+        col("_centroid"),
+        explode(slice(array_sort(col("_ms")), 1, maxCluster)).as("_m")
+      )
+      .select(col("_centroid"), col("_m._id").as("_id"), col("_m._nv").as("_nv"))
+      .localCheckpoint(true)
+    members
+      .as("a")
+      .join(
+        members.as("b"),
+        col("a._centroid") === col("b._centroid") && col("a._id") < col("b._id")
+      )
+      .select(
+        col("a._id").as("id_a"),
+        col("b._id").as("id_b"),
+        VectorFunctions.dot(col("a._nv"), col("b._nv")).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Convenience form: build the cluster index (deterministic strided
+    * init + Lloyd refinement) and emit pairs. Use
+    * [[semDedupPairsFromIndex]] to reuse an index across thresholds.
+    */
+  def semDedupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int,
+      threshold: Double,
+      refineIters: Int = 2,
+      maxCluster: Int = 10000
+  ): DataFrame =
+    semDedupPairsFromIndex(
+      ivfBuild(df, vecCol, idCol, nClusters, refineIters), threshold, maxCluster)
+
+  /** SemDeDup retention: drop every row that pairs (within-cluster
+    * cosine ≥ threshold) with a lower-id keeper — connected-component
+    * clustering over the pair graph, keep the minimum id per component
+    * (same rule as [[Dedup.dedupByPairs]]).
+    */
+  def semDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nClusters: Int,
+      threshold: Double,
+      refineIters: Int = 2,
+      maxCluster: Int = 10000
+  ): DataFrame =
+    Dedup.dedupByPairs(
+      df,
+      idCol,
+      semDedupPairs(df, vecCol, idCol, nClusters, threshold, refineIters, maxCluster)
+    )
+
   /** LSH-blocked near-dup pairs over embeddings (scale path of
     * [[Dedup.embeddingNearDupsBrute]]): a pair is a candidate when it
     * shares a bucket in ANY of `nTables` independent hyperplane tables

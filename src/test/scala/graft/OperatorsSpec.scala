@@ -539,6 +539,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(3L, 4L))
   }
 
+  test("semDedupPairs with one cluster == brute cosine pairs (s06 kernel gate)") {
+    // nClusters=1 puts everything in one cluster: the within-cluster
+    // verify must reproduce the brute pair set exactly (threshold 0.3
+    // has a 7e-5 margin on the fixture, so > vs >= cannot differ)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val brute = Dedup
+      .embeddingNearDupsBrute(emb, "embedding", "vec_id", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture produced no cosine pairs — gate is vacuous")
+    val one = Similarity
+      .semDedupPairs(emb, "embedding", "vec_id", nClusters = 1, threshold = 0.3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one === brute)
+  }
+
+  test("semDedup finds planted twins across clusters and keeps the originals") {
+    // twins: each vector scaled and nudged on every 7th axis — cosine to
+    // its original ~0.999, far above any natural fixture pair (≤ ~0.5)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val twins = emb.select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
+      ).as("embedding")
+    )
+    val planted = emb.select($"vec_id", $"embedding").unionByName(twins)
+    val n = emb.count()
+    val pairs = Similarity
+      .semDedupPairs(planted, "embedding", "vec_id", nClusters = 8, threshold = 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // precision: nothing but twin pairs can clear 0.9
+    assert(pairs.forall { case (a, b) => b === a + 100000L }, s"non-twin pair above 0.9")
+    // recall floor: a twin is only missed if the nudge pushes it across
+    // a cluster boundary — rare for near-colinear pairs
+    assert(pairs.length >= (n * 0.9).toInt, s"found ${pairs.length} of $n planted pairs")
+    // retention: with one cluster the twin graph is fully found — every
+    // original survives, every twin is dropped
+    val kept = Similarity
+      .semDedup(planted, "embedding", "vec_id", nClusters = 1, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === emb.collect().map(_.getLong(0)).toSet)
+  }
+
   test("ngram LM: hand-computed add-k bigram logprobs, unseen fallbacks, short docs") {
     val train = Seq(Doc(1, "a b a"), Doc(2, "a b")).toDS.toDF
     // uni: a→3, b→2 (V=2); bi: (a,b)→2, (b,a)→1; k=0.1
@@ -617,6 +662,8 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10))
     assertReleasable("simHashNearDupsCombination")(
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
+    assertReleasable("semDedupPairs")(
+      Similarity.semDedupPairs(emb, "embedding", "vec_id", nClusters = 4, threshold = 0.3))
     assertReleasable("minHashNearDupsIncremental") {
       val idx = Dedup.writeMinHashIndex(
         docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_idx", buckets = 8)
