@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Exact substring (passage-level) deduplication, the ExactSubstr
@@ -31,6 +30,14 @@ object Passages {
     * shared with every text oracle), `pos` is the 0-based token offset of
     * the window start, `fp_md5` the md5 of the space-joined window.
     * Documents shorter than `windowTokens` emit nothing.
+    *
+    * md5 is the ORACLE fingerprint (engine-identical hex in DuckDB); at
+    * corpus scale its 32-char keys dominate the shuffled bytes, so the
+    * aggregate operators below take `hash64 = true` to swap in xxhash64
+    * LONG keys — 4× narrower, same duplicated-set semantics (a 64-bit
+    * collision can only merge two windows into one group; at 10¹²
+    * windows the expected number of colliding PAIRS is ~10⁴ — noise
+    * against the dup catalogue, and it never drops a real duplicate).
     */
   def passageFingerprints(
       df: DataFrame,
@@ -38,6 +45,20 @@ object Passages {
       idCol: String,
       windowTokens: Int,
       stride: Int = 1
+  ): DataFrame =
+    windowFps(df, textCol, idCol, windowTokens, stride, hash64 = false)
+      .withColumnRenamed("_fp", "fp_md5")
+
+  /** Shared window generator; `_fp` is md5 hex (STRING) or xxhash64
+    * (LONG) of the space-joined window.
+    */
+  private def windowFps(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int,
+      stride: Int,
+      hash64: Boolean
   ): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be ≥ 1, got $windowTokens")
     require(stride >= 1, s"stride must be ≥ 1, got $stride")
@@ -47,12 +68,12 @@ object Passages {
       size(toks) >= windowTokens,
       sequence(lit(0), size(toks) - windowTokens, lit(stride))
     ).otherwise(array().cast("array<int>"))
+    val win = array_join(slice(col("_toks"), col("pos") + 1, lit(windowTokens)), " ")
     df.select(col(idCol), toks.as("_toks"), explode(starts).as("pos"))
       .select(
         col(idCol),
         col("pos"),
-        md5(array_join(slice(col("_toks"), col("pos") + 1, lit(windowTokens)), " "))
-          .as("fp_md5")
+        (if (hash64) xxhash64(win) else md5(win)).as("_fp")
       )
   }
 
@@ -67,16 +88,18 @@ object Passages {
       idCol: String,
       windowTokens: Int,
       stride: Int = 1,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      hash64: Boolean = false
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
-    passageFingerprints(df, textCol, idCol, windowTokens, stride)
-      .groupBy(col("fp_md5"))
+    windowFps(df, textCol, idCol, windowTokens, stride, hash64)
+      .groupBy(col("_fp"))
       .agg(
         countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ")
       )
       .filter(col("n_docs") >= minDocs)
+      .withColumnRenamed("_fp", if (hash64) "fp_x64" else "fp_md5")
   }
 
   /** Per-document duplicated-passage profile: (idCol, n_windows,
@@ -84,40 +107,52 @@ object Passages {
     * fingerprint occurs in ≥ 2 distinct documents. Documents with no
     * windows (shorter than `windowTokens`) are kept with fraction 0.0.
     *
-    * Plan: per-(doc, fp) pre-aggregation → cross-doc count as a window
-    * function over the fingerprint (one exchange, no second join) →
-    * per-doc rollup; short docs re-enter via a left join from the
-    * original table (its id side is aggregate-free, so AQE picks
-    * broadcast when the corpus side is small enough).
+    * Plan: per-(doc, fp) pre-aggregation → duplicated-fp set by a
+    * map-side-combinable count → join back (sort-merge, so AQE skew
+    * handling splits corpus-wide boilerplate fingerprints across tasks
+    * — a window function partitioned by fingerprint would serialize a
+    * hot fp into ONE task and AQE cannot split window partitions) →
+    * per-doc rollup. Window totals come arithmetically from the scan
+    * (no shuffle), which also re-admits short docs at fraction 0.0.
     */
   def passageDupFraction(
       df: DataFrame,
       textCol: String,
       idCol: String,
       windowTokens: Int,
-      stride: Int = 1
+      stride: Int = 1,
+      hash64: Boolean = false
   ): DataFrame = {
-    val perDocFp = passageFingerprints(df, textCol, idCol, windowTokens, stride)
-      .groupBy(col(idCol), col("fp_md5"))
+    val perDocFp = windowFps(df, textCol, idCol, windowTokens, stride, hash64)
+      .groupBy(col(idCol), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
-    val withDocs = perDocFp.withColumn(
-      "_ndocs",
-      count(lit(1)).over(Window.partitionBy(col("fp_md5")))
-    )
-    val perDoc = withDocs
+    val dupFps = perDocFp
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_ndocs"))
+      .filter(col("_ndocs") >= 2)
+      .select(col("_fp"))
+    val dupPerDoc = perDocFp
+      .join(dupFps, Seq("_fp"))
       .groupBy(col(idCol))
-      .agg(
-        sum(col("_occ")).as("_nwin"),
-        sum(when(col("_ndocs") >= 2, col("_occ")).otherwise(0L)).as("_ndup")
-      )
-    df.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .agg(sum(col("_occ")).as("_ndup"))
+    val toks = split(col(textCol), " ")
+    val totals = df.select(
+      col(idCol),
+      when(
+        size(toks) >= windowTokens,
+        // count of stride-spaced starts; the division truncates on
+        // non-negative operands, which is the floor we want
+        ((size(toks) - windowTokens) / stride).cast("int") + 1
+      ).otherwise(0).cast("long").as("n_windows")
+    )
+    totals
+      .join(dupPerDoc, Seq(idCol), "left")
       .select(
         col(idCol),
-        coalesce(col("_nwin"), lit(0L)).as("n_windows"),
+        col("n_windows"),
         coalesce(col("_ndup"), lit(0L)).as("n_dup_windows"),
         (coalesce(col("_ndup"), lit(0L)).cast("double") /
-          greatest(coalesce(col("_nwin"), lit(0L)), lit(1L))).as("dup_fraction")
+          greatest(col("n_windows"), lit(1L))).as("dup_fraction")
       )
   }
 
@@ -132,13 +167,14 @@ object Passages {
       idCol: String,
       windowTokens: Int,
       maxDupFraction: Double,
-      stride: Int = 1
+      stride: Int = 1,
+      hash64: Boolean = false
   ): DataFrame = {
     require(
       maxDupFraction >= 0.0 && maxDupFraction <= 1.0,
       s"maxDupFraction must be in [0, 1], got $maxDupFraction"
     )
-    val keep = passageDupFraction(df, textCol, idCol, windowTokens, stride)
+    val keep = passageDupFraction(df, textCol, idCol, windowTokens, stride, hash64)
       .filter(col("dup_fraction") <= maxDupFraction)
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")

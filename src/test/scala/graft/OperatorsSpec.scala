@@ -539,6 +539,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(3L, 4L))
   }
 
+  test("passage dedup: xxhash64 production keys == md5 oracle keys") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    def profile(hash64: Boolean) = Passages
+      .passageDupFraction(docs, "text", "doc_id", windowTokens = 8, hash64 = hash64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val viaMd5 = profile(hash64 = false)
+    assert(viaMd5.values.exists(_._2 > 0), "no dup windows on fixture — vacuous")
+    assert(profile(hash64 = true) === viaMd5)
+  }
+
   test("semDedupPairs with one cluster == brute cosine pairs (s06 kernel gate)") {
     // nClusters=1 puts everything in one cluster: the within-cluster
     // verify must reproduce the brute pair set exactly (threshold 0.3
