@@ -31,6 +31,7 @@ object Bench {
     "t05_quality_score", "t11_ngram_lm",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d14_simhash_combo", "d15_dup_passages", "d16_passage_dup_fraction",
+    "d18_incremental_passages",
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",

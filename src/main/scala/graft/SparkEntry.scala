@@ -1000,6 +1000,40 @@ object SparkEntry {
              |         / greatest(coalesce(c.nwin, 0), 1) AS dup_fraction
              |FROM t LEFT JOIN c USING (doc_id)""".stripMargin)
     ),
+    // incremental passage profile against a persisted fingerprint index
+    // (fourth member of the incremental family: d08 minhash, d09 simhash,
+    // d13 vector-LSH) — and the first with a FULL DuckDB oracle: md5
+    // fingerprints are deterministic, and the incremental dup condition
+    // (fp in corpus index OR in a second delta doc) equals the batch
+    // condition on the union restricted to delta rows
+    Q(
+      "d18_incremental_passages",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val idx = operators.Passages.writePassageIndex(
+          corpus, "text", "doc_id", "d18_idx", windowTokens = 8, hash64 = false)
+        operators.Passages
+          .passageDupFractionIncremental(delta, "text", "doc_id", idx)
+      },
+      Some("""WITH t AS (SELECT doc_id, split(text, ' ') w FROM documents),
+             |f AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS fp_md5
+             |      FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t
+             |            WHERE len(w) >= 8)),
+             |d AS (SELECT fp_md5 FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+             |c AS (SELECT doc_id, count(*) AS nwin,
+             |             sum(CASE WHEN fp_md5 IN (SELECT fp_md5 FROM d)
+             |                 THEN 1 ELSE 0 END) AS ndup
+             |      FROM f GROUP BY doc_id)
+             |SELECT t.doc_id,
+             |       CAST(coalesce(c.nwin, 0) AS BIGINT) AS n_windows,
+             |       CAST(coalesce(c.ndup, 0) AS BIGINT) AS n_dup_windows,
+             |       CAST(coalesce(c.ndup, 0) AS DOUBLE)
+             |         / greatest(coalesce(c.nwin, 0), 1) AS dup_fraction
+             |FROM t LEFT JOIN c USING (doc_id)
+             |WHERE t.doc_id % 3 = 0""".stripMargin)
+    ),
     // document retention rule on the passage profile: drop docs that are
     // mostly cross-doc boilerplate (dup_fraction > 0.2)
     Q(

@@ -72,6 +72,34 @@ object NgramLM {
     Model(uni, bi, uni.count(), addK)
   }
 
+  /** Persist a trained model: count tables as parquet plus a one-row
+    * meta table (vocab size, add-k). Train once on a corpus sample,
+    * score every later increment against the same distribution.
+    */
+  def saveModel(model: Model, path: String): Unit = {
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    val spark = model.unigrams.sparkSession
+    import spark.implicits._
+    Seq((model.vocabSize, model.addK))
+      .toDF("vocab_size", "add_k")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/meta")
+  }
+
+  /** Load a model persisted by [[saveModel]]. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Model(
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/bigrams"),
+      meta.getAs[Long]("vocab_size"),
+      meta.getAs[Double]("add_k")
+    )
+  }
+
   /** Score each document: (idCol, n_bigrams, avg_logp) where avg_logp =
     * mean over the doc's bigrams of ln p(w2|w1) under `model`. Documents
     * with fewer than two tokens are omitted (they have no bigrams).

@@ -92,11 +92,17 @@ object Passages {
       hash64: Boolean = false
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    // two-level aggregation instead of countDistinct + count in one agg:
+    // the mixed form plans an Expand (2× the window rows through the
+    // exchange); per-(doc, fp) pre-aggregation gets the same numbers
+    // with map-side combine only
     windowFps(df, textCol, idCol, windowTokens, stride, hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
       .groupBy(col("_fp"))
       .agg(
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occ")
+        count(lit(1)).as("n_docs"),
+        sum(col("_occ")).as("n_occ")
       )
       .filter(col("n_docs") >= minDocs)
       .withColumnRenamed("_fp", if (hash64) "fp_x64" else "fp_md5")
@@ -143,6 +149,152 @@ object Passages {
         // count of stride-spaced starts; the division truncates on
         // non-negative operands, which is the floor we want
         ((size(toks) - windowTokens) / stride).cast("int") + 1
+      ).otherwise(0).cast("long").as("n_windows")
+    )
+    totals
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_windows"),
+        coalesce(col("_ndup"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("_ndup"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1L))).as("dup_fraction")
+      )
+  }
+
+  // --------------------------- persisted passage-fingerprint index
+
+  /** Handle for a persisted passage index: ONE bucketed catalog table
+    * of per-(doc, fingerprint) window counts `(_pid, _fp, _occ)`,
+    * bucketed by `_fp` so incremental probes read the corpus side with
+    * zero Exchange. The window geometry travels with the handle —
+    * probing with different windowTokens/stride/hash mode would compare
+    * disjoint fingerprint spaces. The fourth member of the incremental
+    * dedup index family (MinHash d08, SimHash d09, vector-LSH d13).
+    */
+  case class PassageIndex(
+      fpTable: String,
+      windowTokens: Int,
+      stride: Int,
+      hash64: Boolean,
+      buckets: Int
+  )
+
+  /** Build and persist a passage index for `df` under catalog table
+    * `<name>_fps`. `hash64 = true` (default) stores LONG keys — at
+    * corpus scale the index IS mostly fingerprints, so the 4× narrower
+    * key dominates its footprint; use `hash64 = false` only when an
+    * engine-external consumer needs md5 hex.
+    */
+  def writePassageIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      windowTokens: Int,
+      stride: Int = 1,
+      hash64: Boolean = true,
+      buckets: Int = 32
+  ): PassageIndex = {
+    val idx = PassageIndex(s"${name}_fps", windowTokens, stride, hash64, buckets)
+    writeIndexTable(df, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
+    idx
+  }
+
+  /** Fold a delta into an existing passage index (after its profile was
+    * emitted via [[passageDupFractionIncremental]]) so the NEXT delta
+    * profiles against corpus ∪ this delta.
+    */
+  def appendToPassageIndex(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex
+  ): Unit =
+    writeIndexTable(delta, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeIndexTable(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
+    Dedup.writeBucketedTable(
+      windowFps(df, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
+        .groupBy(col(idCol), col("_fp"))
+        .agg(count(lit(1)).as("_occ"))
+        .select(col(idCol).as("_pid"), col("_fp"), col("_occ")),
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      mode
+    )
+
+  /** Incremental [[passageDupFraction]]: profile every `delta` document
+    * against corpus ∪ delta, where the corpus is the persisted index. A
+    * delta window is duplicated iff its fingerprint exists in the corpus
+    * index OR in a second delta document — exactly the batch dup
+    * condition on the union, restricted to delta rows (the ScalaTest
+    * gate asserts that equality; with `hash64 = false` the registry
+    * query d18 carries a FULL DuckDB oracle, the first of the
+    * incremental family).
+    *
+    * Scale shape: the delta is fingerprinted ONCE (localCheckpoint,
+    * released before returning); the corpus side is a bucketed scan of
+    * `_fp` only, feeding a sort-merge semi join with ZERO Exchange —
+    * only the delta-sized fingerprint set shuffles, into the index's
+    * bucket partitioning. Nothing corpus-sized ever moves.
+    *
+    * Precondition: delta ids are disjoint from indexed ids (the normal
+    * append workflow). Re-profiling an ALREADY-INDEXED document would
+    * count its own indexed windows as "another document".
+    */
+  def passageDupFractionIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex
+  ): DataFrame = {
+    val lazyOut = passageDupFractionIncrementalLazy(delta, textCol, idCol, idx)
+    val out = lazyOut.localCheckpoint(true)
+    graft.CacheUtil.release(lazyOut)
+    out
+  }
+
+  /** The un-materialized plan behind [[passageDupFractionIncremental]]
+    * — exposed for plan-shape tests; callers must
+    * [[graft.CacheUtil.release]] it when done.
+    */
+  private[graft] def passageDupFractionIncrementalLazy(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex
+  ): DataFrame = {
+    val spark = delta.sparkSession
+    val deltaFp = windowFps(delta, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+      .localCheckpoint(true)
+    val deltaFps = deltaFp
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_ndocs"))
+    val withinDup = deltaFps.filter(col("_ndocs") >= 2).select(col("_fp"))
+    val corpusDup = deltaFps
+      .select(col("_fp"))
+      .join(spark.table(idx.fpTable).select(col("_fp")), Seq("_fp"), "left_semi")
+    val dupFps = withinDup.unionByName(corpusDup).distinct()
+    val dupPerDoc = deltaFp
+      .join(dupFps, Seq("_fp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_occ")).as("_ndup"))
+    val toks = split(col(textCol), " ")
+    val totals = delta.select(
+      col(idCol),
+      when(
+        size(toks) >= idx.windowTokens,
+        ((size(toks) - idx.windowTokens) / idx.stride).cast("int") + 1
       ).otherwise(0).cast("long").as("n_windows")
     )
     totals

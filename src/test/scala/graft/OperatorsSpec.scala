@@ -539,6 +539,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept === Set(3L, 4L))
   }
 
+  test("incremental passage profile == batch on the union; appends fold in (d18 gate)") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta1 = docs.filter($"doc_id" % 9 === 0)
+    val delta2 = docs.filter($"doc_id" % 3 === 0 && $"doc_id" % 9 =!= 0)
+    val k = 8
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    def batchOn(all: org.apache.spark.sql.DataFrame, ids: Set[Long]) =
+      prof(Passages.passageDupFraction(all, "text", "doc_id", k))
+        .filter { case (id, _) => ids.contains(id) }
+    try {
+      val idx = Passages.writePassageIndex(corpus, "text", "doc_id", "pinc_gate", windowTokens = k)
+      val d1Ids = delta1.select("doc_id").collect().map(_.getLong(0)).toSet
+      val incr1 = Passages.passageDupFractionIncremental(delta1, "text", "doc_id", idx)
+      assert(prof(incr1) === batchOn(corpus.unionByName(delta1), d1Ids))
+      assert(prof(incr1).values.exists(_._2 > 0), "delta1 saw no dups — gate is vacuous")
+      graft.CacheUtil.release(incr1)
+      Passages.appendToPassageIndex(delta1, "text", "doc_id", idx)
+      val d2Ids = delta2.select("doc_id").collect().map(_.getLong(0)).toSet
+      val incr2 = Passages.passageDupFractionIncremental(delta2, "text", "doc_id", idx)
+      assert(prof(incr2) === batchOn(docs, d2Ids))
+      graft.CacheUtil.release(incr2)
+    } finally spark.sql("DROP TABLE IF EXISTS pinc_gate_fps")
+  }
+
+  test("incremental passage probe reads the corpus index with no corpus-side Exchange") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = Passages.writePassageIndex(corpus, "text", "doc_id", "pinc_plan", windowTokens = 8)
+      val out = Passages.passageDupFractionIncrementalLazy(delta, "text", "doc_id", idx)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      assert(out.count() > 0)
+      graft.CacheUtil.release(out)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS pinc_plan_fps")
+    }
+  }
+
   test("passage dedup: xxhash64 production keys == md5 oracle keys") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     def profile(hash64: Boolean) = Passages
@@ -619,6 +669,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) === ((2L, r4((math.log(2.1 / 3.2) + math.log(1.1 / 2.2)) / 2))))
     assert(got(3L) === ((1L, r4(math.log(0.1 / 3.2)))))
     assert(got(4L) === ((1L, r4(math.log(0.1 / 0.2)))))
+  }
+
+  test("ngram LM model round-trips through parquet; scores are identical") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val model = NgramLM.train(docs, "text")
+    val dir = java.nio.file.Files.createTempDirectory("lm_rt").toString
+    NgramLM.saveModel(model, dir)
+    val loaded = NgramLM.loadModel(spark, dir)
+    assert(loaded.vocabSize === model.vocabSize && loaded.addK === model.addK)
+    def scores(m: NgramLM.Model) = NgramLM
+      .scoreLogProb(docs, "text", "doc_id", m)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(scores(loaded) === scores(model))
+  }
+
+  test("semDedup pairs from a disk-round-tripped IVF index == direct pairs") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val index = Similarity.ivfBuild(emb, "embedding", "vec_id", nCentroids = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(Similarity.semDedupPairsFromIndex(index, threshold = 0.3))
+    assert(direct.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("sem_rt").toString
+    Similarity.ivfWrite(index, dir)
+    val reread = Similarity.ivfRead(spark, dir, "embedding", "vec_id")
+    assert(pairs(Similarity.semDedupPairsFromIndex(reread, threshold = 0.3)) === direct)
   }
 
   test("jaccard exact: known set overlap") {
