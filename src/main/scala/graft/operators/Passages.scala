@@ -290,13 +290,17 @@ object Passages {
       .groupBy(col(idCol))
       .agg(sum(col("_occ")).as("_ndup"))
     val toks = split(col(textCol), " ")
+    // checkpointed so the returned plan references ONLY internal
+    // checkpoints: releasing it must never free the CALLER's delta
+    // blocks (a foreachBatch caller appends the same delta to the index
+    // afterwards — recomputing a truncated-lineage checkpoint throws)
     val totals = delta.select(
       col(idCol),
       when(
         size(toks) >= idx.windowTokens,
         ((size(toks) - idx.windowTokens) / idx.stride).cast("int") + 1
       ).otherwise(0).cast("long").as("n_windows")
-    )
+    ).localCheckpoint(true)
     totals
       .join(dupPerDoc, Seq(idCol), "left")
       .select(

@@ -115,6 +115,23 @@ object IncrementalIndexProbe {
       Similarity.lshNearDupsIncremental(
         deltaV, "embedding", "vec_id", 0.3, lIdx, maxBucket = Int.MaxValue))
 
+    // passage twin (hash64 production keys): daily profile of the delta
+    // vs re-profiling the whole union. The filter references a column
+    // from the profile's left join — without it, count() lets
+    // EliminateOuterJoin drop the whole dup computation (the right side
+    // is key-unique and unreferenced) and the leg measures nothing.
+    import operators.Passages
+    timed("passage-batch")(
+      Passages.passageDupFraction(all, "text", "doc_id", windowTokens = 8, hash64 = true)
+        .filter(col("n_dup_windows") >= 0))
+    var pIdx: Passages.PassageIndex = null
+    timedUnit("passage-index-build") {
+      pIdx = Passages.writePassageIndex(corpus, "text", "doc_id", "incprobe_p", windowTokens = 8)
+    }
+    timed("passage-incremental")(
+      Passages.passageDupFractionIncremental(delta, "text", "doc_id", pIdx))
+
+    spark.sql("DROP TABLE IF EXISTS incprobe_p_fps")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_bands")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_shingles")
     spark.sql("DROP TABLE IF EXISTS incprobe_s_chunks")

@@ -227,6 +227,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch + persisted passage index: each micro-batch profiles against everything seen") {
+    // ingest-time boilerplate profiling for unbounded corpora: every
+    // micro-batch is scored against the persisted fingerprint index
+    // (zero corpus-side Exchange) and folded in. Unlike pair emission,
+    // a profile is RELATIVE to what has been seen — so the contract is
+    // per-batch: batch k's profile == batch passageDupFraction over
+    // chunks 1..k restricted to chunk k's ids.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Passages
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val fixture = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val k = 8
+    val idx = Passages.writePassageIndex(
+      docs.limit(0), "text", "doc_id", "stream_pinc_idx", windowTokens = k)
+    val perBatch = scala.collection.mutable.Buffer[Map[Long, (Long, Long, Double)]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint(true)
+        val prof = Passages.passageDupFractionIncremental(delta, "text", "doc_id", idx)
+        perBatch += prof.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+          .toMap
+        Passages.appendToPassageIndex(delta, "text", "doc_id", idx)
+        graft.CacheUtil.release(prof)
+        graft.CacheUtil.release(delta)
+        ()
+      }
+      .start()
+    try {
+      val chunks = fixture.grouped(math.max(1, fixture.length / 3 + 1)).toSeq
+      var seen = Seq.empty[(Long, String)]
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        val ids = chunk.map(_._1).toSet
+        val expected = Passages
+          .passageDupFraction(seen.toDF("doc_id", "text"), "text", "doc_id", k)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+          .toMap
+          .filter { case (id, _) => ids.contains(id) }
+        assert(perBatch(i) === expected, s"batch $i profile diverged")
+      }
+      assert(perBatch.exists(_.values.exists(_._2 > 0)), "no dups seen — vacuous")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_pinc_idx_fps")
+    }
+  }
+
   test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
