@@ -28,7 +28,7 @@ object Bench {
     "q36_global_sort", "q37_salted_agg",
     "e01_window_hourly", "e02_window_5min", "e03_sessionize", "e04_asof_join",
     "t01_token_count", "t02_quality", "t03_lang_id", "t04_fingerprint",
-    "t05_quality_score", "t11_ngram_lm",
+    "t05_quality_score", "t11_ngram_lm", "t12_gopher_rules",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d14_simhash_combo", "d15_dup_passages", "d16_passage_dup_fraction",
     "d18_incremental_passages",

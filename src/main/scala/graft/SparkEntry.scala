@@ -883,6 +883,47 @@ object SparkEntry {
              |       round(avg(lp), 4) AS avg_logp
              |FROM s GROUP BY 1""".stripMargin)
     ),
+    // Gopher word-level rule metrics + composite predicate (Rae et al.
+    // 2021 A1.1; line rules need line structure the single-line corpus
+    // contract doesn't carry). Every ratio is an IEEE result of
+    // identical integer ops in both engines, so the predicate's
+    // threshold flips are engine-identical (word-count splits the
+    // fixture 277/500 — non-vacuous)
+    Q(
+      "t12_gopher_rules",
+      (s, d) =>
+        documents(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_words"),
+          functions.TextFunctions.alphaWordFraction(col("text")).as("alpha_frac"),
+          functions.TextFunctions.symbolWordRatio(col("text")).as("symbol_ratio"),
+          functions.TextFunctions.stopwordCount(col("text")).as("n_stop"),
+          functions.TextFunctions.gopherPredicate(col("text")).cast("int").as("gopher_pass")
+        ),
+      Some {
+        val stop = functions.TextFunctions.langMarkers.head._2
+          .map { w =>
+            val m = s" $w "
+            s"(length(' '||text||' ') - length(replace(' '||text||' ', '$m', ''))) / ${m.length}"
+          }
+          .mkString(" + ")
+        s"""WITH m AS (SELECT doc_id,
+           |  len(split(text, ' ')) AS n_words,
+           |  len(list_filter(split(text, ' '), x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           |    / len(split(text, ' ')) AS alpha_frac,
+           |  (len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+           |    / len(split(text, ' ')) AS symbol_ratio,
+           |  ($stop)::DOUBLE AS n_stop,
+           |  list_sum(list_transform(split(text, ' '), x -> length(x)))::DOUBLE
+           |    / len(split(text, ' ')) AS mean_tok
+           |FROM documents)
+           |SELECT doc_id, CAST(n_words AS INT) AS n_words, alpha_frac, symbol_ratio, n_stop,
+           |       CAST((n_words BETWEEN 50 AND 100000) AND (mean_tok BETWEEN 3 AND 10)
+           |            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+           |            AS INT) AS gopher_pass
+           |FROM m""".stripMargin
+      }
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",
@@ -1344,6 +1385,21 @@ object SparkEntry {
       Some("""SELECT doc_id,
              |       md5('shuffle:' || CAST(doc_id AS VARCHAR) || 'epoch0') AS shuffle_key
              |FROM documents""".stripMargin)
+    ),
+    // deterministic per-group cap (domain caps): ≤ 10 docs per source,
+    // chosen by salted-hash order. The two-phase subbucket ranking must
+    // equal the oracle's single window exactly
+    Q(
+      "p09_cap_per_group",
+      (s, d) =>
+        operators.Sampling
+          .capPerGroup(documents(s, d), "source", "doc_id", maxN = 10)
+          .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |      PARTITION BY source
+             |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 10""".stripMargin)
     ),
     // deterministic exact-k sample: the 100 lowest salted hashes —
     // TakeOrdered per-partition heaps, no global sort

@@ -222,4 +222,57 @@ object TextFunctions {
 
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,;:!?]"))
+
+  // ----------------------------- Gopher rule metrics (Rae et al. 2021)
+
+  /** Fraction of words containing at least one ASCII letter (Gopher
+    * keeps docs with ≥ 0.8). Codegen formulation: prefix one space so
+    * every word starts at a space, then count words whose prefix up to
+    * the first letter stays within the word — the regex consumes the
+    * rest of the word, so matches are one-per-word (an interpreted
+    * `filter(toks, rlike)` HOF would be CodegenFallback in the hot
+    * path; see [[meanTokenLength]] for the pattern).
+    */
+  def alphaWordFraction(text: Column): Column =
+    regexp_count(concat(lit(" "), text), lit(" [^ ]*[A-Za-z]"))
+      .cast("double") / size(tokens(text))
+
+  /** Hash-and-ellipsis density per word (Gopher drops docs above 0.1):
+    * (# occurrences + non-overlapping "..." occurrences) / words.
+    */
+  def symbolWordRatio(text: Column): Column =
+    (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / size(tokens(text))
+
+  /** Stopword hits against the built-in English marker list (Gopher
+    * requires ≥ 2) — integer-valued double, shared with [[langScore]].
+    */
+  def stopwordCount(text: Column): Column =
+    langScore(text, langMarkers.head._2)
+
+  /** The word-level Gopher rule stack as one codegen'd predicate. Line
+    * rules (bullet/ellipsis line fractions) need line structure the
+    * single-line corpus contract doesn't carry and are deliberately
+    * omitted. Every component is individually oracle-proven (t02 mean
+    * length, t12 the rest), so threshold flips are engine-identical —
+    * the ratios are IEEE results of identical integer operations.
+    */
+  def gopherPredicate(
+      text: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanTokenLen: Double = 3.0,
+      maxMeanTokenLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFraction: Double = 0.8,
+      minStopwords: Int = 2
+  ): Column = {
+    val n = size(tokens(text))
+    val mean = meanTokenLength(text)
+    n.between(minWords, maxWords) &&
+    mean.between(minMeanTokenLen, maxMeanTokenLen) &&
+    symbolWordRatio(text) <= maxSymbolRatio &&
+    alphaWordFraction(text) >= minAlphaFraction &&
+    stopwordCount(text) >= minStopwords
+  }
 }

@@ -120,6 +120,58 @@ object Sampling {
       .drop("_sample_key")
   }
 
+  /** Deterministic per-group cap: keep at most `maxN` rows per group —
+    * the C4/RefinedWeb "no more than N documents per host/domain" rule —
+    * chosen by salted-md5 order (its own `"cap:"` domain, id tiebreak),
+    * so the survivors are a stable pseudo-random subset, independent of
+    * layout and of every other hash-based decision.
+    *
+    * Scale shape: grouped top-k WITHOUT a group-partitioned window — a
+    * hot group (one domain holding 10⁸ of the corpus's docs) would
+    * serialize into a single task, and AQE cannot split window
+    * partitions. Phase 1 ranks within (group, id-hash subbucket) —
+    * every partition bounded by the group's share / `subBuckets` — and
+    * keeps `maxN` per subbucket; phase 2 ranks the ≤ maxN·subBuckets
+    * survivors per group. The global top-maxN of a group is contained
+    * in the union of its per-subbucket top-maxNs, so the result is
+    * EXACTLY the single-window answer (ScalaTest-gated), at two bounded
+    * shuffles.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      maxN: Int,
+      salt: String = "",
+      subBuckets: Int = 32
+  ): DataFrame = {
+    require(maxN > 0, s"maxN must be positive, got $maxN")
+    require(subBuckets > 0, s"subBuckets must be positive, got $subBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit("cap:"), col(idCol).cast("string"), lit(salt)))
+    val phase1 = df
+      .withColumn("_cap_key", key)
+      .withColumn("_cap_sb", pmod(xxhash64(col(idCol).cast("string")), lit(subBuckets)))
+      .withColumn(
+        "_cap_rn",
+        row_number().over(
+          Window
+            .partitionBy(col(groupCol), col("_cap_sb"))
+            .orderBy(col("_cap_key"), col(idCol))
+        )
+      )
+      .filter(col("_cap_rn") <= maxN)
+    phase1
+      .withColumn(
+        "_cap_rn2",
+        row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col("_cap_key"), col(idCol))
+        )
+      )
+      .filter(col("_cap_rn2") <= maxN)
+      .drop("_cap_key", "_cap_sb", "_cap_rn", "_cap_rn2")
+  }
+
   /** Per-stratum deterministic subsampling — the data-mixing primitive:
     * keep `fracs(stratum)` of each stratum (languages, sources, quality
     * buckets), `default` of unlisted strata. One scan, no shuffle, no

@@ -699,6 +699,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(Similarity.semDedupPairsFromIndex(reread, threshold = 0.3)) === direct)
   }
 
+  test("capPerGroup == single-window reference; layout-independent; caps honored") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val reference = docs
+      .withColumn("_k", md5(concat(lit("cap:"), $"doc_id".cast("string"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"_k", $"doc_id")))
+      .filter($"_rn" <= 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def capped(df: org.apache.spark.sql.DataFrame) = Sampling
+      .capPerGroup(df, "source", "doc_id", maxN = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped(docs) === reference)
+    // two-phase result is a pure function of ids — any layout agrees
+    assert(capped(docs.repartition(7)) === reference)
+    // caps honored per group; small groups keep everything
+    val sizes = Sampling.capPerGroup(docs, "source", "doc_id", maxN = 7)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 7))
+    val tiny = Sampling.capPerGroup(docs.limit(3), "source", "doc_id", maxN = 7)
+    assert(tiny.count() === 3)
+  }
+
+  test("gopher rules: planted docs flip each rule independently") {
+    // base: 60 clean stopword-bearing words → passes; each planted doc
+    // fails, driven by the indicated rule (short/symbol-heavy docs also
+    // drag correlated metrics down — the spot-checks below pin the
+    // targeted metric across its threshold)
+    val good = (("the and was for that " * 12).trim)
+    val df = Seq(
+      Doc(1, good),                                     // pass
+      Doc(2, "the and was"),                            // too few words
+      Doc(3, ("# " * 30 + good).trim),                  // symbol ratio > 0.1
+      Doc(4, (("99 00 11 " * 20) + "the and").trim),    // alpha fraction < 0.8
+      Doc(5, ("zz qq xx vv ww " * 12).trim)             // no stopwords
+    ).toDS.toDF
+    val got = df.select(
+        $"doc_id",
+        TextFunctions.gopherPredicate($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+    // metric spot-checks
+    val m = df.filter($"doc_id" === 3).select(
+      TextFunctions.symbolWordRatio($"text")).collect().head.getDouble(0)
+    assert(m > 0.1, s"symbol ratio $m")
+    val af = df.filter($"doc_id" === 4).select(
+      TextFunctions.alphaWordFraction($"text")).collect().head.getDouble(0)
+    assert(af < 0.8, s"alpha fraction $af")
+  }
+
   test("jaccard exact: known set overlap") {
     val df = Seq(Doc(1, "a b c d"), Doc(2, "b c d e")).toDS.toDF
     // trigrams: {a b c, b c d}, {b c d, c d e} → intersect 1, union 3
