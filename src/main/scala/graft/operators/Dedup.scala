@@ -1052,6 +1052,152 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  // --------------------------- incremental SimHash combination index
+
+  /** Handle for a persisted COMBINATION-KEYED SimHash index — the
+    * ≥10⁷-doc twin of [[SimHashIndex]]. Same self-contained single-table
+    * shape (the carried `_simhash` verifies inline, no lookup join), but
+    * the bucket keys are Manku combination keys
+    * ([[simHashNearDupsCombination]]): ~64·t/blocks bits wide instead of
+    * ~64/(maxHamming+1), so random-collision candidate mass on a
+    * web-scale corpus stays output-bound where pigeonhole keys go
+    * quadratic. Both `maxHamming` and `blocks` travel with the handle —
+    * the key space is a function of both, and probing with different
+    * values would block on disjoint (combo, value) keys.
+    */
+  case class SimHashComboIndex(
+      chunkTable: String,
+      maxHamming: Int,
+      blocks: Int,
+      buckets: Int
+  )
+
+  /** Build and persist a combination-keyed SimHash index for `df` under
+    * catalog table `<name>_combo`, bucketed by (_chunk, _val) so
+    * incremental probes read the corpus side with zero Exchange. One
+    * pass evaluates each SimHash once ([[simHashComboKeyed]] spreads the
+    * hash compute first); C(blocks, blocks−maxHamming) rows are written
+    * per doc (20 at the h=3/blocks=6 default) — the storage price of
+    * wide keys, amortized over every future delta.
+    */
+  def writeSimHashComboIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      maxHamming: Int = 3,
+      blocks: Int = 6,
+      buckets: Int = 32
+  ): SimHashComboIndex = {
+    val subsets = comboSubsetsChecked(maxHamming, blocks)
+    val (widths, offsets) = chunkLayout(blocks)
+    val idx = SimHashComboIndex(s"${name}_combo", maxHamming, blocks, buckets)
+    writeBucketedTable(
+      simHashComboKeyed(df, textCol, idCol, subsets, widths, offsets),
+      idx.chunkTable,
+      buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    idx
+  }
+
+  /** Fold a delta into an existing combination index (after its pairs
+    * were emitted via [[simHashNearDupsIncrementalCombo]]) so the NEXT
+    * delta dedups against corpus ∪ this delta.
+    */
+  def appendToSimHashComboIndex(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashComboIndex
+  ): Unit = {
+    val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
+    val (widths, offsets) = chunkLayout(idx.blocks)
+    writeBucketedTable(
+      simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets),
+      idx.chunkTable,
+      idx.buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+  }
+
+  /** Incremental combination-keyed SimHash near-dups: every pair within
+    * `idx.maxHamming` with at least one member in `delta` =
+    * (delta × corpus) via the bucketed combination table ∪
+    * (delta × delta) via the batch combination self-join. Corpus ×
+    * corpus pairs were emitted when the corpus was indexed — union the
+    * calls' outputs for the full pair set.
+    *
+    * Scale shape mirrors [[simHashNearDupsIncremental]] exactly — delta
+    * keyed ONCE (localCheckpoint) and reused by both legs, zero
+    * corpus-side Exchange, exactly-once lowest-matching-KEY emission
+    * recomputed from the carried hashes, inline `bit_count(xor)`
+    * verification — but with combination keys, so a daily delta against
+    * a 10⁹-doc corpus joins on ~32-bit keys instead of 16-bit ones:
+    * random-collision candidate mass drops by the measured ~8600×
+    * (ComboBlockingProbe) at the cost of C(blocks, t)/(maxHamming+1) ×
+    * more index rows. Use [[simHashNearDupsIncremental]] below ~10⁷
+    * docs, this form above.
+    *
+    * Result is materialized (localCheckpoint) and the delta-side blocks
+    * are released before returning.
+    */
+  def simHashNearDupsIncrementalCombo(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashComboIndex,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val lazyPairs =
+      simHashComboIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+    val out = lazyPairs.localCheckpoint(true)
+    graft.CacheUtil.release(lazyPairs)
+    out
+  }
+
+  /** The un-materialized plan behind [[simHashNearDupsIncrementalCombo]]
+    * — exposed for plan-shape tests; callers must
+    * [[graft.CacheUtil.release]] it when done.
+    */
+  private[graft] def simHashComboIncrementalLazy(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashComboIndex,
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spark = delta.sparkSession
+    val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
+    val (widths, offsets) = chunkLayout(idx.blocks)
+    val keyVal = (h: Column, c: Int) => comboVal(h, subsets(c), widths, offsets)
+    val keyed = simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets)
+      .localCheckpoint(true)
+    val within =
+      simHashPairsFromKeyed(keyed, idx.maxHamming, maxBucket, subsets.length, keyVal)
+    val corpus = spark.table(idx.chunkTable)
+    val cross = keyed
+      .as("d")
+      .join(
+        corpus.as("c"),
+        col("d._chunk") === col("c._chunk") &&
+          col("d._val") === col("c._val") &&
+          col("d._id") =!= col("c._id") &&
+          noLowerKeyMatches(subsets.length, keyVal, "d", "c")
+      )
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b"),
+        bit_count(col("d._simhash").bitwiseXOR(col("c._simhash")))
+          .as("hamming")
+      )
+      .filter(col("hamming") <= idx.maxHamming)
+    cross.unionByName(within)
+  }
+
   // ------------------------------------------------ cluster resolution
 
   /** Duplicate-cluster resolution: connected components over a near-dup
