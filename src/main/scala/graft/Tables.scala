@@ -17,21 +17,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Sessions
-    * must set `spark.sql.legacy.parquet.nanosAsLong=true` (Cluster.open
-    * and every main/test session do); this loader then truncates to
-    * microsecond TimestampType — the same truncation DuckDB applies
-    * casting TIMESTAMP_NS → TIMESTAMP.
+  /** The events fixture's ts column has shipped as both parquet
+    * TIMESTAMP(NANOS) (older driver generations — Spark's vectorized
+    * reader rejects it unless `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which every session here sets, yielding a nanos LONG) and plain
+    * TIMESTAMP(MICROS) (current generation, read as TIMESTAMP_NTZ). This
+    * loader normalizes BOTH to microsecond TimestampType — for the nanos
+    * form that is the same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP; for the NTZ form the cast is wall-clock
+    * preserving under the UTC session timezone all mains/tests pin.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(spark, dir, "events")
-    raw.withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")
-      )
-    )
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -362,6 +362,92 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental combination simhash against a persisted index == batch combo on union (gate)") {
+    // the ≥10⁷-doc twin of the d09 gate: same daily-pipeline contract
+    // (pairs(corpus) ∪ incremental(delta, idx) == batch(corpus ∪ delta),
+    // exactly once, no corpus recompute) on Manku combination keys. The
+    // fixture has no natural pairs at h=3, so plant a perturbed twin of
+    // every doc (d14's shape) — twins land in a different %3 split than
+    // their base whenever doc_id % 3 ≠ (doc_id + 100000) % 3, so cross
+    // delta/corpus pairs exist.
+    val base = Tables.documents(spark, SparkTestSession.sfDir).select($"doc_id", $"text")
+    val docs = base.union(
+      base.select(
+        ($"doc_id" + 100000L).as("doc_id"),
+        concat($"text", lit(" perturbed")).as("text")))
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx = Dedup.writeSimHashComboIndex(
+      corpus, "text", "doc_id", "scinc_gate", maxHamming = 3, blocks = 6, buckets = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val incr = pairs(Dedup.simHashNearDupsIncrementalCombo(delta, "text", "doc_id", idx))
+      val batch = pairs(
+        Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6)).toSet
+      val corpusOnly = pairs(
+        Dedup.simHashNearDupsCombination(corpus, "text", "doc_id", maxHamming = 3, blocks = 6)).toSet
+      val touchesDelta = batch.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(touchesDelta.nonEmpty, "fixture yields no cross/delta pairs — gate is vacuous")
+      assert(incr.toSet === touchesDelta)
+      assert(incr.length === incr.toSet.size, "pair emitted more than once")
+      assert(corpusOnly.union(incr.toSet) === batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS scinc_gate_combo")
+    }
+  }
+
+  test("appendToSimHashComboIndex folds a delta in: the next delta pairs against it") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      Doc(1, "completely different content about spark query engines and shuffles"),
+      Doc(2, "another unrelated paragraph mentioning parquet files and buckets")
+    ).toDS.toDF
+    val idx = Dedup.writeSimHashComboIndex(
+      corpus, "text", "doc_id", "scinc_app", maxHamming = 3, blocks = 6, buckets = 4)
+    try {
+      val delta1 = Seq(Doc(10, base)).toDS.toDF
+      assert(
+        Dedup.simHashNearDupsIncrementalCombo(delta1, "text", "doc_id", idx).count() === 0)
+      Dedup.appendToSimHashComboIndex(delta1, "text", "doc_id", idx)
+      // identical text → hamming 0, inside any radius — probes the
+      // appended rows without depending on perturbation distance
+      val delta2 = Seq(Doc(20, base)).toDS.toDF
+      val got = Dedup
+        .simHashNearDupsIncrementalCombo(delta2, "text", "doc_id", idx)
+        .select("id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((10L, 20L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS scinc_app_combo")
+    }
+  }
+
+  test("incremental combo simhash reads the corpus index with no corpus-side Exchange") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx = Dedup.writeSimHashComboIndex(
+      corpus, "text", "doc_id", "scinc_plan", maxHamming = 3, blocks = 6, buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pairs =
+        Dedup.simHashComboIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      pairs.count()
+      graft.CacheUtil.release(pairs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS scinc_plan_combo")
+    }
+  }
+
   test("simHash: identical text → distance 0; near text → small distance") {
     val df = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
