@@ -28,12 +28,15 @@ object Tables {
     * preserving under the UTC session timezone all mains/tests pin.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's
+        // 53-bit mantissa, so float division could be off by ±1µs vs
+        // DuckDB's integer TIMESTAMP_NS → TIMESTAMP truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => raw
       case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** The events fixture schema with ts as raw nanos (see Tables.events
-    * for the TIMESTAMP(NANOS) parquet caveat).
+  /** The events fixture schema, ts-type-agnostic: the concrete ts type is
+    * substituted per fixture generation in [[eventStream]] (see
+    * Tables.events for the TIMESTAMP(NANOS) vs TIMESTAMP(MICROS) caveat).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
+    StructField("ts", LongType), // placeholder; replaced by footer type
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -26,14 +27,34 @@ object Streams {
 
   /** Open the events fixture as a stream (file source replays the
     * parquet as one micro-batch; in production this is kafka/files).
+    *
+    * Mirrors Tables.events' dual-generation dispatch: the fixture's ts
+    * column has shipped both as nanos-LONG (TIMESTAMP(NANOS) under
+    * nanosAsLong) and as TIMESTAMP(MICROS). A streaming source needs a
+    * user-supplied schema, so we probe the parquet footer once with a
+    * batch read (metadata-only, no scan) and build the streaming schema
+    * + normalization for whichever generation is on disk. Normalizing at
+    * the source keeps every downstream watermark/window/session shape
+    * identical to batch.
     */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(rawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f                   => f
+    })
     // the file stream source wants a directory; glob-filter to the fixture
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    tsType match {
+      case LongType =>
+        // nanos generation: integer `div` (see Tables.events for why not `/`)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts with a watermark: the streaming form of

@@ -36,6 +36,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got("2024-01-01 00:05:00.0") === 1L)
   }
 
+  test("eventStream loader guard: min(ts) lands in the fixture era, not 1970") {
+    // A fixture-generation flip (nanos-LONG vs TIMESTAMP(MICROS)) must fail
+    // loudly HERE at the loader, not downstream in a window/session parity
+    // diff (round-7 regression: unconditional ÷1000 put micros in Jan 1970).
+    val dir = SparkTestSession.sfDir
+    val q = Streams.eventStream(spark, dir)
+      .agg(min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      .writeStream.format("memory").queryName("ts_guard").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val row = spark.table("ts_guard").collect().head
+      val minYear = row.getTimestamp(0).toLocalDateTime.getYear
+      assert(minYear > 2000, s"eventStream ts decoded into $minYear — wrong unit dispatch")
+      // and it must agree with the batch loader exactly
+      val batchRow = Tables.events(spark, dir).agg(min($"ts"), max($"ts")).collect().head
+      assert(row.getTimestamp(0) === batchRow.getTimestamp(0))
+      assert(row.getTimestamp(1) === batchRow.getTimestamp(1))
+    } finally q.stop()
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == batch sessionStats") {
     val dir = SparkTestSession.sfDir
     val stream = Streams.eventStream(spark, dir)
