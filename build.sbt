@@ -12,6 +12,9 @@ libraryDependencies ++= Seq(
 Test / fork := true
 // one shared SparkSession across suites
 Test / parallelExecution := false
+// every test run writes TESTS_r{N}.json (counts + failed names) so a red
+// suite can never ship silently in a round snapshot (round-7 retro)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.JsonTestReporter")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
