@@ -604,11 +604,12 @@ class OperatorsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getLong(1), r.getLong(2)))
     assert(dup.length === 2 && dup.forall(_ === ((2L, 2L))))
-    val frac = Passages
-      .passageDupFraction(df, "text", "doc_id", windowTokens = 3)
+    val fracDf = Passages.passageDupFraction(df, "text", "doc_id", windowTokens = 3)
+    val frac = fracDf
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
       .toMap
+    graft.CacheUtil.release(fracDf)
     assert(frac(1L) === ((3L, 2L, 2.0 / 3)))
     assert(frac(2L) === ((3L, 2L, 2.0 / 3)))
     assert(frac(3L) === ((0L, 0L, 0.0)))
@@ -619,10 +620,11 @@ class OperatorsSpec extends AnyFunSuite {
       .select("pos").collect().map(_.getInt(0)).sorted
     assert(strided === Array(0, 2))
     // retention: dup-heavy docs 1 and 2 dropped at a 0.5 threshold
-    val kept = Passages
+    val keptDf = Passages
       .dropDuplicatedPassageDocs(df, "text", "doc_id", 3, maxDupFraction = 0.5)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = keptDf.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(3L, 4L))
+    graft.CacheUtil.release(keptDf)
   }
 
   test("incremental passage profile == batch on the union; appends fold in (d18 gate)") {
@@ -635,9 +637,12 @@ class OperatorsSpec extends AnyFunSuite {
       df.collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
         .toMap
-    def batchOn(all: org.apache.spark.sql.DataFrame, ids: Set[Long]) =
-      prof(Passages.passageDupFraction(all, "text", "doc_id", k))
-        .filter { case (id, _) => ids.contains(id) }
+    def batchOn(all: org.apache.spark.sql.DataFrame, ids: Set[Long]) = {
+      val df = Passages.passageDupFraction(all, "text", "doc_id", k)
+      val out = prof(df).filter { case (id, _) => ids.contains(id) }
+      graft.CacheUtil.release(df)
+      out
+    }
     try {
       val idx = Passages.writePassageIndex(corpus, "text", "doc_id", "pinc_gate", windowTokens = k)
       val d1Ids = delta1.select("doc_id").collect().map(_.getLong(0)).toSet
@@ -677,11 +682,16 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("passage dedup: xxhash64 production keys == md5 oracle keys") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
-    def profile(hash64: Boolean) = Passages
-      .passageDupFraction(docs, "text", "doc_id", windowTokens = 8, hash64 = hash64)
-      .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
-      .toMap
+    def profile(hash64: Boolean) = {
+      val df = Passages
+        .passageDupFraction(docs, "text", "doc_id", windowTokens = 8, hash64 = hash64)
+      val out = df
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      graft.CacheUtil.release(df)
+      out
+    }
     val viaMd5 = profile(hash64 = false)
     assert(viaMd5.values.exists(_._2 > 0), "no dup windows on fixture — vacuous")
     assert(profile(hash64 = true) === viaMd5)
@@ -890,6 +900,11 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
     assertReleasable("semDedupPairs")(
       Similarity.semDedupPairs(emb, "embedding", "vec_id", nClusters = 4, threshold = 0.3))
+    assertReleasable("passageDupFraction")(
+      Passages.passageDupFraction(docs, "text", "doc_id", windowTokens = 8, hash64 = true))
+    assertReleasable("dropDuplicatedPassageDocs")(
+      Passages.dropDuplicatedPassageDocs(
+        docs, "text", "doc_id", windowTokens = 8, maxDupFraction = 0.5, hash64 = true))
     assertReleasable("minHashNearDupsIncremental") {
       val idx = Dedup.writeMinHashIndex(
         docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_idx", buckets = 8)

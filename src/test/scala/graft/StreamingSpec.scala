@@ -285,12 +285,14 @@ class StreamingSpec extends AnyFunSuite {
         mem.addData(chunk.toIndexedSeq)
         q.processAllAvailable()
         val ids = chunk.map(_._1).toSet
-        val expected = Passages
+        val expectedDf = Passages
           .passageDupFraction(seen.toDF("doc_id", "text"), "text", "doc_id", k)
+        val expected = expectedDf
           .collect()
           .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
           .toMap
           .filter { case (id, _) => ids.contains(id) }
+        graft.CacheUtil.release(expectedDf)
         assert(perBatch(i) === expected, s"batch $i profile diverged")
       }
       assert(perBatch.exists(_.values.exists(_._2 > 0)), "no dups seen — vacuous")
