@@ -380,8 +380,11 @@ class OperatorsSpec extends AnyFunSuite {
     val idx = Dedup.writeSimHashComboIndex(
       corpus, "text", "doc_id", "scinc_gate", maxHamming = 3, blocks = 6, buckets = 8)
     try {
-      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
-        df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+        val out = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        graft.CacheUtil.release(df)
+        out
+      }
       val incr = pairs(Dedup.simHashNearDupsIncrementalCombo(delta, "text", "doc_id", idx))
       val batch = pairs(
         Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6)).toSet
@@ -407,18 +410,20 @@ class OperatorsSpec extends AnyFunSuite {
       corpus, "text", "doc_id", "scinc_app", maxHamming = 3, blocks = 6, buckets = 4)
     try {
       val delta1 = Seq(Doc(10, base)).toDS.toDF
-      assert(
-        Dedup.simHashNearDupsIncrementalCombo(delta1, "text", "doc_id", idx).count() === 0)
+      val incr1 = Dedup.simHashNearDupsIncrementalCombo(delta1, "text", "doc_id", idx)
+      assert(incr1.count() === 0)
+      graft.CacheUtil.release(incr1)
       Dedup.appendToSimHashComboIndex(delta1, "text", "doc_id", idx)
       // identical text → hamming 0, inside any radius — probes the
       // appended rows without depending on perturbation distance
       val delta2 = Seq(Doc(20, base)).toDS.toDF
-      val got = Dedup
-        .simHashNearDupsIncrementalCombo(delta2, "text", "doc_id", idx)
+      val incr2 = Dedup.simHashNearDupsIncrementalCombo(delta2, "text", "doc_id", idx)
+      val got = incr2
         .select("id_a", "id_b")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       assert(got.toSet === Set((10L, 20L)))
+      graft.CacheUtil.release(incr2)
     } finally {
       spark.sql("DROP TABLE IF EXISTS scinc_app_combo")
     }
@@ -440,7 +445,9 @@ class OperatorsSpec extends AnyFunSuite {
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
       assert(!plan.contains("Bucketed: false"),
         s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
-      pairs.count()
+      // non-vacuous: a key-layout mismatch producing zero rows would let
+      // the Bucketed assertions above pass on an empty join
+      assert(pairs.count() > 0, "combo probe produced no pairs — plan gate is vacuous")
       graft.CacheUtil.release(pairs)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
