@@ -38,6 +38,36 @@ object SparkEntry {
     */
   private val streamOutSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Planted multi-line docs for d19/d20 (the fixture's documents are
+    * unique single-line texts, so line dedup is vacuous without them).
+    * One row per semantic branch; the Spark rows and the oracle VALUES
+    * are generated from this one Seq (parity rule: never hand-duplicate
+    * planted fixtures).
+    */
+  private val lineDedupDocs: Seq[(Long, String)] = Seq(
+    (2000001L, "shared banner\nunique a1\nshared footer"),
+    (2000002L, "shared banner\nunique b1\nshared footer"),
+    (2000003L, "shared banner\nshared footer"), // fully boilerplate → ""
+    (2000004L, "totally unique document\nwith two lines"), // untouched
+    (2000005L, "solo line\nsolo line") // within-doc repeat ≠ cross-doc hot
+  )
+
+  private def lineDedupPlanted(s: SparkSession): DataFrame = {
+    import s.implicits._
+    lineDedupDocs.toDF("doc_id", "text")
+  }
+
+  /** DuckDB VALUES clause for [[lineDedupDocs]]; newlines become
+    * `chr(10)` concatenations so the SQL stays single-line-safe.
+    */
+  private val lineDedupPlantedSql: String =
+    lineDedupDocs
+      .map { case (id, text) =>
+        val lit = text.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
+        s"($id, $lit)"
+      }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
+
   private val registry: Seq[Q] = Seq(
     // B1 full-table aggregate (reference tests-06-readme.R:136-143):
     // global partial→final agg, Spark-native (OuterAgg.Auto).
@@ -1114,6 +1144,61 @@ object SparkEntry {
              |FROM t LEFT JOIN c USING (doc_id)
              |WHERE CAST(coalesce(c.ndup, 0) AS DOUBLE)
              |        / greatest(coalesce(c.nwin, 0), 1) <= 0.2""".stripMargin)
+    ),
+    // C4/Dolma-style line-level dedup: the fixture's documents are all
+    // unique single-line texts, so planted multi-line docs carry the
+    // gate (parity rule: plant a row per branch — shared lines removed,
+    // unique lines kept in order, fully-boilerplate doc emptied,
+    // within-doc-only repeats NOT removed)
+    Q(
+      "d19_dup_lines",
+      (s, d) => {
+        import s.implicits._
+        operators.Lines
+          .duplicatedLines(
+            documents(s, d).select(col("doc_id"), col("text"))
+              .unionByName(lineDedupPlanted(s)),
+            "text", "doc_id", minDocs = 2)
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL $lineDedupPlantedSql),
+             |lines AS (
+             |  SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line
+             |  FROM (SELECT doc_id, split(text, chr(10)) AS l FROM all_docs))
+             |SELECT md5(line) AS fp_md5,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_occ
+             |FROM lines GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)
+    ),
+    Q(
+      "d20_drop_dup_lines",
+      (s, d) => {
+        import s.implicits._
+        // hash64 = true: the production path (xxhash64 LONG keys) is
+        // oracle-exact here because the compared output is the cleaned
+        // TEXT — fingerprints never leave the plan
+        operators.Lines
+          .dropDuplicatedLines(
+            documents(s, d).select(col("doc_id"), col("text"))
+              .unionByName(lineDedupPlanted(s)),
+            "text", "doc_id", minDocs = 2, hash64 = true)
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL $lineDedupPlantedSql),
+             |lines AS (
+             |  SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line
+             |  FROM (SELECT doc_id, split(text, chr(10)) AS l FROM all_docs)),
+             |hot AS (
+             |  SELECT line FROM lines GROUP BY line
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |kept AS (
+             |  SELECT doc_id, pos, line FROM lines ANTI JOIN hot USING (line))
+             |SELECT a.doc_id,
+             |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+             |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
+             |GROUP BY a.doc_id""".stripMargin)
     ),
     // exact n-gram Jaccard pairs, brute force — oracle-expressible via
     // DuckDB list functions (shingles built identically in SQL)

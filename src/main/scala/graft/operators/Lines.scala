@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus deduplication — the C4 / Dolma pipeline step that
+  * passage dedup does not cover: drop individual LINES (newline-delimited,
+  * the unit web boilerplate actually arrives in — nav chrome, cookie
+  * banners, footers) that recur across many documents, keeping the rest
+  * of each document intact (reference big.data.table has no text
+  * operators; this extends the training-data north-star set next to
+  * [[Passages]], which handles fixed-width token windows instead).
+  *
+  * Scale shape mirrors [[Passages]]: line fingerprints are a pure
+  * generator over the scan (split + posexplode, ~1 row per line, no
+  * shuffle); the per-(doc, fp) pre-aggregation collapses within-doc
+  * repeats BEFORE any fingerprint-keyed exchange; corpus-wide doc
+  * frequency is a map-side-combinable two-level aggregate; and removal is
+  * an anti-join of the line table against the hot-line set — which is
+  * bounded by the corpus' boilerplate volume, so AQE broadcasts it in the
+  * common case and splits residual skew otherwise (a window function
+  * partitioned by fingerprint would serialize each hot line into one
+  * task). Reassembly shuffles once, keyed on the doc id.
+  */
+object Lines {
+
+  /** One row per line: (idCol, pos, _fp, _line) where `pos` is the
+    * 0-based line index. `_fp` is md5 hex (STRING, the oracle key —
+    * engine-identical in DuckDB) or xxhash64 (LONG, 4× narrower for
+    * corpus-scale shuffles) of the exact line text. Empty lines
+    * participate like any other line — a corpus-hot empty line is
+    * boilerplate too.
+    */
+  private def lineFps(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      hash64: Boolean
+  ): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line"))
+      )
+      .select(
+        col(idCol),
+        col("_pos"),
+        col("_line"),
+        (if (hash64) xxhash64(col("_line")) else md5(col("_line"))).as("_fp")
+      )
+
+  /** Lines occurring in at least `minDocs` distinct documents:
+    * (fp_md5 | fp_x64, n_docs, n_occ). The corpus boilerplate-line
+    * catalogue — persist it and anti-join future crawls, exactly like
+    * the passage catalogue ([[Passages.duplicatedPassages]]).
+    */
+  def duplicatedLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 2,
+      hash64: Boolean = false
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    lineFps(df, textCol, idCol, hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_occ")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .withColumnRenamed("_fp", if (hash64) "fp_x64" else "fp_md5")
+  }
+
+  /** Remove every line whose distinct-document frequency is ≥ `minDocs`,
+    * preserving the order of surviving lines; returns (idCol, textCol)
+    * with the cleaned text. Documents whose every line was removed are
+    * KEPT with empty text — dropping whole documents is a separate
+    * policy decision ([[Passages.dropDuplicatedPassageDocs]] shape), and
+    * a pipeline can trivially `filter(length(text) > 0)` after.
+    *
+    * The newline split/join round-trip is lossless, so untouched
+    * documents come back byte-identical.
+    *
+    * The line generator runs twice (once under the doc-frequency agg,
+    * once for reassembly) — deliberately, unlike
+    * [[Passages.passageDupFraction]] which checkpoints its shared
+    * per-(doc, fp) table: the table BOTH consumers need here is the raw
+    * line table carrying the text itself, and pinning corpus-scale text
+    * in block storage costs more than one extra embarrassingly-parallel
+    * map stage over the scan.
+    */
+  def dropDuplicatedLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Int = 2,
+      hash64: Boolean = true
+  ): DataFrame = {
+    val lines = lineFps(df, textCol, idCol, hash64)
+    val hot = duplicatedLines(df, textCol, idCol, minDocs, hash64)
+      .select(col(if (hash64) "fp_x64" else "fp_md5").as("_fp"))
+    val kept = lines
+      .join(hot, Seq("_fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")
+          ),
+          "\n"
+        ).as(textCol)
+      )
+    // re-admit fully-boilerplate documents with empty text
+    df.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+}

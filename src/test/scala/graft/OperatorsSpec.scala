@@ -687,6 +687,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("line dedup: hot lines removed in order, empty docs kept, within-doc repeats survive") {
+    val df = Seq(
+      Doc(1, "banner\nkeep one\nfooter"),
+      Doc(2, "banner\nkeep two\nfooter"),
+      Doc(3, "banner\nfooter"),       // nothing survives
+      Doc(4, "only\nunique\nlines"),  // untouched, order preserved
+      Doc(5, "echo\necho")            // repeats within ONE doc: not hot
+    ).toDS.toDF
+    val cat = Lines.duplicatedLines(df, "text", "doc_id", minDocs = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    // two hot lines (banner, footer), each in 3 docs once
+    assert(cat.toSeq === Seq((3L, 3L), (3L, 3L)))
+    def cleaned(hash64: Boolean): Map[Long, String] =
+      Lines.dropDuplicatedLines(df, "text", "doc_id", minDocs = 2, hash64 = hash64)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = cleaned(hash64 = true)
+    assert(got === Map(
+      1L -> "keep one",
+      2L -> "keep two",
+      3L -> "",
+      4L -> "only\nunique\nlines",
+      5L -> "echo\necho"
+    ))
+    // production LONG keys == oracle md5 keys on the same input
+    assert(cleaned(hash64 = false) === got)
+    // untouched multi-line doc round-trips byte-identical
+    assert(got(4L) === "only\nunique\nlines")
+  }
+
   test("passage dedup: xxhash64 production keys == md5 oracle keys") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     def profile(hash64: Boolean) = {
