@@ -1020,6 +1020,19 @@ object SparkEntry {
           .select(col("id_a"), col("id_b")),
       None
     ),
+    // 128-bit wide-radius SimHash (hash-dependent; rows-only — the
+    // OperatorsSpec blocked==brute gate proves exact recall at this
+    // radius). h=20 is the 64-bit h=10 policy on the 2× Hamming scale.
+    Q(
+      "d21_simhash128",
+      (s, d) =>
+        operators.Dedup
+          .simHashNearDups128(
+            documents(s, d), "text", "doc_id",
+            maxHamming = 20, maxBucket = 8192)
+          .select(col("id_a"), col("id_b")),
+      None
+    ),
     // Manku combination-blocking SimHash pairs at the production radius
     // h=3 / blocks=6 (hash-dependent; rows-only — the OperatorsSpec d14
     // gate proves combo == pigeonhole == brute on this exact shape). The

@@ -118,6 +118,44 @@ object HashExpressionImpls {
     new GenericArrayData(out)
   }
 
+  /** 128-bit SimHash: per-bit majority vote like [[simhash64]], but over
+    * TWO independent 64-bit token hashes (seedA bits 0-63, seedB bits
+    * 64-127). Returns Array[Long](2) = (word0, word1). Twice the bits
+    * puts random doc pairs at expected Hamming ~64 instead of ~32, so
+    * wide radii (h ≈ 10) sit far in the tail and blocking discriminates
+    * again — the fingerprint-width escape hatch for radii where 64-bit
+    * chunks degenerate to 5-6 bits.
+    */
+  def simhash128(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val u = UTF8String.fromString(toks(i))
+        val h1 = Shim.xxhash64String(u, seedA)
+        val h2 = Shim.xxhash64String(u, seedB)
+        var b = 0
+        while (b < 64) {
+          if (((h1 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var w0 = 0L
+    var w1 = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) w0 |= (1L << b)
+      if (votes(64 + b) > 0) w1 |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(w0, w1))
+  }
+
   def simhash64(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String]()

@@ -85,6 +85,32 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** 128-bit SimHash as Array[Long](2): the wide-radius fingerprint
+    * (see [[HashExpressionImpls.simhash128]]). Same compiled one-pass
+    * shape as [[SimHash64]].
+    */
+  case class SimHash128(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "simhash128"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HashExpressionImpls.simhash128(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.functions.HashExpressionImpls.simhash128($c)"
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash128 =
+      copy(child = newChild)
+  }
+
   /** Polynomial rolling hash over code points, (h*31 + cp) mod 1e9+7.
     * Matches the `aggregate(split(text,""), ...)` HOF bit-for-bit — on ALL
     * text, including supplementary characters: Spark strings are UTF-8 and
@@ -157,6 +183,9 @@ object HashExpressions {
 
   def simhash64(text: Column): Column =
     Shim.toColumn(SimHash64(Shim.toExpression(text)))
+
+  def simhash128(text: Column): Column =
+    Shim.toColumn(SimHash128(Shim.toExpression(text)))
 
   def rolling_hash64(text: Column): Column =
     Shim.toColumn(RollingHash64(Shim.toExpression(text)))

@@ -726,6 +726,176 @@ object Dedup {
 
   private[graft] def chunkMask(w: Int): Long = if (w >= 64) -1L else (1L << w) - 1
 
+  // ------------------------------------------------- 128-bit SimHash
+
+  /** 128-bit SimHash fingerprint as Array[Long](2) — the wide-radius
+    * escape hatch: random doc pairs sit at expected Hamming ~64 (vs ~32
+    * on 64 bits), so radii around 10 are still far in the tail and
+    * pigeonhole chunks stay 11-12 bits wide instead of degenerating to
+    * 5-6. Computed by the compiled
+    * [[graft.functions.HashExpressions.SimHash128]] expression
+    * (two independent token hashes, one pass, codegen).
+    */
+  def simHash128(text: Column): Column =
+    graft.functions.HashExpressions.simhash128(text)
+
+  /** Per-chunk (widths, offsets) spreading 128 bits as evenly as
+    * possible — the [[chunkLayout]] twin for the two-word fingerprint.
+    */
+  private[graft] def chunkLayout128(chunks: Int): (Seq[Int], Seq[Int]) = {
+    val baseWidth = 128 / chunks
+    val rem = 128 % chunks
+    val widths =
+      (0 until chunks).map(c => if (c < rem) baseWidth + 1 else baseWidth)
+    (widths, widths.scanLeft(0)(_ + _).init)
+  }
+
+  /** Extract bits [off, off+w) of the 128-bit fingerprint carried as TWO
+    * primitive LONG columns (word0 = bits 0-63). Chunks that straddle
+    * the word boundary splice the high bits of word0 with the low bits
+    * of word1; pure shift/mask Columns on primitives, so the whole
+    * conjunction stays inside whole-stage codegen (an Array[Long]
+    * fingerprint was measured 55× slower on this exact path — boxed
+    * element_at per candidate on a hot join is the interpreted-HOF
+    * mistake all over again).
+    */
+  private def chunkVal128(word0: Column, word1: Column, off: Int, w: Int): Column = {
+    val mask = lit(chunkMask(w))
+    if (off + w <= 64) shiftrightunsigned(word0, off).bitwiseAND(mask)
+    else if (off >= 64) shiftrightunsigned(word1, off - 64).bitwiseAND(mask)
+    else
+      shiftrightunsigned(word0, off)
+        .bitwiseOR(shiftleft(word1, 64 - off))
+        .bitwiseAND(mask)
+  }
+
+  /** (_id, _sh0, _sh1, _chunk, _val) pigeonhole blocking over the
+    * 128-bit fingerprint — the [[simHashChunked]] twin; the two words
+    * ride as primitive longs so verification and the exactly-once
+    * conjunction recompute everything inline in codegen.
+    */
+  private def simHashChunked128(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val (widths, offsets) = chunkLayout128(chunks)
+    val withSim = df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("_id"), simHash128(col("_t")).as("_h"))
+      .select(
+        col("_id"),
+        element_at(col("_h"), 1).as("_sh0"),
+        element_at(col("_h"), 2).as("_sh1")
+      )
+    withSim.select(
+      col("_id"),
+      col("_sh0"),
+      col("_sh1"),
+      posexplode(
+        array((0 until chunks).map(c =>
+          chunkVal128(col("_sh0"), col("_sh1"), offsets(c), widths(c))): _*)
+      ).as(Seq("_chunk", "_val"))
+    )
+  }
+
+  /** Wide-radius SimHash near-dup pairs on the 128-bit fingerprint:
+    * pigeonhole blocking on `maxHamming + 1` chunks of ~128/(h+1) bits,
+    * inline per-word `bit_count(xor)` verification, exactly-once
+    * lowest-matching-chunk emission — the 64-bit capped-bucket kernel
+    * ([[simHashPairsFromKeyed]]) re-expressed over two primitive words.
+    *
+    * Use this instead of [[simHashNearDups]] when the radius climbs
+    * toward ~10: on 64 bits, h=10 chunks are 5-6 bits (≤64 bucket
+    * values — every bucket is corpus-sized at scale) and random pairs
+    * sit at Hamming ~32, uncomfortably near the radius; on 128 bits
+    * INDEPENDENT content puts random pairs at ~64 with chunks twice as
+    * wide for the same radius. The price is 2× fingerprint bytes and 2×
+    * hash compute in the one map pass. NOTE: 128-bit Hamming distances
+    * run ~2× the 64-bit ones for the same similarity — calibrate the
+    * radius on the wider scale (an h=10 64-bit policy is roughly h=20
+    * here). Fixture caveat measured at sf0.1: the synthetic docs share
+    * one small vocabulary, so even unrelated docs sit at Hamming ~25-30
+    * and ~24% of ALL pairs fall inside h=20 — wide-radius blocking over
+    * that corpus is intrinsically output-bound (~3M true pairs), which
+    * is a property of the fixture, not the operator.
+    */
+  def simHashNearDups128(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 10,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(
+      maxHamming >= 0 && maxHamming < 128,
+      s"maxHamming must be in [0, 128), got $maxHamming"
+    )
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val chunks = maxHamming + 1
+    val (widths, offsets) = chunkLayout128(chunks)
+    val keyVal = (a: String, c: Int) =>
+      chunkVal128(col(s"$a._sh0"), col(s"$a._sh1"), offsets(c), widths(c))
+    val members = simHashChunked128(df, textCol, idCol, maxHamming)
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(collect_list(struct(col("_id"), col("_sh0"), col("_sh1"))).as("_ms"))
+      .filter(size(col("_ms")) > 1)
+      .select(
+        col("_chunk"),
+        col("_val"),
+        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
+      )
+      .select(
+        col("_chunk"),
+        col("_val"),
+        col("_m._id").as("_id"),
+        col("_m._sh0").as("_sh0"),
+        col("_m._sh1").as("_sh1")
+      )
+      .localCheckpoint(true)
+    val noLower = (0 until chunks - 1)
+      .map { c =>
+        col("a._chunk") <= lit(c) || keyVal("a", c) =!= keyVal("b", c)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+    members
+      .as("a")
+      .join(
+        members.as("b"),
+        col("a._chunk") === col("b._chunk") &&
+          col("a._val") === col("b._val") &&
+          col("a._id") < col("b._id") &&
+          noLower
+      )
+      .select(
+        col("a._id").as("id_a"),
+        col("b._id").as("id_b"),
+        (bit_count(col("a._sh0").bitwiseXOR(col("b._sh0"))) +
+          bit_count(col("a._sh1").bitwiseXOR(col("b._sh1")))).as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audit for [[simHashNearDups128]]'s bucket cap: every (chunk, value)
+    * block larger than `maxBucket`, with its size — the
+    * [[hotSimHashBuckets]] twin.
+    */
+  def hotSimHash128Buckets(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int,
+      maxBucket: Int = 10000
+  ): DataFrame =
+    simHashChunked128(df, textCol, idCol, maxHamming)
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
   /** Exactly-once emission conjunction for chunk-blocked joins: true iff
     * NO chunk below the bucket's own chunk matches between the two sides,
     * each chunk value recomputed at plan time from the carried 64-bit

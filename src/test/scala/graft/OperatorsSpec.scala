@@ -501,6 +501,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gotRows.length === got.size, "pair emitted more than once")
   }
 
+  test("simHashNearDups128 recall is exact: blocked == brute two-word hamming (wide radius)") {
+    // 128-bit Hamming runs ~2× the 64-bit scale for the same similarity,
+    // so the wide-radius gate runs h = 20 (the 64-bit h=10 policy)
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val h = 20
+    val hashes = docs
+      .select($"doc_id", Dedup.simHash128($"text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val brute = (for {
+      (ia, ha) <- hashes
+      (ib, hb) <- hashes
+      if ia < ib &&
+        java.lang.Long.bitCount(ha(0) ^ hb(0)) +
+          java.lang.Long.bitCount(ha(1) ^ hb(1)) <= h
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture produced no near pairs — gate is vacuous")
+    val gotRows = Dedup
+      .simHashNearDups128(docs, "text", "doc_id", maxHamming = h)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = gotRows.toSet
+    assert(got === brute)
+    assert(gotRows.length === got.size, "pair emitted more than once")
+    // straddling-chunk extraction sanity: every chunk layout bit is
+    // covered exactly once (widths sum to 128, offsets contiguous)
+    val (ws, offs) = Dedup.chunkLayout128(h + 1)
+    assert(ws.sum === 128 && offs.zip(ws).map { case (o, w) => o + w } === offs.tail :+ 128)
+    // identical text → identical fingerprint → hamming 0
+    val twin = Seq(Doc(1, "alpha beta gamma"), Doc(2, "alpha beta gamma")).toDS.toDF
+    val p = Dedup.simHashNearDups128(twin, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(p.toSeq === Seq((1L, 2L, 0)))
+  }
+
   test("combination blocking covers every damage set: some subset avoids any ≤h blocks") {
     // the Manku guarantee, checked exhaustively: a pair within Hamming h
     // damages ≤ h blocks; recall is exact iff for EVERY damage set of
@@ -934,6 +970,8 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 10))
     assertReleasable("simHashNearDupsCombination")(
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
+    assertReleasable("simHashNearDups128")(
+      Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 20))
     assertReleasable("semDedupPairs")(
       Similarity.semDedupPairs(emb, "embedding", "vec_id", nClusters = 4, threshold = 0.3))
     assertReleasable("passageDupFraction")(
