@@ -52,6 +52,18 @@ object SparkEntry {
     (2000005L, "solo line\nsolo line") // within-doc repeat ≠ cross-doc hot
   )
 
+  /** Planted URL-bearing docs for t13 (fixture text has no URLs). No
+    * single quotes or SQL-breaking characters — the same literals feed
+    * the Spark rows and the oracle VALUES.
+    */
+  private val urlPlantedDocs: Seq[(Long, String)] = Seq(
+    (3000001L, "see https://Example.COM/Path?a=b&utm_source=x#frag and more"),
+    (3000002L, "plain http://foo.org/ text http://foo.org/bar?utm_campaign=z"),
+    (3000003L, "auth https://user:pw@Host.Net:8080/x?fbclid=q&keep=1 end"),
+    (3000004L, "no urls here at all"),
+    (3000005L, "bracketed (https://x.y/z) and multi https://m.n/o?utm_a=1&utm_b=2&c=3")
+  )
+
   private def lineDedupPlanted(s: SparkSession): DataFrame = {
     import s.implicits._
     lineDedupDocs.toDF("doc_id", "text")
@@ -968,6 +980,46 @@ object SparkEntry {
            |            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
            |            AS INT) AS gopher_pass
            |FROM m""".stripMargin
+      }
+    ),
+    // URL extraction + canonicalization (planted docs carry the gate —
+    // the fixture text contains no URLs); patterns shared verbatim with
+    // the oracle via the TextFunctions constants
+    Q(
+      "t13_url_extract",
+      (s, d) => {
+        import s.implicits._
+        val tf = functions.TextFunctions
+        documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(urlPlantedDocs.toDF("doc_id", "text"))
+          .select(col("doc_id"), explode(tf.extractUrls(col("text"))).as("url"))
+          .select(
+            col("doc_id"),
+            col("url"),
+            tf.urlHost(col("url")).as("host"),
+            tf.normalizeUrl(col("url")).as("norm_url")
+          )
+      },
+      Some {
+        val tf = functions.TextFunctions
+        val planted = urlPlantedDocs
+          .map { case (id, t) => s"($id, '$t')" }
+          .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
+        val norm =
+          "regexp_replace(regexp_replace(regexp_replace(url, '#.*', '', 'g'), '" +
+            tf.urlTrackingParam + "=[^&]*&', '', 'g'), '[?&]" +
+            tf.urlTrackingParam + "=[^&]*$', '', 'g')"
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL $planted),
+           |u AS (SELECT doc_id,
+           |             unnest(regexp_extract_all(text, '${tf.urlPattern}')) AS url
+           |      FROM all_docs)
+           |SELECT doc_id, url,
+           |  lower(regexp_extract(url, '${tf.urlHostPattern}', 1)) AS host,
+           |  lower(regexp_extract($norm, '${tf.urlSchemeHostPattern}', 0))
+           |    || regexp_replace($norm, '${tf.urlSchemeHostPattern}', '', 'g') AS norm_url
+           |FROM u""".stripMargin
       }
     ),
     // document fingerprinting: md5 + polynomial rolling hash

@@ -107,6 +107,60 @@ object TextFunctions {
       regexp_replace(acc, pat, tok)
     }
 
+  // ----------------------------------------------------------- URLs
+
+  /** URL-shaped spans in running text. Stops at whitespace and the
+    * quote/bracket characters that delimit links in prose and markup;
+    * trailing sentence punctuation is NOT trimmed (a curation pipeline
+    * wanting that applies its own policy). All three patterns live in
+    * the Java-regex ∩ RE2 subset and are shared verbatim with the
+    * DuckDB oracle SQL (t13 generates the SQL from these constants).
+    */
+  val urlPattern: String =
+    "(?i)\\bhttps?://[^ \\t\\n<>\\x22\\x27\\)\\]]+" // \x22 \x27 = " ' (keeps the literal SQL-embeddable)
+
+  /** scheme://[userinfo@]HOST[:port] — group 1 is the host. */
+  val urlHostPattern: String =
+    "(?i)^[a-z][a-z0-9+.-]*://(?:[^@/?#]*@)?([^/?#:]+)"
+
+  /** The leading scheme://authority span (group 0), for case folding. */
+  val urlSchemeHostPattern: String = "(?i)^[a-z][a-z0-9+.-]*://[^/?#]*"
+
+  /** Tracking query parameters stripped by [[normalizeUrl]]. */
+  val urlTrackingParam: String = "(?:utm_[a-zA-Z0-9_]*|fbclid|gclid)"
+
+  /** Every URL-shaped span in `text`, in order (array of strings). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Lowercased host of a URL, '' when the input is not URL-shaped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, urlHostPattern, 1))
+
+  /** Canonicalize a URL for dedup keys: drop the #fragment, drop
+    * tracking parameters (utm_*, fbclid, gclid) wherever they sit in
+    * the query string, and lowercase the whole scheme://authority
+    * prefix — host and scheme are case-insensitive per RFC 3986; the
+    * rare userinfo@ is folded with them, a documented trade for staying
+    * regex-only. Path and query case are significant and preserved. A
+    * chain of per-row codegen'd regexps — URL dedup at corpus scale is
+    * then an exact groupBy on the normalized key, no parsing library
+    * involved.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFragment = regexp_replace(url, "#.*", "")
+    // a tracked param followed by & (its & consumed), then a trailing
+    // one with its leading separator — together they cover any position
+    val noMidTracking =
+      regexp_replace(noFragment, urlTrackingParam + "=[^&]*&", "")
+    val noTracking =
+      regexp_replace(noMidTracking, "[?&]" + urlTrackingParam + "=[^&]*$", "")
+    concat(
+      lower(regexp_extract(noTracking, urlSchemeHostPattern, 0)),
+      regexp_replace(noTracking, urlSchemeHostPattern, "")
+    )
+  }
+
   /** Strip HTML markup to text: drop script/style blocks wholesale
     * (their content is code, not prose), remove remaining tags and
     * comments, decode the half-dozen named entities that dominate real

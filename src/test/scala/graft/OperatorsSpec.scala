@@ -1277,6 +1277,35 @@ class OperatorsSpec extends AnyFunSuite {
       "version strings and prices must survive")
   }
 
+  test("URL extract/host/normalize: delimiters, tracking params, case folding") {
+    val tf = functions.TextFunctions
+    val df = Seq(
+      Doc(1, "see https://Example.COM/Path?a=b&utm_source=x#frag and (https://x.y/z) too"),
+      Doc(2, "quoted \"https://q.r/s\" and 'http://a.b/c' stop before quotes"),
+      Doc(3, "no urls at all")
+    ).toDS.toDF
+    val rows = df
+      .select($"doc_id", explode(tf.extractUrls($"text")).as("url"))
+      .select($"doc_id", $"url", tf.urlHost($"url").as("host"), tf.normalizeUrl($"url").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.count(_._1 == 3L) === 0)
+    val byUrl = rows.map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(byUrl("https://Example.COM/Path?a=b&utm_source=x#frag") ===
+      (("example.com", "https://example.com/Path?a=b")))
+    assert(byUrl.contains("https://x.y/z"), "closing paren must delimit")
+    assert(byUrl.contains("https://q.r/s") && byUrl.contains("http://a.b/c"),
+      "quotes must delimit")
+    // middle/trailing/only tracking params + authority folding with port
+    def norm(u: String): String =
+      Seq(Doc(9, u)).toDS.toDF
+        .select(tf.normalizeUrl($"text")).head().getString(0)
+    assert(norm("https://m.n/o?utm_a=1&utm_b=2&c=3") === "https://m.n/o?c=3")
+    assert(norm("https://m.n/o?c=3&gclid=z") === "https://m.n/o?c=3")
+    assert(norm("https://m.n/o?fbclid=z") === "https://m.n/o")
+    assert(norm("HTTPS://User@Host.Net:8080/KeepCase?Q=V") ===
+      "https://user@host.net:8080/KeepCase?Q=V")
+  }
+
   test("NULL inputs: sampling, chunking, repetition, clustering stay well-defined") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
