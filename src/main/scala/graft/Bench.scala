@@ -48,6 +48,7 @@ object Bench {
     "d17_passage_dedup_docs", "d18_incremental_passages",
     "d19_dup_lines", "d20_drop_dup_lines", "d21_simhash128",
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
+    "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup",

@@ -1388,6 +1388,23 @@ object SparkEntry {
       },
       None
     ),
+    // incremental WIDE-RADIUS simhash via the 128-bit fingerprint index
+    // (hash-dependent — rows-only; ScalaTest gates prove incremental ==
+    // batch on the union, append fold-in, and zero corpus-side Exchange)
+    Q(
+      "d22_incremental_simhash128",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val idx = operators.Dedup
+          .writeSimHash128Index(corpus, "text", "doc_id", "d22_idx", maxHamming = 20, buckets = 8)
+        operators.Dedup
+          .simHashNearDups128Incremental(delta, "text", "doc_id", idx)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+      },
+      None
+    ),
     // incremental vector-LSH dedup against a persisted index: the third
     // member of the incremental family (d08 minhash, d09 simhash) —
     // bucketed band + vector tables, zero corpus-side Exchange

@@ -835,11 +835,50 @@ object Dedup {
       s"maxHamming must be in [0, 128), got $maxHamming"
     )
     require(maxBucket > 1, "maxBucket must allow at least one pair")
-    val chunks = maxHamming + 1
+    simHash128PairsFromChunked(
+      simHashChunked128(df, textCol, idCol, maxHamming),
+      maxHamming,
+      maxBucket
+    )
+  }
+
+  /** Exactly-once emission conjunction for the two-word fingerprint —
+    * the [[noLowerChunkMatches]] twin, recomputing every chunk value
+    * from the carried `_sh0`/`_sh1` primitives.
+    */
+  private def noLowerChunkMatches128(
+      chunks: Int,
+      left: String,
+      right: String
+  ): Column = {
     val (widths, offsets) = chunkLayout128(chunks)
-    val keyVal = (a: String, c: Int) =>
+    def key(a: String, c: Int) =
       chunkVal128(col(s"$a._sh0"), col(s"$a._sh1"), offsets(c), widths(c))
-    val members = simHashChunked128(df, textCol, idCol, maxHamming)
+    (0 until chunks - 1)
+      .map { c =>
+        col(s"$left._chunk") <= lit(c) || key(left, c) =!= key(right, c)
+      }
+      .reduceOption(_ && _)
+      .getOrElse(lit(true))
+  }
+
+  /** 128-bit pair-wise Hamming verify over the carried word columns. */
+  private def hamming128(left: String, right: String): Column =
+    bit_count(col(s"$left._sh0").bitwiseXOR(col(s"$right._sh0"))) +
+      bit_count(col(s"$left._sh1").bitwiseXOR(col(s"$right._sh1")))
+
+  /** Verified pair emission from a (_id, _sh0, _sh1, _chunk, _val)
+    * blocking table — the join half of [[simHashNearDups128]], shared
+    * with the within-delta leg of [[simHashNearDups128Incremental]].
+    * Same capped-bucket / lowest-matching-chunk shape as the 64-bit
+    * [[simHashPairsFromKeyed]], on two primitive words.
+    */
+  private def simHash128PairsFromChunked(
+      chunked: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int
+  ): DataFrame = {
+    val members = chunked
       .groupBy(col("_chunk"), col("_val"))
       .agg(collect_list(struct(col("_id"), col("_sh0"), col("_sh1"))).as("_ms"))
       .filter(size(col("_ms")) > 1)
@@ -856,12 +895,6 @@ object Dedup {
         col("_m._sh1").as("_sh1")
       )
       .localCheckpoint(true)
-    val noLower = (0 until chunks - 1)
-      .map { c =>
-        col("a._chunk") <= lit(c) || keyVal("a", c) =!= keyVal("b", c)
-      }
-      .reduceOption(_ && _)
-      .getOrElse(lit(true))
     members
       .as("a")
       .join(
@@ -869,15 +902,129 @@ object Dedup {
         col("a._chunk") === col("b._chunk") &&
           col("a._val") === col("b._val") &&
           col("a._id") < col("b._id") &&
-          noLower
+          noLowerChunkMatches128(maxHamming + 1, "a", "b")
       )
       .select(
         col("a._id").as("id_a"),
         col("b._id").as("id_b"),
-        (bit_count(col("a._sh0").bitwiseXOR(col("b._sh0"))) +
-          bit_count(col("a._sh1").bitwiseXOR(col("b._sh1")))).as("hamming")
+        hamming128("a", "b").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Handle for a persisted 128-bit SimHash dedup index — the
+    * wide-radius member of the incremental family (MinHash d08,
+    * SimHash64 d09, vector-LSH d13, passages d18). Same self-contained
+    * single-table shape as [[SimHashIndex]]: (_chunk, _val) pigeonhole
+    * membership with both fingerprint words carried, so verification
+    * and exactly-once emission run inline from the table — no lookup
+    * join.
+    */
+  case class SimHash128Index(chunkTable: String, maxHamming: Int, buckets: Int)
+
+  /** Build and persist a 128-bit SimHash index for `df` under catalog
+    * table `<name>_chunks128`, bucketed by (_chunk, _val) so incremental
+    * probes read the corpus side with zero Exchange.
+    */
+  def writeSimHash128Index(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      maxHamming: Int = 20,
+      buckets: Int = 32
+  ): SimHash128Index = {
+    require(
+      maxHamming >= 0 && maxHamming < 128,
+      s"maxHamming must be in [0, 128), got $maxHamming"
+    )
+    val idx = SimHash128Index(s"${name}_chunks128", maxHamming, buckets)
+    writeBucketedTable(
+      simHashChunked128(df, textCol, idCol, maxHamming),
+      idx.chunkTable,
+      buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    idx
+  }
+
+  /** Fold a delta into an existing 128-bit index (after its pairs were
+    * emitted via [[simHashNearDups128Incremental]]) so the NEXT delta
+    * dedups against corpus ∪ this delta.
+    */
+  def appendToSimHash128Index(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHash128Index
+  ): Unit =
+    writeBucketedTable(
+      simHashChunked128(delta, textCol, idCol, idx.maxHamming),
+      idx.chunkTable,
+      idx.buckets,
+      Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+
+  /** Incremental wide-radius SimHash near-dups: every pair within
+    * `idx.maxHamming` with at least one member in `delta` =
+    * (delta × corpus) via the bucketed chunk table ∪ (delta × delta)
+    * via the batch self-join. Scale shape mirrors
+    * [[simHashNearDupsIncremental]] exactly — delta chunked ONCE
+    * (localCheckpoint) and reused by both legs, zero corpus-side
+    * Exchange, exactly-once lowest-matching-chunk emission recomputed
+    * from the carried words, inline verification. Result is
+    * materialized and the delta-side blocks are released before
+    * returning.
+    */
+  def simHashNearDups128Incremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHash128Index,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    val lazyPairs =
+      simHash128PairsIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+    val out = lazyPairs.localCheckpoint(true)
+    graft.CacheUtil.release(lazyPairs)
+    out
+  }
+
+  /** The un-materialized plan behind [[simHashNearDups128Incremental]]
+    * — exposed for plan-shape tests; callers must
+    * [[graft.CacheUtil.release]] it when done.
+    */
+  private[graft] def simHash128PairsIncrementalLazy(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHash128Index,
+      maxBucket: Int
+  ): DataFrame = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val spark = delta.sparkSession
+    val chunked =
+      simHashChunked128(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
+    val within = simHash128PairsFromChunked(chunked, idx.maxHamming, maxBucket)
+    val corpus = spark.table(idx.chunkTable)
+    val cross = chunked
+      .as("d")
+      .join(
+        corpus.as("c"),
+        col("d._chunk") === col("c._chunk") &&
+          col("d._val") === col("c._val") &&
+          col("d._id") =!= col("c._id") &&
+          noLowerChunkMatches128(idx.maxHamming + 1, "d", "c")
+      )
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b"),
+        hamming128("d", "c").as("hamming")
+      )
+      .filter(col("hamming") <= idx.maxHamming)
+    cross.unionByName(within)
   }
 
   /** Audit for [[simHashNearDups128]]'s bucket cap: every (chunk, value)

@@ -455,6 +455,79 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental 128-bit simhash against a persisted index == batch on union (gate)") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val h = 20
+    val idx = Dedup.writeSimHash128Index(
+      corpus, "text", "doc_id", "s128inc_gate", maxHamming = h, buckets = 8)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] = {
+        val out = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        graft.CacheUtil.release(df)
+        out
+      }
+      val incr = pairs(Dedup.simHashNearDups128Incremental(delta, "text", "doc_id", idx))
+      val batch = pairs(Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = h)).toSet
+      val corpusOnly = pairs(Dedup.simHashNearDups128(corpus, "text", "doc_id", maxHamming = h)).toSet
+      val touchesDelta = batch.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+      assert(touchesDelta.nonEmpty, "fixture yields no cross/delta pairs — gate is vacuous")
+      assert(incr.toSet === touchesDelta)
+      assert(incr.length === incr.toSet.size, "pair emitted more than once")
+      assert(corpusOnly.union(incr.toSet) === batch)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS s128inc_gate_chunks128")
+    }
+  }
+
+  test("appendToSimHash128Index folds a delta in: the next delta pairs against it") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      Doc(1, "completely different content about spark query engines and shuffles"),
+      Doc(2, "another unrelated paragraph mentioning parquet files and buckets")
+    ).toDS.toDF
+    val idx = Dedup.writeSimHash128Index(
+      corpus, "text", "doc_id", "s128inc_app", maxHamming = 0, buckets = 4)
+    try {
+      val delta1 = Seq(Doc(10, base)).toDS.toDF
+      val incr1 = Dedup.simHashNearDups128Incremental(delta1, "text", "doc_id", idx)
+      assert(incr1.count() === 0)
+      graft.CacheUtil.release(incr1)
+      Dedup.appendToSimHash128Index(delta1, "text", "doc_id", idx)
+      val delta2 = Seq(Doc(20, base)).toDS.toDF
+      val incr2 = Dedup.simHashNearDups128Incremental(delta2, "text", "doc_id", idx)
+      val got = incr2.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet === Set((10L, 20L)))
+      graft.CacheUtil.release(incr2)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS s128inc_app_chunks128")
+    }
+  }
+
+  test("incremental 128-bit simhash reads the corpus index with no corpus-side Exchange") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = Dedup.writeSimHash128Index(
+        corpus, "text", "doc_id", "s128inc_plan", maxHamming = 20, buckets = 8)
+      val pairs = Dedup.simHash128PairsIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      assert(pairs.count() > 0, "128-bit probe produced no pairs — plan gate is vacuous")
+      graft.CacheUtil.release(pairs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS s128inc_plan_chunks128")
+    }
+  }
+
   test("simHash: identical text → distance 0; near text → small distance") {
     val df = Seq(
       Doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
@@ -972,6 +1045,14 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
     assertReleasable("simHashNearDups128")(
       Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 20))
+    assertReleasable("simHashNearDups128Incremental") {
+      val idx = Dedup.writeSimHash128Index(
+        docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_s128idx",
+        maxHamming = 20, buckets = 8)
+      Dedup.simHashNearDups128Incremental(
+        docs.filter($"doc_id" % 3 === 0), "text", "doc_id", idx)
+    }
+    spark.sql("DROP TABLE IF EXISTS leak_s128idx_chunks128")
     assertReleasable("semDedupPairs")(
       Similarity.semDedupPairs(emb, "embedding", "vec_id", nClusters = 4, threshold = 0.3))
     assertReleasable("passageDupFraction")(
