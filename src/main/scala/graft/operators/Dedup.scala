@@ -759,7 +759,7 @@ object Dedup {
     * element_at per candidate on a hot join is the interpreted-HOF
     * mistake all over again).
     */
-  private def chunkVal128(word0: Column, word1: Column, off: Int, w: Int): Column = {
+  private[graft] def chunkVal128(word0: Column, word1: Column, off: Int, w: Int): Column = {
     val mask = lit(chunkMask(w))
     if (off + w <= 64) shiftrightunsigned(word0, off).bitwiseAND(mask)
     else if (off >= 64) shiftrightunsigned(word1, off - 64).bitwiseAND(mask)

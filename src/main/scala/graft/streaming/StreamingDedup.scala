@@ -18,6 +18,25 @@ final case class BucketEvent(chunk: Int, value: Long, doc_id: Long, simhash: Lon
   */
 final case class BucketState(ids: Array[Long], hashes: Array[Long])
 
+/** One exploded bucket event for the 128-bit stream: both fingerprint
+  * words ride along so verification and lowest-chunk recomputation stay
+  * in-state.
+  */
+final case class Bucket128Event(
+    chunk: Int,
+    value: Long,
+    doc_id: Long,
+    sh0: Long,
+    sh1: Long
+)
+
+/** Bounded per-bucket membership for the 128-bit stream. */
+final case class Bucket128State(
+    ids: Array[Long],
+    h0: Array[Long],
+    h1: Array[Long]
+)
+
 /** Emitted near-dup pair. */
 final case class StreamPair(id_a: Long, id_b: Long, hamming: Int)
 
@@ -142,6 +161,70 @@ object StreamingDedup {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout
       )(updateBucket(maxHamming, maxBucket, widths, offsets))
+  }
+
+  /** Wide-radius streaming near-dups on the 128-bit fingerprint — the
+    * streaming twin of [[graft.operators.Dedup.simHashNearDups128]] and
+    * the answer to the radius-10 hazard documented on
+    * [[simHashNearDupStream]]'s st01 composition: at h=10 on 64 bits the
+    * chunks are 5-6 bits, the stream funnels into ≤64 bucket values per
+    * chunk, and the per-bucket serial state transition pays O(members²)
+    * in ONE task. The 128-bit fingerprint keeps chunks ~2× wider at the
+    * same effective radius (calibrate on the doubled Hamming scale:
+    * 64-bit h=10 ≈ h=20 here), spreading state across 2^11-2^12 values
+    * per chunk instead. Emission, cap, and replay semantics are
+    * identical to [[simHashNearDupStream]] (see [[updateBucket]]).
+    */
+  def simHashNearDup128Stream(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 20,
+      maxBucket: Int = 10000
+  ): Dataset[StreamPair] = {
+    import spark.implicits._
+    require(
+      maxHamming >= 0 && maxHamming < 128,
+      s"maxHamming must be in [0, 128), got $maxHamming"
+    )
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val chunks = maxHamming + 1
+    val (widths, offsets) = Dedup.chunkLayout128(chunks)
+    val exploded = docs
+      .select(
+        col(idCol).cast("long").as("_id"),
+        Dedup.simHash128(col(textCol)).as("_h")
+      )
+      .select(
+        col("_id"),
+        element_at(col("_h"), 1).as("_sh0"),
+        element_at(col("_h"), 2).as("_sh1")
+      )
+      .select(
+        col("_id"),
+        col("_sh0"),
+        col("_sh1"),
+        posexplode(
+          array((0 until chunks).map { c =>
+            Dedup.chunkVal128(col("_sh0"), col("_sh1"), offsets(c), widths(c))
+          }: _*)
+        ).as(Seq("_chunk", "_val"))
+      )
+      .select(
+        col("_chunk").as("chunk"),
+        col("_val").as("value"),
+        col("_id").as("doc_id"),
+        col("_sh0").as("sh0"),
+        col("_sh1").as("sh1")
+      )
+      .as[Bucket128Event]
+    exploded
+      .groupByKey(e => (e.chunk, e.value))
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      )(updateBucket128(maxHamming, maxBucket, widths.toArray, offsets.toArray))
   }
 
   /** MinHash near-dup pairs over a document stream — the streaming twin
@@ -375,6 +458,84 @@ object StreamingDedup {
       }
     }
     state.update(BucketState(ids, hashes))
+    out.result().iterator
+  }
+
+  /** Per-bucket state transition for the 128-bit stream — identical
+    * semantics to [[updateBucket]] (entered-the-membership emission,
+    * lowest-matching-chunk exactly-once, capped lowest ids), with the
+    * chunk values and Hamming distance computed over both words; chunks
+    * may straddle the word boundary.
+    */
+  private[streaming] def updateBucket128(
+      maxHamming: Int,
+      maxBucket: Int,
+      widths: Array[Int],
+      offsets: Array[Int]
+  )(
+      key: (Int, Long),
+      events: Iterator[Bucket128Event],
+      state: GroupState[Bucket128State]
+  ): Iterator[StreamPair] = {
+    val chunk = key._1
+    def chunkVal(c: Int, w0: Long, w1: Long): Long = {
+      val off = offsets(c)
+      val w = widths(c)
+      val mask = Dedup.chunkMask(w)
+      if (off + w <= 64) (w0 >>> off) & mask
+      else if (off >= 64) (w1 >>> (off - 64)) & mask
+      else ((w0 >>> off) | (w1 << (64 - off))) & mask
+    }
+    def lowestMatchingChunkIs(c: Int, a0: Long, a1: Long, b0: Long, b1: Long): Boolean = {
+      var i = 0
+      while (i < c) {
+        if (chunkVal(i, a0, a1) == chunkVal(i, b0, b1)) return false
+        i += 1
+      }
+      true
+    }
+    val st = state.getOption.getOrElse(Bucket128State(Array.empty, Array.empty, Array.empty))
+    val arrivals = events.toArray.sortBy(_.doc_id)
+    val out = Array.newBuilder[StreamPair]
+    var ids = st.ids
+    var h0 = st.h0
+    var h1 = st.h1
+    arrivals.foreach { e =>
+      val p = java.util.Arrays.binarySearch(ids, e.doc_id)
+      val pos = if (p >= 0) -1 else -(p + 1)
+      if (pos >= 0 && pos < maxBucket) {
+        var i = 0
+        while (i < ids.length) {
+          val ham = java.lang.Long.bitCount(h0(i) ^ e.sh0) +
+            java.lang.Long.bitCount(h1(i) ^ e.sh1)
+          if (ham <= maxHamming &&
+            lowestMatchingChunkIs(chunk, h0(i), h1(i), e.sh0, e.sh1)) {
+            val (a, b) =
+              if (ids(i) < e.doc_id) (ids(i), e.doc_id) else (e.doc_id, ids(i))
+            out += StreamPair(a, b, ham)
+          }
+          i += 1
+        }
+        val n = math.min(ids.length + 1, maxBucket)
+        val newIds = new Array[Long](n)
+        val newH0 = new Array[Long](n)
+        val newH1 = new Array[Long](n)
+        System.arraycopy(ids, 0, newIds, 0, pos)
+        System.arraycopy(h0, 0, newH0, 0, pos)
+        System.arraycopy(h1, 0, newH1, 0, pos)
+        newIds(pos) = e.doc_id
+        newH0(pos) = e.sh0
+        newH1(pos) = e.sh1
+        val tail = n - pos - 1
+        System.arraycopy(ids, pos, newIds, pos + 1, tail)
+        System.arraycopy(h0, pos, newH0, pos + 1, tail)
+        System.arraycopy(h1, pos, newH1, pos + 1, tail)
+        ids = newIds
+        h0 = newH0
+        h1 = newH1
+      }
+    }
+    state.update(Bucket128State(ids, h0, h1))
     out.result().iterator
   }
 }

@@ -302,6 +302,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming 128-bit simhash pairs == batch simHashNearDups128 across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val fixture = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val h = 20
+    val batchDf = Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = h)
+    val batch = batchDf.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheUtil.release(batchDf)
+    assert(batch.nonEmpty, "fixture produced no near pairs — test is vacuous")
+    val mem = MemoryStream[(Long, String)]
+    val pairs = graft.streaming.StreamingDedup.simHashNearDup128Stream(
+      spark, mem.toDF().toDF("doc_id", "text"), "text", "doc_id", maxHamming = h)
+    val q = pairs.toDF().writeStream
+      .format("memory")
+      .queryName("neardup128_out")
+      .outputMode("append")
+      .start()
+    try {
+      fixture.grouped(math.max(1, fixture.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamedRows = spark.table("neardup128_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val streamed = streamedRows.toSet
+      assert(streamed === batch)
+      assert(streamedRows.length === streamed.size, "pair emitted more than once")
+      // replay a whole batch: at-least-once sources must not re-emit
+      mem.addData(fixture.take(fixture.length / 3).toIndexedSeq)
+      q.processAllAvailable()
+      assert(spark.table("neardup128_out").count() === streamedRows.length.toLong)
+    } finally q.stop()
+  }
+
   test("streaming simhash dedup under an ACTIVE cap: batch semantics, replay-idempotent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
