@@ -150,6 +150,13 @@ object Bench {
     // is recorded as FAILED, not timed — a regression must never make the
     // headline total look faster.
     def timedPass(): Map[String, Option[Double]] = names.map { name =>
+      // GC fence: at 90+ queries per pass, garbage from earlier queries'
+      // shuffles/checkpoints otherwise forces major collections INSIDE
+      // later measurements — d16 measured 5.6 s in the full run vs 1.8 s
+      // in a 4-query run, pure cross-query heap pressure, which would
+      // read as a per-query regression round over round. Collecting
+      // between queries isolates each measurement at a known-clean heap.
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { materialize(name, sfDir); true }
