@@ -64,6 +64,29 @@ object SparkEntry {
     (3000005L, "bracketed (https://x.y/z) and multi https://m.n/o?utm_a=1&utm_b=2&c=3")
   )
 
+  /** Planted corpus/delta docs for d23 (incremental line cleaning): the
+    * fixture docs are unique single-liners, so the planted rows supply
+    * corpus-hot, union-hot, and untouched branches.
+    */
+  private val lineIncCorpusDocs: Seq[(Long, String)] = Seq(
+    (4000001L, "shared banner\ncorpus one"),
+    (4000002L, "shared banner\ncorpus two"), // banner hot in corpus alone
+    (4000003L, "rare liner\ncorpus three")   // rare liner: corpus count 1
+  )
+  private val lineIncDeltaDocs: Seq[(Long, String)] = Seq(
+    (4100001L, "shared banner\ndelta keeps this"), // cleaned vs corpus
+    (4100002L, "rare liner\nunion hot"),           // cleaned via union count
+    (4100003L, "delta only\ncontent")              // untouched
+  )
+
+  private def valuesSql(rows: Seq[(Long, String)]): String =
+    rows
+      .map { case (id, text) =>
+        val lit = text.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
+        s"($id, $lit)"
+      }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
+
   private def lineDedupPlanted(s: SparkSession): DataFrame = {
     import s.implicits._
     lineDedupDocs.toDF("doc_id", "text")
@@ -72,13 +95,7 @@ object SparkEntry {
   /** DuckDB VALUES clause for [[lineDedupDocs]]; newlines become
     * `chr(10)` concatenations so the SQL stays single-line-safe.
     */
-  private val lineDedupPlantedSql: String =
-    lineDedupDocs
-      .map { case (id, text) =>
-        val lit = text.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
-        s"($id, $lit)"
-      }
-      .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
+  private val lineDedupPlantedSql: String = valuesSql(lineDedupDocs)
 
   private val registry: Seq[Q] = Seq(
     // B1 full-table aggregate (reference tests-06-readme.R:136-143):
@@ -1263,6 +1280,47 @@ object SparkEntry {
              |SELECT a.doc_id,
              |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
              |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
+             |GROUP BY a.doc_id""".stripMargin)
+    ),
+    // incremental line cleaning against the persisted catalogue — the
+    // SECOND full-oracle incremental member (after d18): line
+    // fingerprints are internal, the compared output is cleaned TEXT,
+    // and incremental == batch-on-union restricted to delta ids is
+    // exactly expressible in DuckDB
+    Q(
+      "d23_incremental_lines",
+      (s, d) => {
+        import s.implicits._
+        val corpus = documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 =!= 0)
+          .unionByName(lineIncCorpusDocs.toDF("doc_id", "text"))
+        val delta = documents(s, d).select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 3 === 0)
+          .unionByName(lineIncDeltaDocs.toDF("doc_id", "text"))
+        val idx = operators.Lines
+          .writeLineIndex(corpus, "text", "doc_id", "d23_idx", buckets = 8)
+        operators.Lines
+          .dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+             |  UNION ALL ${valuesSql(lineIncCorpusDocs)}
+             |  UNION ALL
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL ${valuesSql(lineIncDeltaDocs)}),
+             |lines AS (
+             |  SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS line
+             |  FROM (SELECT doc_id, split(text, chr(10)) AS l FROM all_docs)),
+             |hot AS (
+             |  SELECT line FROM lines GROUP BY line
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |kept AS (
+             |  SELECT doc_id, pos, line FROM lines ANTI JOIN hot USING (line))
+             |SELECT a.doc_id,
+             |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+             |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
+             |WHERE (a.doc_id % 3 = 0 AND a.doc_id < 4000000)
+             |   OR a.doc_id >= 4100000
              |GROUP BY a.doc_id""".stripMargin)
     ),
     // exact n-gram Jaccard pairs, brute force — oracle-expressible via

@@ -115,4 +115,124 @@ object Lines {
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  // --------------------------- persisted line-catalogue index
+
+  /** Handle for a persisted line catalogue: ONE bucketed catalog table
+    * of per-fingerprint distinct-document counts `(_fp, _ndocs)`,
+    * bucketed by `_fp` so incremental probes aggregate and join the
+    * corpus side with zero Exchange. Appends add rows per fingerprint
+    * (counts are summed at probe time), so folding a delta in is a pure
+    * bucketed append — no read-modify-write of the history. The sixth
+    * member of the incremental index family (MinHash d08, SimHash64
+    * d09, vector-LSH d13, passages d18, SimHash128 d22).
+    */
+  case class LineIndex(fpTable: String, hash64: Boolean, buckets: Int)
+
+  /** Per-fingerprint distinct-document counts for `df` — the rows both
+    * [[writeLineIndex]] and [[appendToLineIndex]] persist.
+    */
+  private def fpDocCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      hash64: Boolean
+  ): DataFrame =
+    lineFps(df, textCol, idCol, hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+      .groupBy(col("_fp"))
+      .agg(count(lit(1)).as("_ndocs"))
+
+  /** Build and persist a line catalogue for `df` under catalog table
+    * `<name>_linefps`. `hash64 = true` (default) stores LONG keys — the
+    * index is nothing but fingerprints, so the 4× narrower key
+    * dominates its footprint.
+    */
+  def writeLineIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      name: String,
+      hash64: Boolean = true,
+      buckets: Int = 32
+  ): LineIndex = {
+    val idx = LineIndex(s"${name}_linefps", hash64, buckets)
+    Dedup.writeBucketedTable(
+      fpDocCounts(df, textCol, idCol, hash64),
+      idx.fpTable,
+      buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    idx
+  }
+
+  /** Fold a delta into an existing line catalogue (after it was cleaned
+    * via [[dropDuplicatedLinesIncremental]]) so the NEXT delta cleans
+    * against corpus ∪ this delta.
+    */
+  def appendToLineIndex(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: LineIndex
+  ): Unit =
+    Dedup.writeBucketedTable(
+      fpDocCounts(delta, textCol, idCol, idx.hash64),
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+
+  /** Clean a delta against the persisted catalogue: remove every delta
+    * line whose distinct-document frequency across corpus ∪ delta is
+    * ≥ `minDocs` — result-identical (per delta doc) to
+    * [[dropDuplicatedLines]] over the full union, without rescanning
+    * the corpus. The corpus side is a bucketed scan aggregated on its
+    * own bucket key (`_fp`) and then joined on it — zero corpus-side
+    * Exchange; only the delta's fingerprints shuffle, into the index's
+    * partitioning. NOTE: a delta document must not already be in the
+    * index (same contract as every incremental probe in the family).
+    */
+  def dropDuplicatedLinesIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: LineIndex,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    val spark = delta.sparkSession
+    val lines = lineFps(delta, textCol, idCol, idx.hash64)
+    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64)
+    // appends leave multiple rows per fp; summing on the bucket key
+    // plans as a bucketed scan + partial agg with no Exchange
+    val corpusCounts = spark
+      .table(idx.fpTable)
+      .groupBy(col("_fp"))
+      .agg(sum(col("_ndocs")).as("_corpus_ndocs"))
+    val hot = deltaCounts
+      .join(corpusCounts, Seq("_fp"), "left")
+      .filter(
+        col("_ndocs") + coalesce(col("_corpus_ndocs"), lit(0L)) >= minDocs
+      )
+      .select(col("_fp"))
+    val kept = lines
+      .join(hot, Seq("_fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x.getField("_line")
+          ),
+          "\n"
+        ).as(textCol)
+      )
+    delta.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

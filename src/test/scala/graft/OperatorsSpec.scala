@@ -825,6 +825,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) === "only\nunique\nlines")
   }
 
+  test("incremental line cleaning against a persisted catalogue == batch on union (gate)") {
+    val corpus = Seq(
+      Doc(1, "banner\nalpha\nfooter"),
+      Doc(2, "banner\nbeta\nfooter"),
+      Doc(3, "rare line\nunique three")
+    ).toDS.toDF
+    val delta = Seq(
+      Doc(10, "banner\ngamma"),          // hot in corpus alone
+      Doc(11, "rare line\ndelta text"),  // hot only via union (1 + 1 ≥ 2)
+      Doc(12, "wholly original\ncontent")
+    ).toDS.toDF
+    val idx = Lines.writeLineIndex(corpus, "text", "doc_id", "linc_gate")
+    try {
+      def m(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+        df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val incr = m(Lines.dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx))
+      val batchUnion = m(Lines.dropDuplicatedLines(corpus.unionByName(delta), "text", "doc_id"))
+        .filter { case (id, _) => id >= 10 }
+      assert(incr === batchUnion)
+      assert(incr(10L) === "gamma")
+      assert(incr(11L) === "delta text", "union-threshold line must be removed")
+      assert(incr(12L) === "wholly original\ncontent")
+    } finally spark.sql("DROP TABLE IF EXISTS linc_gate_linefps")
+  }
+
+  test("appendToLineIndex folds a delta in: the next delta cleans against it") {
+    val corpus = Seq(Doc(1, "nothing shared here\nat all")).toDS.toDF
+    val idx = Lines.writeLineIndex(corpus, "text", "doc_id", "linc_app")
+    try {
+      val delta1 = Seq(Doc(10, "future boilerplate\nsome body")).toDS.toDF
+      val c1 = Lines.dropDuplicatedLinesIncremental(delta1, "text", "doc_id", idx)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(c1(10L) === "future boilerplate\nsome body", "nothing hot yet")
+      Lines.appendToLineIndex(delta1, "text", "doc_id", idx)
+      val delta2 = Seq(Doc(20, "future boilerplate\nother body")).toDS.toDF
+      val c2 = Lines.dropDuplicatedLinesIncremental(delta2, "text", "doc_id", idx)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(c2(20L) === "other body", "line appended by delta1 must now be hot")
+    } finally spark.sql("DROP TABLE IF EXISTS linc_app_linefps")
+  }
+
+  test("incremental line cleaning reads the catalogue with no corpus-side Exchange") {
+    val base = Tables.documents(spark, SparkTestSession.sfDir).select($"doc_id", $"text")
+    val corpus = base.filter($"doc_id" % 3 =!= 0)
+    // fixture docs are unique single-liners: make the delta echo corpus
+    // texts so the probe is non-vacuous
+    val delta = corpus.limit(50)
+      .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = Lines.writeLineIndex(corpus, "text", "doc_id", "linc_plan", buckets = 8)
+      val out = Lines.dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"catalogue scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read (corpus side would shuffle):\n${plan.take(3000)}")
+      val cleaned = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(cleaned.nonEmpty && cleaned.values.forall(_ === ""),
+        "every echoed doc must be fully cleaned — plan gate would be vacuous otherwise")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS linc_plan_linefps")
+    }
+  }
+
   test("passage dedup: xxhash64 production keys == md5 oracle keys") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     def profile(hash64: Boolean) = {
