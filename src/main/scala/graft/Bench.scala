@@ -47,7 +47,7 @@ object Bench {
     "d14_simhash_combo", "d15_dup_passages", "d16_passage_dup_fraction",
     "d17_passage_dedup_docs", "d18_incremental_passages",
     "d19_dup_lines", "d20_drop_dup_lines", "d21_simhash128",
-    "d23_incremental_lines",
+    "d23_incremental_lines", "d24_incremental_exact",
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",

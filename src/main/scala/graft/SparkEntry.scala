@@ -1063,6 +1063,40 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n_dups
              |FROM documents GROUP BY 1""".stripMargin)
     ),
+    // incremental exact dedup against the persisted fingerprint index
+    // — the THIRD full-oracle incremental member: fingerprints stay
+    // internal (xxhash64 production keys), the compared output is
+    // surviving keeper ids, and first-seen-wins == batch min-id here
+    // because ids are monotone (corpus < delta). Echoed docs
+    // (doc_id % 30 == 1, shifted +600000) guarantee corpus-precedence
+    // drops; the delta's own %3 slice exercises within-delta keep-min.
+    Q(
+      "d24_incremental_exact",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName(
+            docs.filter(col("doc_id") % 30 === 1)
+              .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+        val idx = operators.Dedup
+          .writeExactDedupIndex(corpus, "text", "d24_idx", buckets = 8)
+        operators.Dedup
+          .exactDedupIncremental(delta, "text", "doc_id", idx)
+          .select(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             |delta AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 600000, text FROM documents WHERE doc_id % 30 = 1),
+             |unseen AS (
+             |  SELECT d.doc_id, d.text FROM delta d
+             |  ANTI JOIN corpus c ON d.text = c.text)
+             |SELECT min(doc_id) AS doc_id FROM unseen GROUP BY text""".stripMargin)
+    ),
     // MinHash+LSH near-dup candidates, Jaccard-verified (hash-seed
     // dependent — no SQL oracle; rows-only)
     Q(

@@ -33,6 +33,98 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Handle for a persisted exact-dedup index: ONE bucketed table of
+    * seen content fingerprints `(_fp)` — the seventh (and simplest)
+    * member of the incremental index family. `hash64` keys are LONG
+    * xxhash64 (4× narrower; a 64-bit collision merges two texts — at
+    * 10¹² docs ~10⁴ expected colliding pairs, noise for dedup); md5
+    * mode gives the oracle-exact hex fingerprints.
+    */
+  case class ExactDedupIndex(fpTable: String, hash64: Boolean, buckets: Int)
+
+  private def exactFps(
+      df: DataFrame,
+      textCol: String,
+      hash64: Boolean
+  ): DataFrame =
+    df.select(
+        (if (hash64) xxhash64(col(textCol))
+         else TextFunctions.fingerprintMd5(col(textCol))).as("_fp")
+      )
+      .distinct()
+
+  /** Build and persist an exact-dedup index for `df` under catalog
+    * table `<name>_exactfps`, bucketed by `_fp`.
+    */
+  def writeExactDedupIndex(
+      df: DataFrame,
+      textCol: String,
+      name: String,
+      hash64: Boolean = true,
+      buckets: Int = 32
+  ): ExactDedupIndex = {
+    val idx = ExactDedupIndex(s"${name}_exactfps", hash64, buckets)
+    writeBucketedTable(
+      exactFps(df, textCol, hash64),
+      idx.fpTable,
+      buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    idx
+  }
+
+  /** Fold a delta's fingerprints into an existing exact index so the
+    * NEXT delta dedups against corpus ∪ this delta. Appends may leave
+    * duplicate fp rows across appends — harmless: the probe is a
+    * left_anti membership test.
+    */
+  def appendToExactDedupIndex(
+      delta: DataFrame,
+      textCol: String,
+      idx: ExactDedupIndex
+  ): Unit =
+    writeBucketedTable(
+      exactFps(delta, textCol, idx.hash64),
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+
+  /** Incremental exact dedup under FIRST-SEEN-WINS: drop every delta
+    * document whose text already appears in the indexed corpus, then
+    * keep the lowest id per remaining identical delta text. This is the
+    * daily-crawl contract (the corpus cannot retract already-published
+    * keepers, so corpus precedence replaces the batch union's global
+    * min-id rule — they differ only when a delta id undercuts an
+    * indexed doc's id, impossible under monotonically assigned ids).
+    *
+    * Scale shape: delta fingerprints anti-join the `_fp`-bucketed table
+    * with zero corpus-side Exchange (plan-asserted); the within-delta
+    * keep-min is one hash-aggregate + self-join on the fingerprint —
+    * no window over the corpus, nothing driver-side.
+    */
+  def exactDedupIncremental(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: ExactDedupIndex
+  ): DataFrame = {
+    val spark = delta.sparkSession
+    val fp =
+      if (idx.hash64) xxhash64(col(textCol))
+      else TextFunctions.fingerprintMd5(col(textCol))
+    val unseen = delta
+      .withColumn("_fp", fp)
+      .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
+    val keepers = unseen
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    unseen.drop("_fp").join(keepers, Seq(idCol), "left_semi")
+  }
+
   // ---------------------------------------------------------- MinHash LSH
 
   /** MinHash signature: k-shingles → per-seed min hash, computed by the

@@ -825,6 +825,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) === "only\nunique\nlines")
   }
 
+  test("incremental exact dedup: corpus precedence, within-delta keep-min, appends fold in") {
+    val corpus = Seq(
+      Doc(1, "seen before"),
+      Doc(2, "also seen")
+    ).toDS.toDF
+    val idx = Dedup.writeExactDedupIndex(corpus, "text", "exinc_gate")
+    try {
+      val delta = Seq(
+        Doc(10, "seen before"),  // dropped: corpus precedence
+        Doc(11, "new text"),     // kept (min of its delta group)
+        Doc(12, "new text"),     // dropped: within-delta keep-min
+        Doc(13, "unique fresh")  // kept
+      ).toDS.toDF
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = ids(Dedup.exactDedupIncremental(delta, "text", "doc_id", idx))
+      assert(got === Set(11L, 13L))
+      // parity with batch exactDedup on the union, restricted to delta
+      // ids (ids are monotone: corpus < delta, so first-seen == min-id)
+      val batch = ids(Dedup.exactDedup(corpus.unionByName(delta), "text", "doc_id"))
+        .filter(_ >= 10L)
+      assert(got === batch)
+      // append: the next delta sees delta1's fingerprints
+      Dedup.appendToExactDedupIndex(delta, "text", idx)
+      val delta2 = Seq(Doc(20, "new text"), Doc(21, "never seen")).toDS.toDF
+      assert(ids(Dedup.exactDedupIncremental(delta2, "text", "doc_id", idx)) === Set(21L))
+    } finally spark.sql("DROP TABLE IF EXISTS exinc_gate_exactfps")
+  }
+
+  test("incremental exact dedup reads the index with no corpus-side Exchange") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    // echo corpus texts under new ids so drops are guaranteed
+    val delta = docs.filter($"doc_id" % 3 === 0)
+      .unionByName(corpus.limit(50).select(($"doc_id" + 600000L).as("doc_id"),
+        $"text", $"lang", $"source", $"n_chars"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val idx = Dedup.writeExactDedupIndex(corpus, "text", "exinc_plan", buckets = 8)
+      val out = Dedup.exactDedupIncremental(delta, "text", "doc_id", idx)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"index scan did not use the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the bucketed read:\n${plan.take(3000)}")
+      val n = out.count()
+      val nDelta = delta.count()
+      assert(n > 0 && n === nDelta - 50, "exactly the 50 echoed docs must drop")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS exinc_plan_exactfps")
+    }
+  }
+
   test("incremental line cleaning against a persisted catalogue == batch on union (gate)") {
     val corpus = Seq(
       Doc(1, "banner\nalpha\nfooter"),
