@@ -20,8 +20,11 @@ object Bench {
     * over 5000 docs) — timing them grades the deliberate oracle, not
     * the engine. Their scalable production forms ARE timed
     * (d02/d03/d07/d14 pair generation, d16/d17 passage composition).
-    * 85 of 91 registry queries run per round; per-query budgets keep
-    * one slow query from sinking the rest. d08/d09/d13/d18 time index
+    * Every OTHER registry query runs per round (the exact counts live
+    * in the bench JSON line, which is the artifact to audit — this
+    * comment deliberately states no totals to go stale); per-query
+    * budgets keep one slow query from sinking the rest. The incremental
+    * index queries time index
     * build + incremental probe together (the registry forms are
     * self-contained); the amortized production path builds once.
     */

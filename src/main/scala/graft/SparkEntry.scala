@@ -82,7 +82,10 @@ object SparkEntry {
   private def valuesSql(rows: Seq[(Long, String)]): String =
     rows
       .map { case (id, text) =>
-        val lit = text.split("\n", -1).map(l => s"'$l'").mkString(" || chr(10) || ")
+        val lit = text
+          .split("\n", -1)
+          .map(l => s"'${l.replace("'", "''")}'") // SQL-escape quotes — planted prose may contain apostrophes
+          .mkString(" || chr(10) || ")
         s"($id, $lit)"
       }
       .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
@@ -1019,16 +1022,19 @@ object SparkEntry {
       },
       Some {
         val tf = functions.TextFunctions
-        val planted = urlPlantedDocs
-          .map { case (id, t) => s"($id, '$t')" }
-          .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text)")
+        // the same sentinel chain as TextFunctions.normalizeUrl, built
+        // from the shared pattern constants (no backreferences — Spark
+        // $1 vs DuckDB \1 would fork the literals)
         val norm =
-          "regexp_replace(regexp_replace(regexp_replace(url, '#.*', '', 'g'), '" +
-            tf.urlTrackingParam + "=[^&]*&', '', 'g'), '[?&]" +
-            tf.urlTrackingParam + "=[^&]*$', '', 'g')"
+          "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+            "regexp_replace(url, '#.*', '', 'g'), " +
+            "'\\?', '?&', 'g'), " +
+            s"'&(?:${tf.urlTrackingParam})=[^&]*', '', 'g'), " +
+            "'\\?&', '?', 'g'), " +
+            "'\\?$', '', 'g')"
         s"""WITH all_docs AS (
            |  SELECT doc_id, text FROM documents
-           |  UNION ALL $planted),
+           |  UNION ALL ${valuesSql(urlPlantedDocs)}),
            |u AS (SELECT doc_id,
            |             unnest(regexp_extract_all(text, '${tf.urlPattern}')) AS url
            |      FROM all_docs)

@@ -117,7 +117,7 @@ object TextFunctions {
     * DuckDB oracle SQL (t13 generates the SQL from these constants).
     */
   val urlPattern: String =
-    "(?i)\\bhttps?://[^ \\t\\n<>\\x22\\x27\\)\\]]+" // \x22 \x27 = " ' (keeps the literal SQL-embeddable)
+    "(?i)\\bhttps?://[^ \\t\\n\\r<>\\x22\\x27\\)\\]]+" // \x22 \x27 = " ' (keeps the literal SQL-embeddable); \r too or CRLF corpora embed it
 
   /** scheme://[userinfo@]HOST[:port] — group 1 is the host. */
   val urlHostPattern: String =
@@ -148,16 +148,24 @@ object TextFunctions {
     * involved.
     */
   def normalizeUrl(url: Column): Column = {
+    // sentinel chain, no backreferences (Spark uses $1 where DuckDB
+    // uses \1 — a backref would break the shared-literal oracle):
+    // rewrite '?' to '?&' so EVERY param is &-anchored, strip anchored
+    // tracking params, undo the sentinel, drop an emptied-out query.
+    // A literal '?' inside the query string also gets the sentinel
+    // treatment — rare, and consistently applied on both engines and
+    // both sides of any dedup comparison, which is what a key needs.
+    // An unanchored strip corrupts params whose NAME merely contains a
+    // tracking name (?xutm_a=1&b=2 → ?xb=2) — the anchor is load-bearing.
     val noFragment = regexp_replace(url, "#.*", "")
-    // a tracked param followed by & (its & consumed), then a trailing
-    // one with its leading separator — together they cover any position
-    val noMidTracking =
-      regexp_replace(noFragment, urlTrackingParam + "=[^&]*&", "")
-    val noTracking =
-      regexp_replace(noMidTracking, "[?&]" + urlTrackingParam + "=[^&]*$", "")
+    val sentinel = regexp_replace(noFragment, "\\?", "?&")
+    val stripped =
+      regexp_replace(sentinel, "&(?:" + urlTrackingParam + ")=[^&]*", "")
+    val unsentinel = regexp_replace(stripped, "\\?&", "?")
+    val noEmptyQuery = regexp_replace(unsentinel, "\\?$", "")
     concat(
-      lower(regexp_extract(noTracking, urlSchemeHostPattern, 0)),
-      regexp_replace(noTracking, urlSchemeHostPattern, "")
+      lower(regexp_extract(noEmptyQuery, urlSchemeHostPattern, 0)),
+      regexp_replace(noEmptyQuery, urlSchemeHostPattern, "")
     )
   }
 

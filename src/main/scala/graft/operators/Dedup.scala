@@ -919,7 +919,7 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 10,
+      maxHamming: Int = 20, // the 64-bit h=10 policy on the doubled scale — matches every other 128-bit entry point
       maxBucket: Int = 10000
   ): DataFrame = {
     require(

@@ -25,6 +25,7 @@ final class JsonTestReporter extends Reporter {
   private var canceled = 0
   private var ignored = 0
   private val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val aborted = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -53,13 +54,41 @@ final class JsonTestReporter extends Reporter {
     case e: TestFailed    => failed += s"${e.suiteName}: ${e.testName}"
     case e: TestCanceled  => canceled += 1
     case e: TestIgnored   => ignored += 1
-    case _: RunCompleted | _: RunAborted | _: RunStopped =>
-      val total = succeeded + failed.size + canceled
-      val json =
-        s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "total": $total, "green": ${failed.isEmpty}, "failed_names": [${failed.map(jsonStr).mkString(", ")}]}"""
-      val out = new PrintWriter(roundedOutPath())
-      try out.println(json)
-      finally out.close()
+    // a suite whose constructor/beforeAll throws runs ZERO tests and
+    // emits only SuiteAborted — without this, a crashed suite would
+    // write green: true (the exact silent-red-ship this artifact exists
+    // to prevent)
+    case e: SuiteAborted => aborted += e.suiteName
+    case e: RunAborted => // no RunCompleted follows an aborted run — write here
+      aborted += "RUN ABORTED"
+      writeArtifact()
+    case _: RunCompleted | _: RunStopped =>
+      writeArtifact()
     case _ => ()
+  }
+
+  private def writeArtifact(): Unit = {
+    val total = succeeded + failed.size + canceled
+    val green = failed.isEmpty && aborted.isEmpty
+    val path = roundedOutPath()
+    // a partial run (testOnly of one suite) must never overwrite a
+    // FULLER artifact with a smaller-but-green one: keep the existing
+    // file when it records strictly more tests, UNLESS this run is red
+    // (a red result is always worth surfacing)
+    val existingTotal =
+      try {
+        val txt = scala.io.Source.fromFile(path).mkString
+        raw""""total":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } catch { case _: Throwable => None }
+    if (green && existingTotal.exists(_ > total)) {
+      System.err.println(
+        s"[JsonTestReporter] partial run ($total tests) — keeping fuller $path (${existingTotal.get} tests)")
+      return
+    }
+    val json =
+      s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "aborted_suites": ${aborted.size}, "total": $total, "green": $green, "failed_names": [${(failed ++ aborted.map("ABORTED: " + _)).map(jsonStr).mkString(", ")}]}"""
+    val out = new PrintWriter(path)
+    try out.println(json)
+    finally out.close()
   }
 }

@@ -1507,6 +1507,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(norm("https://m.n/o?fbclid=z") === "https://m.n/o")
     assert(norm("HTTPS://User@Host.Net:8080/KeepCase?Q=V") ===
       "https://user@host.net:8080/KeepCase?Q=V")
+    // anchoring regressions: a param NAME that merely contains a
+    // tracking name must survive intact (the unanchored first cut
+    // produced ?xb=2 and ?myk=1 here)
+    assert(norm("https://e.com/?xutm_a=1&b=2") === "https://e.com/?xutm_a=1&b=2")
+    assert(norm("https://e.com/?myfbclid=3&k=1") === "https://e.com/?myfbclid=3&k=1")
+    // emptied-out query drops its '?'
+    assert(norm("https://e.com/p?utm_only=1") === "https://e.com/p")
+    // CRLF text must not embed \r into the extracted URL
+    val crlf = Seq(Doc(30, "see https://a.b/c\r\nmore")).toDS.toDF
+      .select(explode(tf.extractUrls($"text")).as("u")).head().getString(0)
+    assert(crlf === "https://a.b/c")
   }
 
   test("NULL inputs: sampling, chunking, repetition, clustering stay well-defined") {
