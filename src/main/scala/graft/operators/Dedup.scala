@@ -504,6 +504,63 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Compact a bucketed index table after many appends. Every
+    * `appendTo*Index` adds a fresh file set per bucket, so a year of
+    * daily deltas leaves ~365 small files per bucket — correct but
+    * increasingly scan-heavy. This rewrites the table through
+    * `transform` (identity for membership tables; an aggregating merge
+    * for count tables) into a TEMP table with the same bucket layout,
+    * then swaps it in via catalog rename — the table is never read and
+    * overwritten in place (Spark cannot overwrite a table from a plan
+    * that reads it), nothing is materialized driver- or block-side, and
+    * the data streams through one bucketed write. Probes are
+    * result-identical before and after (gated).
+    */
+  def compactBucketedIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int,
+      keys: Seq[String],
+      transform: DataFrame => DataFrame = identity
+  ): Unit = {
+    val tmp = table + "_compact_tmp"
+    writeBucketedTable(
+      transform(spark.table(table)),
+      tmp,
+      buckets,
+      keys,
+      org.apache.spark.sql.SaveMode.Overwrite
+    )
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Compact an exact-dedup index: appends may re-add fingerprints a
+    * later delta already contributed, so compaction also dedups rows.
+    */
+  def compactExactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: ExactDedupIndex
+  ): Unit =
+    compactBucketedIndexTable(
+      spark, idx.fpTable, idx.buckets, Seq("_fp"), _.distinct())
+
+  /** Compact a SimHash index (membership rows are already unique per
+    * doc — this is a pure small-file merge).
+    */
+  def compactSimHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: SimHashIndex
+  ): Unit =
+    compactBucketedIndexTable(spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"))
+
+  /** Compact a 128-bit SimHash index (pure small-file merge). */
+  def compactSimHash128Index(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: SimHash128Index
+  ): Unit =
+    compactBucketedIndexTable(spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"))
+
   private def writeIndexTables(
       df: DataFrame,
       textCol: String,

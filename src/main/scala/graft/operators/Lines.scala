@@ -235,4 +235,22 @@ object Lines {
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /** Compact the line catalogue after many appends: merge the
+    * per-append count rows into one row per fingerprint (probes sum at
+    * read time either way — compaction keeps the sum but shrinks the
+    * table back to one row and one file set per bucket). See
+    * [[Dedup.compactBucketedIndexTable]] for the swap mechanics.
+    */
+  def compactLineIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: LineIndex
+  ): Unit =
+    Dedup.compactBucketedIndexTable(
+      spark,
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      _.groupBy(col("_fp")).agg(sum(col("_ndocs")).as("_ndocs"))
+    )
 }

@@ -921,6 +921,53 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS linc_app_linefps")
   }
 
+  test("index compaction: merged rows, fewer files, identical probes, bucket layout kept") {
+    val corpus = Seq(Doc(1, "common line\none"), Doc(2, "common line\ntwo")).toDS.toDF
+    val idx = Lines.writeLineIndex(corpus, "text", "doc_id", "cmp_line", buckets = 4)
+    try {
+      // two appends re-contribute the same hot line → 3 rows for its fp
+      Lines.appendToLineIndex(Seq(Doc(10, "common line\nten")).toDS.toDF, "text", "doc_id", idx)
+      Lines.appendToLineIndex(Seq(Doc(11, "common line\neleven")).toDS.toDF, "text", "doc_id", idx)
+      def tableDir = new java.io.File(
+        spark.sql(s"DESCRIBE TABLE EXTENDED ${idx.fpTable}")
+          .filter($"col_name" === "Location").head().getString(1).stripPrefix("file:"))
+      def nFiles = tableDir.listFiles().count(_.getName.startsWith("part-"))
+      def probe() =
+        Lines.dropDuplicatedLinesIncremental(
+          Seq(Doc(20, "common line\nfresh content")).toDS.toDF, "text", "doc_id", idx)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val rowsBefore = spark.table(idx.fpTable).count()
+      val filesBefore = nFiles
+      val before = probe()
+      assert(before(20L) === "fresh content")
+      Lines.compactLineIndex(spark, idx)
+      assert(probe() === before, "compaction changed probe results")
+      assert(spark.table(idx.fpTable).count() < rowsBefore, "count rows did not merge")
+      assert(nFiles < filesBefore, s"file count did not shrink ($filesBefore -> $nFiles)")
+      // the swapped-in table must still serve the zero-Exchange probe
+      val plan = Lines.dropDuplicatedLinesIncremental(
+        Seq(Doc(21, "common line\nx")).toDS.toDF, "text", "doc_id", idx)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true") && !plan.contains("Bucketed: false"),
+        s"compacted table lost its bucket layout:\n${plan.take(2000)}")
+    } finally spark.sql("DROP TABLE IF EXISTS cmp_line_linefps")
+
+    // exact index: appends re-adding seen fingerprints dedup away
+    val exIdx = Dedup.writeExactDedupIndex(
+      Seq(Doc(1, "alpha"), Doc(2, "beta")).toDS.toDF, "text", "cmp_exact", buckets = 4)
+    try {
+      Dedup.appendToExactDedupIndex(Seq(Doc(10, "alpha"), Doc(11, "gamma")).toDS.toDF, "text", exIdx)
+      assert(spark.table(exIdx.fpTable).count() === 4L) // alpha twice
+      Dedup.compactExactDedupIndex(spark, exIdx)
+      assert(spark.table(exIdx.fpTable).count() === 3L)
+      val kept = Dedup.exactDedupIncremental(
+        Seq(Doc(20, "alpha"), Doc(21, "gamma"), Doc(22, "delta")).toDS.toDF,
+        "text", "doc_id", exIdx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(22L))
+    } finally spark.sql("DROP TABLE IF EXISTS cmp_exact_exactfps")
+  }
+
   test("incremental line cleaning reads the catalogue with no corpus-side Exchange") {
     val base = Tables.documents(spark, SparkTestSession.sfDir).select($"doc_id", $"text")
     val corpus = base.filter($"doc_id" % 3 =!= 0)
