@@ -110,14 +110,42 @@ object Dedup {
       textCol: String,
       idCol: String,
       idx: ExactDedupIndex
+  ): DataFrame =
+    exactDedupIncrementalImpl(delta, textCol, idCol, idx, materialize = true)
+
+  /** The un-checkpointed plan behind [[exactDedupIncremental]] —
+    * exposed for plan-shape tests (the public form materializes the
+    * shared `unseen` frame, which hides the anti-join from
+    * `executedPlan`). The lazy form executes the anti-join TWICE; never
+    * use it outside tests.
+    */
+  private[graft] def exactDedupIncrementalLazy(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: ExactDedupIndex
+  ): DataFrame =
+    exactDedupIncrementalImpl(delta, textCol, idCol, idx, materialize = false)
+
+  private def exactDedupIncrementalImpl(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: ExactDedupIndex,
+      materialize: Boolean
   ): DataFrame = {
     val spark = delta.sparkSession
     val fp =
       if (idx.hash64) xxhash64(col(textCol))
       else TextFunctions.fingerprintMd5(col(textCol))
-    val unseen = delta
+    // `unseen` feeds BOTH the keeper aggregate and the final semi-join;
+    // checkpoint it once or the anti-join against the bucketed index
+    // (the probe's expensive stage) executes twice. Callers release via
+    // CacheUtil.release on the result (Bench and the specs do).
+    val unseenLazy = delta
       .withColumn("_fp", fp)
       .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
+    val unseen = if (materialize) unseenLazy.localCheckpoint(true) else unseenLazy
     val keepers = unseen
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol))
@@ -524,6 +552,17 @@ object Dedup {
       transform: DataFrame => DataFrame = identity
   ): Unit = {
     val tmp = table + "_compact_tmp"
+    val old = table + "_compact_old"
+    // idempotent retry: clear leftovers from a previously failed attempt
+    // (keep `old` only as long as the canonical name still exists — if a
+    // prior crash left ONLY `old`, restore it instead of dropping it)
+    if (spark.catalog.tableExists(table)) {
+      spark.sql(s"DROP TABLE IF EXISTS $old")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    } else if (spark.catalog.tableExists(old)) {
+      spark.sql(s"ALTER TABLE $old RENAME TO $table")
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    }
     writeBucketedTable(
       transform(spark.table(table)),
       tmp,
@@ -531,8 +570,14 @@ object Dedup {
       keys,
       org.apache.spark.sql.SaveMode.Overwrite
     )
-    spark.sql(s"DROP TABLE $table")
+    // swap via rename-aside, not DROP-then-RENAME: the session catalog
+    // has no atomic swap, but this ordering leaves the data recoverable
+    // at every crash point (worst case the canonical name is absent for
+    // ONE metadata op, with both `old` and `tmp` intact and the retry
+    // branch above restoring automatically)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
   }
 
   /** Compact an exact-dedup index: appends may re-add fingerprints a

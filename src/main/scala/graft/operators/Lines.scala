@@ -139,8 +139,8 @@ object Lines {
       hash64: Boolean
   ): DataFrame =
     lineFps(df, textCol, idCol, hash64)
-      .groupBy(col(idCol), col("_fp"))
-      .agg(count(lit(1)).as("_occ"))
+      .select(col(idCol), col("_fp"))
+      .distinct()
       .groupBy(col("_fp"))
       .agg(count(lit(1)).as("_ndocs"))
 

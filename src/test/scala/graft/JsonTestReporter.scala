@@ -72,15 +72,20 @@ final class JsonTestReporter extends Reporter {
     val green = failed.isEmpty && aborted.isEmpty
     val path = roundedOutPath()
     // a partial run (testOnly of one suite) must never overwrite a
-    // FULLER artifact with a smaller-but-green one: keep the existing
-    // file when it records strictly more tests, UNLESS this run is red
-    // (a red result is always worth surfacing)
+    // FULLER artifact with a smaller-but-green one — but a FULL run of
+    // a suite that legitimately shrank (deleted tests) must still
+    // refresh it. Heuristic: below half the recorded total it's a
+    // partial run; at or above half it's a full run of a smaller
+    // suite. Red results always write (always worth surfacing).
     val existingTotal =
       try {
-        val txt = scala.io.Source.fromFile(path).mkString
+        val src = scala.io.Source.fromFile(path)
+        val txt =
+          try src.mkString
+          finally src.close()
         raw""""total":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
       } catch { case _: Throwable => None }
-    if (green && existingTotal.exists(_ > total)) {
+    if (green && existingTotal.exists(prev => total < (prev + 1) / 2)) {
       System.err.println(
         s"[JsonTestReporter] partial run ($total tests) — keeping fuller $path (${existingTotal.get} tests)")
       return

@@ -838,8 +838,11 @@ class OperatorsSpec extends AnyFunSuite {
         Doc(12, "new text"),     // dropped: within-delta keep-min
         Doc(13, "unique fresh")  // kept
       ).toDS.toDF
-      def ids(df: org.apache.spark.sql.DataFrame) =
-        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      def ids(df: org.apache.spark.sql.DataFrame) = {
+        val out = df.select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.CacheUtil.release(df)
+        out
+      }
       val got = ids(Dedup.exactDedupIncremental(delta, "text", "doc_id", idx))
       assert(got === Set(11L, 13L))
       // parity with batch exactDedup on the union, restricted to delta
@@ -865,7 +868,7 @@ class OperatorsSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val idx = Dedup.writeExactDedupIndex(corpus, "text", "exinc_plan", buckets = 8)
-      val out = Dedup.exactDedupIncremental(delta, "text", "doc_id", idx)
+      val out = Dedup.exactDedupIncrementalLazy(delta, "text", "doc_id", idx)
       val plan = out.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
@@ -874,6 +877,7 @@ class OperatorsSpec extends AnyFunSuite {
       val n = out.count()
       val nDelta = delta.count()
       assert(n > 0 && n === nDelta - 50, "exactly the 50 echoed docs must drop")
+      graft.CacheUtil.release(out)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.sql("DROP TABLE IF EXISTS exinc_plan_exactfps")
@@ -960,11 +964,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(spark.table(exIdx.fpTable).count() === 4L) // alpha twice
       Dedup.compactExactDedupIndex(spark, exIdx)
       assert(spark.table(exIdx.fpTable).count() === 3L)
-      val kept = Dedup.exactDedupIncremental(
+      val keptDf = Dedup.exactDedupIncremental(
         Seq(Doc(20, "alpha"), Doc(21, "gamma"), Doc(22, "delta")).toDS.toDF,
         "text", "doc_id", exIdx)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(kept === Set(22L))
+      assert(keptDf.select("doc_id").collect().map(_.getLong(0)).toSet === Set(22L))
+      graft.CacheUtil.release(keptDf)
     } finally spark.sql("DROP TABLE IF EXISTS cmp_exact_exactfps")
   }
 
@@ -1214,6 +1218,13 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
     assertReleasable("simHashNearDups128")(
       Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 20))
+    assertReleasable("exactDedupIncremental") {
+      val idx = Dedup.writeExactDedupIndex(
+        docs.filter($"doc_id" % 3 =!= 0), "text", "leak_exidx", buckets = 8)
+      Dedup.exactDedupIncremental(
+        docs.filter($"doc_id" % 3 === 0), "text", "doc_id", idx)
+    }
+    spark.sql("DROP TABLE IF EXISTS leak_exidx_exactfps")
     assertReleasable("simHashNearDups128Incremental") {
       val idx = Dedup.writeSimHash128Index(
         docs.filter($"doc_id" % 3 =!= 0), "text", "doc_id", "leak_s128idx",
