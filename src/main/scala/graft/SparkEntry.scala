@@ -1682,6 +1682,30 @@ object SparkEntry {
              |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
              |  FROM documents) WHERE rn <= 10""".stripMargin)
     ),
+    // per-group TOKEN budget (the unit real training mixes specify):
+    // distributed prefix sum over range-partitioned chunks == the
+    // oracle's single window exactly
+    Q(
+      "p10_cap_tokens",
+      (s, d) =>
+        operators.Sampling
+          .capTokensPerGroup(
+            documents(s, d), "text", "source", "doc_id", maxTokens = 2000L)
+          .select(
+            col("doc_id"),
+            col("source"),
+            functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tok,
+             |         md5('captok:' || CAST(doc_id AS VARCHAR)) AS k
+             |  FROM documents)
+             |SELECT doc_id, source, tok AS n_tokens FROM (
+             |  SELECT doc_id, source, tok,
+             |         sum(tok) OVER (PARTITION BY source ORDER BY k, doc_id
+             |                        ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t) WHERE cum <= 2000""".stripMargin)
+    ),
     // deterministic exact-k sample: the 100 lowest salted hashes —
     // TakeOrdered per-partition heaps, no global sort
     Q(

@@ -120,6 +120,83 @@ object Sampling {
       .drop("_sample_key")
   }
 
+  /** Deterministic per-group TOKEN budget: keep each group's documents
+    * in salted-md5 order until the group's cumulative token count would
+    * exceed `maxTokens` — the unit real training mixes are specified in
+    * ("1B tokens per source"), where [[capPerGroup]] counts documents.
+    * Strict prefix semantics: the first document that would overflow
+    * the budget is dropped and (cumulative sums being monotone) so is
+    * everything after it; no document is split — splitting is
+    * [[Packing.chunkByTokens]]'s job, applied before this if partial
+    * documents are acceptable.
+    *
+    * Scale shape — a distributed prefix sum, NOT one window per group
+    * (a hot group would serialize into a single task, and AQE cannot
+    * split window partitions): (1) range-partition by (group, key) so
+    * each partition holds a bounded contiguous chunk of each group's
+    * key order — checkpointed, because RangePartitioner samples
+    * boundaries per execution and the partition ids must be identical
+    * for both consumers; (2) per-(group, chunk) token sums — a tiny
+    * aggregate (groups × chunks rows) — turned into per-chunk group
+    * offsets by a window over that aggregate; (3) within-chunk running
+    * sums in parallel windows, plus the broadcast offset, give the
+    * exact global prefix sum (single-window parity ScalaTest-gated).
+    * Callers release the checkpoint via CacheUtil.release on the result.
+    */
+  def capTokensPerGroup(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      idCol: String,
+      maxTokens: Long,
+      salt: String = "",
+      rangeParts: Int = 0
+  ): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val n =
+      if (rangeParts > 0) rangeParts else spark.sparkContext.defaultParallelism
+    val key = md5(concat(lit("captok:"), col(idCol).cast("string"), lit(salt)))
+    val ranged = df
+      .withColumn("_ct_key", key)
+      .withColumn(
+        "_ct_toks",
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+      )
+      .repartitionByRange(n, col(groupCol), col("_ct_key"), col(idCol))
+      .withColumn("_ct_part", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged
+      .groupBy(col(groupCol), col("_ct_part"))
+      .agg(sum(col("_ct_toks")).as("_ct_psum"))
+      .withColumn(
+        "_ct_off",
+        coalesce(
+          sum(col("_ct_psum")).over(
+            Window
+              .partitionBy(col(groupCol))
+              .orderBy(col("_ct_part"))
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col(groupCol), col("_ct_part"), col("_ct_off"))
+    ranged
+      .withColumn(
+        "_ct_run",
+        sum(col("_ct_toks")).over(
+          Window
+            .partitionBy(col(groupCol), col("_ct_part"))
+            .orderBy(col("_ct_key"), col(idCol))
+        )
+      )
+      .join(broadcast(offsets), Seq(groupCol, "_ct_part"))
+      .filter(col("_ct_off") + col("_ct_run") <= maxTokens)
+      .drop("_ct_key", "_ct_toks", "_ct_part", "_ct_run", "_ct_off")
+  }
+
   /** Deterministic per-group cap: keep at most `maxN` rows per group —
     * the C4/RefinedWeb "no more than N documents per host/domain" rule —
     * chosen by salted-md5 order (its own `"cap:"` domain, id tiebreak),

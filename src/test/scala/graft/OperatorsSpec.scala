@@ -1136,6 +1136,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.count() === 3)
   }
 
+  test("capTokensPerGroup == single-window prefix sum; strict prefix; layout-independent") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val reference = docs
+      .withColumn("_k", md5(concat(lit("captok:"), $"doc_id".cast("string"))))
+      .withColumn("_t", functions.TextFunctions.tokenCount($"text").cast("long"))
+      .withColumn("_cum", sum($"_t").over(
+        Window.partitionBy($"source").orderBy($"_k", $"doc_id")))
+      .filter($"_cum" <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reference.nonEmpty, "budget keeps nothing — gate is vacuous")
+    def capped(df: org.apache.spark.sql.DataFrame, parts: Int) = {
+      val out = Sampling.capTokensPerGroup(df, "text", "source", "doc_id", budget, rangeParts = parts)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(out)
+      ids
+    }
+    // distributed prefix sum == the single window, at any chunking
+    assert(capped(docs, 8) === reference)
+    assert(capped(docs.repartition(7), 3) === reference)
+    // strict prefix on a crafted group: 30+40 fit a 75-token budget,
+    // the 10-token doc AFTER the overflowing 50-token doc must NOT
+    // backfill (ordering pinned by the captok: md5 of these exact ids)
+    val crafted = Seq(
+      (1L, "g", ("w " * 30).trim), (2L, "g", ("w " * 40).trim),
+      (3L, "g", ("w " * 50).trim), (4L, "g", ("w " * 10).trim)
+    ).toDF("doc_id", "source", "text")
+    val keyOrder = crafted
+      .withColumn("_k", md5(concat(lit("captok:"), $"doc_id".cast("string"))))
+      .orderBy($"_k").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val kept = capped(crafted, 2)
+    // compute expected prefix under that order with budget 75
+    val toks = Map(1L -> 30L, 2L -> 40L, 3L -> 50L, 4L -> 10L)
+    val expected = keyOrder
+      .scanLeft((0L, None: Option[Long])) { case ((cum, _), id) => (cum + toks(id), Some(id)) }
+      .collect { case (cum, Some(id)) if cum <= 75L => id }.toSet
+    val kept75 = {
+      val out = Sampling.capTokensPerGroup(crafted, "text", "source", "doc_id", 75L, rangeParts = 2)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(out)
+      ids
+    }
+    assert(kept75 === expected)
+    assert(kept.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("gopher rules: planted docs flip each rule independently") {
     // base: 60 clean stopword-bearing words → passes; each planted doc
     // fails, driven by the indicated rule (short/symbol-heavy docs also
@@ -1218,6 +1265,8 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.simHashNearDupsCombination(docs, "text", "doc_id", maxHamming = 3, blocks = 6))
     assertReleasable("simHashNearDups128")(
       Dedup.simHashNearDups128(docs, "text", "doc_id", maxHamming = 20))
+    assertReleasable("capTokensPerGroup")(
+      Sampling.capTokensPerGroup(docs, "text", "source", "doc_id", maxTokens = 2000L))
     assertReleasable("exactDedupIncremental") {
       val idx = Dedup.writeExactDedupIndex(
         docs.filter($"doc_id" % 3 =!= 0), "text", "leak_exidx", buckets = 8)
