@@ -182,7 +182,7 @@ object Sampling {
           lit(0L)
         )
       )
-      .select(col(groupCol), col("_ct_part"), col("_ct_off"))
+      .select(col(groupCol).as("_ct_g"), col("_ct_part").as("_ct_p"), col("_ct_off"))
     ranged
       .withColumn(
         "_ct_run",
@@ -192,9 +192,15 @@ object Sampling {
             .orderBy(col("_ct_key"), col(idCol))
         )
       )
-      .join(broadcast(offsets), Seq(groupCol, "_ct_part"))
+      // null-SAFE group match: a plain equi-join would silently drop
+      // every NULL-group row (the window semantics, and capPerGroup,
+      // keep the NULL group as a group like any other)
+      .join(
+        broadcast(offsets),
+        col(groupCol) <=> col("_ct_g") && col("_ct_part") === col("_ct_p")
+      )
       .filter(col("_ct_off") + col("_ct_run") <= maxTokens)
-      .drop("_ct_key", "_ct_toks", "_ct_part", "_ct_run", "_ct_off")
+      .drop("_ct_key", "_ct_toks", "_ct_part", "_ct_run", "_ct_off", "_ct_g", "_ct_p")
   }
 
   /** Deterministic per-group cap: keep at most `maxN` rows per group —

@@ -71,12 +71,14 @@ final class JsonTestReporter extends Reporter {
     val total = succeeded + failed.size + canceled
     val green = failed.isEmpty && aborted.isEmpty
     val path = roundedOutPath()
-    // a partial run (testOnly of one suite) must never overwrite a
-    // FULLER artifact with a smaller-but-green one — but a FULL run of
-    // a suite that legitimately shrank (deleted tests) must still
-    // refresh it. Heuristic: below half the recorded total it's a
-    // partial run; at or above half it's a full run of a smaller
-    // suite. Red results always write (always worth surfacing).
+    // a GREEN run must never shrink the artifact: a partial testOnly
+    // run covering most-but-not-all suites would otherwise overwrite
+    // the full record and assert green for tests it never ran — the
+    // exact silent-red-ship this artifact exists to prevent. The cost:
+    // after deleting tests, the stale larger total persists until the
+    // file is removed or the round (and filename) advances — a visible
+    // staleness, traded against an invisible green lie. Red results
+    // always write.
     val existingTotal =
       try {
         val src = scala.io.Source.fromFile(path)
@@ -85,7 +87,7 @@ final class JsonTestReporter extends Reporter {
           finally src.close()
         raw""""total":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
       } catch { case _: Throwable => None }
-    if (green && existingTotal.exists(prev => total < (prev + 1) / 2)) {
+    if (green && existingTotal.exists(_ > total)) {
       System.err.println(
         s"[JsonTestReporter] partial run ($total tests) — keeping fuller $path (${existingTotal.get} tests)")
       return

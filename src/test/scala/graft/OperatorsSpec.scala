@@ -1157,30 +1157,40 @@ class OperatorsSpec extends AnyFunSuite {
     // distributed prefix sum == the single window, at any chunking
     assert(capped(docs, 8) === reference)
     assert(capped(docs.repartition(7), 3) === reference)
-    // strict prefix on a crafted group: 30+40 fit a 75-token budget,
-    // the 10-token doc AFTER the overflowing 50-token doc must NOT
-    // backfill (ordering pinned by the captok: md5 of these exact ids)
+    // strict prefix on a crafted group. md5 captok: order of these ids
+    // is 3 < 4 < 1 < 2 (verified: e134… < effd… < f3a1… < fc15…); with
+    // tokens 3→50, 4→10, 1→30, 2→10 and budget 75 the prefix runs
+    // 50, 60, then doc 1 overflows (90) — STRICT semantics stop there,
+    // while a backfilling implementation would still admit doc 2
+    // (60 + 10 = 70 ≤ 75). The distinguishing assertion is {3, 4}.
     val crafted = Seq(
-      (1L, "g", ("w " * 30).trim), (2L, "g", ("w " * 40).trim),
+      (1L, "g", ("w " * 30).trim), (2L, "g", ("w " * 10).trim),
       (3L, "g", ("w " * 50).trim), (4L, "g", ("w " * 10).trim)
     ).toDF("doc_id", "source", "text")
     val keyOrder = crafted
       .withColumn("_k", md5(concat(lit("captok:"), $"doc_id".cast("string"))))
       .orderBy($"_k").select("doc_id").collect().map(_.getLong(0)).toSeq
-    val kept = capped(crafted, 2)
-    // compute expected prefix under that order with budget 75
-    val toks = Map(1L -> 30L, 2L -> 40L, 3L -> 50L, 4L -> 10L)
-    val expected = keyOrder
-      .scanLeft((0L, None: Option[Long])) { case ((cum, _), id) => (cum + toks(id), Some(id)) }
-      .collect { case (cum, Some(id)) if cum <= 75L => id }.toSet
+    assert(keyOrder === Seq(3L, 4L, 1L, 2L), "crafted order assumption broke")
     val kept75 = {
       val out = Sampling.capTokensPerGroup(crafted, "text", "source", "doc_id", 75L, rangeParts = 2)
       val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
       graft.CacheUtil.release(out)
       ids
     }
-    assert(kept75 === expected)
-    assert(kept.subsetOf(Set(1L, 2L, 3L, 4L)))
+    assert(kept75 === Set(3L, 4L), "backfill detected — strict prefix violated")
+    // NULL group: kept as a group of its own, not silently dropped by
+    // the offsets join (null-safe <=> match)
+    val withNull = Seq(
+      (1L, Some("g"), ("w " * 10).trim), (2L, None, ("w " * 10).trim),
+      (3L, None, ("w " * 10).trim)
+    ).toDF("doc_id", "source", "text")
+    val keptNull = {
+      val out = Sampling.capTokensPerGroup(withNull, "text", "source", "doc_id", 1000L, rangeParts = 2)
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(out)
+      ids
+    }
+    assert(keptNull === Set(1L, 2L, 3L), "NULL-group rows were dropped")
   }
 
   test("gopher rules: planted docs flip each rule independently") {
