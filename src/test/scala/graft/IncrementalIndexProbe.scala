@@ -51,6 +51,18 @@ object IncrementalIndexProbe {
       println(f"[incprobe] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
       CacheUtil.release(df)
     }
+    // For legs whose result is LAZY over the probe's fixture checkpoints
+    // (all/allL): CacheUtil.release walks the analyzed plan to every
+    // LogicalRDD, so releasing such a result would free the FIXTURE's
+    // blocks and crash every later leg with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (bit the round-8 probe when new
+    // legs were appended after passage-batch). Their bounded internal
+    // checkpoints are left to die with the probe JVM instead.
+    def timedKeep(name: String)(make: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = make.count()
+      println(f"[incprobe] $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     def timedUnit(name: String)(run: => Unit): Unit = {
       val t0 = System.nanoTime()
       run
@@ -121,7 +133,7 @@ object IncrementalIndexProbe {
     // EliminateOuterJoin drop the whole dup computation (the right side
     // is key-unique and unreferenced) and the leg measures nothing.
     import operators.Passages
-    timed("passage-batch")(
+    timedKeep("passage-batch")(
       Passages.passageDupFraction(all, "text", "doc_id", windowTokens = 8, hash64 = true)
         .filter(col("n_dup_windows") >= 0))
     var pIdx: Passages.PassageIndex = null
@@ -131,6 +143,53 @@ object IncrementalIndexProbe {
     timed("passage-incremental")(
       Passages.passageDupFractionIncremental(delta, "text", "doc_id", pIdx))
 
+    // exact-dedup twin: the cheapest batch op, so the ratio shows the
+    // FLOOR of what an index buys (anti-join vs full-union hash-agg)
+    timedKeep("exact-batch")(Dedup.exactDedup(all, "text", "doc_id"))
+    var eIdx: Dedup.ExactDedupIndex = null
+    timedUnit("exact-index-build") {
+      eIdx = Dedup.writeExactDedupIndex(corpus, "text", "incprobe_e")
+    }
+    timed("exact-incremental")(
+      Dedup.exactDedupIncremental(delta, "text", "doc_id", eIdx))
+
+    // line-catalogue twin (replica docs are single-line near-dups, so
+    // no line recurs verbatim — plant a shared boilerplate line per doc
+    // by prefixing one)
+    import operators.Lines
+    val allL = all.select(
+      col("doc_id"),
+      concat(lit("boilerplate header line\n"), col("text")).as("text")
+    ).localCheckpoint(true)
+    val corpusL = allL.filter(col("doc_id") % 32 =!= 0).localCheckpoint(true)
+    val deltaL = allL.filter(col("doc_id") % 32 === 0).localCheckpoint(true)
+    // the filter references the joined text column — without it count()
+    // lets EliminateOuterJoin drop the whole dup computation (same
+    // pitfall as passage-batch above; 0.14 s read as "measured" once)
+    timedKeep("lines-batch")(
+      Lines.dropDuplicatedLines(allL, "text", "doc_id")
+        .filter(length(col("text")) >= 0))
+    var liIdx: Lines.LineIndex = null
+    timedUnit("lines-index-build") {
+      liIdx = Lines.writeLineIndex(corpusL, "text", "doc_id", "incprobe_li")
+    }
+    timed("lines-incremental")(
+      Lines.dropDuplicatedLinesIncremental(deltaL, "text", "doc_id", liIdx)
+        .filter(length(col("text")) >= 0))
+
+    // 128-bit wide-radius simhash twin
+    timed("simhash128-batch")(
+      Dedup.simHashNearDups128(all, "text", "doc_id", maxHamming = 20, maxBucket = 8192))
+    var s128Idx: Dedup.SimHash128Index = null
+    timedUnit("simhash128-index-build") {
+      s128Idx = Dedup.writeSimHash128Index(corpus, "text", "doc_id", "incprobe_s128", maxHamming = 20)
+    }
+    timed("simhash128-incremental")(
+      Dedup.simHashNearDups128Incremental(delta, "text", "doc_id", s128Idx))
+
+    spark.sql("DROP TABLE IF EXISTS incprobe_e_exactfps")
+    spark.sql("DROP TABLE IF EXISTS incprobe_li_linefps")
+    spark.sql("DROP TABLE IF EXISTS incprobe_s128_chunks128")
     spark.sql("DROP TABLE IF EXISTS incprobe_p_fps")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_bands")
     spark.sql("DROP TABLE IF EXISTS incprobe_m_shingles")
