@@ -1683,8 +1683,8 @@ object SparkEntry {
              |  FROM documents) WHERE rn <= 10""".stripMargin)
     ),
     // per-group TOKEN budget (the unit real training mixes specify):
-    // distributed prefix sum over range-partitioned chunks == the
-    // oracle's single window exactly
+    // distributed prefix sum over deterministic hex-prefix key chunks
+    // == the oracle's single window exactly
     Q(
       "p10_cap_tokens",
       (s, d) =>

@@ -132,16 +132,32 @@ object Sampling {
     *
     * Scale shape — a distributed prefix sum, NOT one window per group
     * (a hot group would serialize into a single task, and AQE cannot
-    * split window partitions): (1) range-partition by (group, key) so
-    * each partition holds a bounded contiguous chunk of each group's
-    * key order — checkpointed, because RangePartitioner samples
-    * boundaries per execution and the partition ids must be identical
-    * for both consumers; (2) per-(group, chunk) token sums — a tiny
-    * aggregate (groups × chunks rows) — turned into per-chunk group
-    * offsets by a window over that aggregate; (3) within-chunk running
-    * sums in parallel windows, plus the broadcast offset, give the
-    * exact global prefix sum (single-window parity ScalaTest-gated).
-    * Callers release the checkpoint via CacheUtil.release on the result.
+    * split window partitions): (1) chunk each group's key order into
+    * 256 pieces by the FIRST TWO HEX CHARS of the md5 key — a pure
+    * function of the key, so both consumers below recompute identical
+    * chunk ids with no checkpoint (the round-8 shape range-partitioned
+    * and localCheckpointed the FULL corpus, text included, because
+    * RangePartitioner samples boundaries per execution — at 100 TB
+    * that pins corpus-scale text in block storage). The hex prefix is
+    * deterministic, uniform (md5), and MONOTONE in the (key, id) sort
+    * order — string order on fixed-width lowercase hex equals numeric
+    * order of the prefix — so "sum of earlier chunks" equals "sum of
+    * earlier keys" and the algebra below is exact. A
+    * `pmod(xxhash64(key), n)` bucket would be deterministic too but
+    * NOT order-contiguous, which silently breaks the prefix sum.
+    * (2) per-(group, chunk) token sums — a tiny aggregate (groups ×
+    * 256 rows) — turned into per-chunk group offsets by a window over
+    * that aggregate; (3) within-chunk running sums in parallel windows
+    * (a hot group splits 256 ways), plus the broadcast offset, give
+    * the exact global prefix sum (single-window parity
+    * ScalaTest-gated). Nothing is cached or checkpointed;
+    * CacheUtil.release on the result is a harmless no-op kept at call
+    * sites for uniformity with the operators that do pin blocks.
+    *
+    * `rangeParts` is retained for source compatibility with the
+    * round-8 range-partitioned shape; the chunk count is now fixed at
+    * 256 and the value is ignored (the result was already independent
+    * of it by the parity contract).
     */
   def capTokensPerGroup(
       df: DataFrame,
@@ -154,9 +170,6 @@ object Sampling {
   ): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val n =
-      if (rangeParts > 0) rangeParts else spark.sparkContext.defaultParallelism
     val key = md5(concat(lit("captok:"), col(idCol).cast("string"), lit(salt)))
     val ranged = df
       .withColumn("_ct_key", key)
@@ -164,9 +177,10 @@ object Sampling {
         "_ct_toks",
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
       )
-      .repartitionByRange(n, col(groupCol), col("_ct_key"), col(idCol))
-      .withColumn("_ct_part", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn(
+        "_ct_part",
+        conv(substring(col("_ct_key"), 1, 2), 16, 10).cast("int")
+      )
     val offsets = ranged
       .groupBy(col(groupCol), col("_ct_part"))
       .agg(sum(col("_ct_toks")).as("_ct_psum"))

@@ -1157,6 +1157,16 @@ class OperatorsSpec extends AnyFunSuite {
     // distributed prefix sum == the single window, at any chunking
     assert(capped(docs, 8) === reference)
     assert(capped(docs.repartition(7), 3) === reference)
+    // the chunk id is a pure function of the md5 key — NO checkpoint may
+    // appear in the plan (the round-8 shape localCheckpointed the full
+    // corpus, text included, which a checkpoint scan would betray here
+    // as a LogicalRDD/ExistingRDD leaf)
+    val planStr = Sampling
+      .capTokensPerGroup(docs, "text", "source", "doc_id", budget)
+      .queryExecution.optimizedPlan.toString
+    assert(
+      !planStr.contains("LogicalRDD"),
+      "checkpoint scan found in capTokensPerGroup plan — chunk id must stay a pure key function")
     // strict prefix on a crafted group. md5 captok: order of these ids
     // is 3 < 4 < 1 < 2 (verified: e134… < effd… < f3a1… < fc15…); with
     // tokens 3→50, 4→10, 1→30, 2→10 and budget 75 the prefix runs
