@@ -59,8 +59,8 @@ object Bench {
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
-    "m01_binary_meta", "m02_decode_stub", "m03_frame_sample",
-    "m04_resize_stub", "m05_binaryfile_ingest"
+    "m01_binary_meta", "m02_decode_image", "m03_frame_sample",
+    "m04_resize_image", "m05_binaryfile_ingest"
   )
 
   def main(args: Array[String]): Unit = {

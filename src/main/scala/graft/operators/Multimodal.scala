@@ -22,14 +22,44 @@ final case class ResizedRow(
     resized: Array[Byte]
 )
 
+/** Real image decode output: dimensions, band count, and the sum of all
+  * raster samples (the cheapest whole-image content witness — any
+  * decode shortcut or codec corruption changes it).
+  */
+final case class DecodedImageRow(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    channels: Int,
+    pix_sum: Long
+)
+
+/** Real image resize output: input/output dimensions, the resized
+  * raster's sample sum, and the re-encoded PNG (what a pipeline would
+  * store; its byte length is codec-dependent, so only the dims and the
+  * sample sum are oracle-compared).
+  */
+final case class ResizedImageRow(
+    doc_id: Long,
+    w_in: Int,
+    h_in: Int,
+    w_out: Int,
+    h_out: Int,
+    pix_sum: Long,
+    png: Array[Byte]
+)
+
 /** Multimodal column plumbing (north-star extension): image/audio/video as
   * opaque `binary` columns with typed metadata; decode / feature-extract /
   * resize / frame-sample as batched per-partition transforms.
   *
-  * The decode step is a STUB — the real image/audio codecs are not in this
-  * container — but the Spark-side plumbing is real and tested: schema
-  * (binary + metadata), partition-local batched iteration (the shape a GPU
-  * or native decoder needs), and deterministic fake features so the
+  * IMAGE decode and resize are REAL since round 9 ([[decodeImages]] /
+  * [[resizeImages]] run the JRE's `javax.imageio` PNG codec over the
+  * payload and operate on the decoded raster). Audio/video codecs are not
+  * in this container, so for those payloads the byte-stat stubs remain:
+  * the Spark-side plumbing is real and tested — schema (binary +
+  * metadata), partition-local batched iteration (the shape a GPU or
+  * native decoder needs) — with deterministic fake features so the
   * pipeline is verifiable end-to-end.
   */
 object Multimodal {
@@ -164,7 +194,9 @@ object Multimodal {
   /** Batched decode: partition-local, batches of `batchSize` rows — the
     * iterator shape a real vectorized decoder (or Arrow/pandas bridge)
     * consumes. STUB: features are deterministic byte statistics standing
-    * in for pixel/sample features.
+    * in for pixel/sample features. DEPRECATED alias since round 9 —
+    * [[decodeImages]] runs the real JRE codec; this remains for
+    * non-image payloads (audio/video codecs are still absent).
     */
   def decodeStub(
       spark: SparkSession,
@@ -191,7 +223,9 @@ object Multimodal {
     * native/GPU call on the decoded pixels; the Spark-side shape is the
     * same partition-local batched iterator as [[decodeStub]]). Output
     * carries the original and resized sizes, so a pipeline can assert its
-    * storage win.
+    * storage win. DEPRECATED alias since round 9 — [[resizeImages]]
+    * resizes real decoded rasters; this remains for opaque non-image
+    * payloads.
     */
   def resizeStub(
       spark: SparkSession,
@@ -213,6 +247,158 @@ object Multimodal {
         i += 1
       }
       ResizedRow(m.doc_id, bytes.length, n, out)
+    }
+  }
+
+  // ---- real image decode/resize (javax.imageio — public JRE API) -----
+  //
+  // The container has no image assets, so the FIXTURE is synthesized:
+  // deterministic gray-8 PNGs whose dimensions and pixels are pure
+  // functions of doc_id. The decode and resize below are REAL — they
+  // run the actual PNG codec and operate on the decoded raster — and
+  // the fixture's determinism is what lets DuckDB verify the decoded
+  // metadata in closed form (PNG is lossless, so decoded samples equal
+  // the written ones). The round-8 byte-stat stubs remain below as
+  // deprecated aliases for the batched-iterator pipeline shape.
+
+  /** Fixture dims/pixels for [[syntheticImageMedia]]: width `8 + id%9`
+    * (8..16), height `8 + id%7` (8..14), gray sample at (x, y) =
+    * `id%200 + x + y` — maximum 199 + 15 + 13 = 227 < 256, so no
+    * modular wrap and every quantity has a closed form the oracle SQL
+    * can state directly.
+    */
+  private[graft] def imageDims(id: Long): (Int, Int, Int) = {
+    require(id >= 0, s"fixture ids must be non-negative, got $id")
+    (8 + (id % 9).toInt, 8 + (id % 7).toInt, (id % 200).toInt)
+  }
+
+  /** Render one fixture image to PNG bytes. */
+  private[graft] def renderPng(id: Long): Array[Byte] = {
+    val (w, h, base) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, base + x + y); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG media fixture: one gray-8 image per document id,
+    * encoded with the real PNG codec on the executors. Stands in for an
+    * image corpus read via [[fromBinaryFiles]] on a real cluster.
+    */
+  def syntheticImageMedia(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map(id => MediaRow(id, "image/png", renderPng(id)))
+      .toDF()
+  }
+
+  private def decodeOne(m: MediaRow): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    require(img != null, s"payload of doc ${m.doc_id} is not a decodable image")
+    img
+  }
+
+  private def sampleSum(img: java.awt.image.BufferedImage): Long = {
+    val r = img.getRaster
+    val (w, h, c) = (img.getWidth, img.getHeight, r.getNumBands)
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < c) { s += r.getSample(x, y, b); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** REAL image decode: run the JRE's codec over each binary payload and
+    * emit (width, height, channels, sum of raster samples). Same
+    * partition-local batched iterator as the stubs — the shape a
+    * vectorized/GPU decoder would slot into — but the codec call is the
+    * real one.
+    */
+  def decodeImages(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64
+  ): Dataset[DecodedImageRow] = {
+    import spark.implicits._
+    batched(spark, media, batchSize) { m =>
+      val img = decodeOne(m)
+      DecodedImageRow(
+        m.doc_id, img.getWidth, img.getHeight,
+        img.getRaster.getNumBands, sampleSum(img))
+    }
+  }
+
+  /** REAL image resize: decode, nearest-neighbor subsample the raster —
+    * `out(x, y, b) = in(factor*x, factor*y, b)`, output dims
+    * `ceil(in/factor)` — and re-encode as PNG. Nearest-neighbor is the
+    * deterministic choice (Graphics2D interpolation varies by platform
+    * and would break the oracle); the sampling rule is stated so the
+    * closed-form fixture oracle can recompute the resized sample sum
+    * exactly.
+    */
+  def resizeImages(
+      spark: SparkSession,
+      media: DataFrame,
+      factor: Int = 2,
+      batchSize: Int = 64
+  ): Dataset[ResizedImageRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    batched(spark, media, batchSize) { m =>
+      val img = decodeOne(m)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val c = img.getRaster.getNumBands
+      val wOut = (w + factor - 1) / factor
+      val hOut = (h + factor - 1) / factor
+      val out = new java.awt.image.BufferedImage(wOut, hOut, img.getType match {
+        // preserve gray/RGB family; exotic types fall back to RGB
+        case java.awt.image.BufferedImage.TYPE_BYTE_GRAY =>
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        case t if t != java.awt.image.BufferedImage.TYPE_CUSTOM => t
+        case _ => java.awt.image.BufferedImage.TYPE_INT_RGB
+      })
+      val src = img.getRaster
+      val dst = out.getRaster
+      val bands = math.min(c, dst.getNumBands)
+      var y = 0
+      while (y < hOut) {
+        var x = 0
+        while (x < wOut) {
+          var b = 0
+          while (b < bands) {
+            dst.setSample(x, y, b, src.getSample(x * factor, y * factor, b))
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      ResizedImageRow(
+        m.doc_id, w, h, wOut, hOut, sampleSum(out), bos.toByteArray)
     }
   }
 

@@ -2356,6 +2356,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(identity === Set("abcdefghij", "", "xy"))
   }
 
+  test("decodeImages: real PNG codec round-trip matches the closed-form fixture oracle") {
+    val ids = Seq(0L, 1L, 62L, 199L, 200L, 1234L)
+    val docs = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticImageMedia(spark, docs)
+    // payloads are REAL PNGs: magic bytes \x89PNG
+    val magic = media.select($"payload").collect()
+      .map(_.getAs[Array[Byte]](0).take(4).toSeq)
+    assert(magic.forall(_ === Seq[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val got = Multimodal.decodeImages(spark, media, batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val (w, h, base) = Multimodal.imageDims(id)
+      val d = got(id)
+      assert((d.width, d.height, d.channels) === ((w, h, 1)), s"dims for $id")
+      val want = w.toLong * h * base + h.toLong * (w - 1) * w / 2 +
+        w.toLong * (h - 1) * h / 2
+      assert(d.pix_sum === want, s"pix_sum for $id")
+    }
+  }
+
+  test("resizeImages: NN subsample of the decoded raster; output re-decodes") {
+    val docs = Seq((5L, "a"), (13L, "b"), (200L, "c")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticImageMedia(spark, docs)
+    val got = Multimodal.resizeImages(spark, media, factor = 2)
+      .collect().map(r => r.doc_id -> r).toMap
+    got.foreach { case (id, r) =>
+      val (w, h, base) = Multimodal.imageDims(id)
+      val (wo, ho) = ((w + 1) / 2, (h + 1) / 2)
+      assert((r.w_in, r.h_in, r.w_out, r.h_out) === ((w, h, wo, ho)))
+      // out(x,y) = base + 2x + 2y
+      val want = wo.toLong * ho * base + ho.toLong * (wo - 1) * wo +
+        wo.toLong * (ho - 1) * ho
+      assert(r.pix_sum === want, s"resized pix_sum for $id")
+      // the stored payload is itself a decodable PNG with the same sum
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+      assert(img != null && img.getWidth === wo && img.getHeight === ho)
+    }
+    // factor 1 is the identity on dims and sum
+    val id1 = Multimodal.resizeImages(spark, media, factor = 1)
+      .collect().map(r => r.doc_id -> r).toMap
+    val dec = Multimodal.decodeImages(spark, media)
+      .collect().map(d => d.doc_id -> d).toMap
+    id1.foreach { case (id, r) =>
+      assert((r.w_out, r.h_out, r.pix_sum) ===
+        ((dec(id).width, dec(id).height, dec(id).pix_sum)))
+    }
+  }
+
   test("binaryFile ingestion round-trips the corpus: files == toMedia, byte-for-byte") {
     // the real entry point a 100 TB asset pipeline starts from: write the
     // fixture corpus as one file per doc, read it back via the binaryFile
