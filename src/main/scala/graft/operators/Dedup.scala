@@ -42,15 +42,24 @@ object Dedup {
     */
   case class ExactDedupIndex(fpTable: String, hash64: Boolean, buckets: Int)
 
+  /** Content fingerprint with mode-independent NULL semantics: NULL text
+    * → NULL fingerprint in BOTH modes, so the anti-join membership probe
+    * always passes NULL-text docs through as unseen (SQL join semantics,
+    * and what `md5(NULL) = NULL` already did). Without the guard,
+    * `xxhash64(NULL)` yields the seed — a real LONG — so hash64 mode
+    * would dedup NULL-text docs against indexed NULLs while md5 mode
+    * never does.
+    */
+  private def exactFp(textCol: String, hash64: Boolean): Column =
+    if (hash64) when(col(textCol).isNotNull, xxhash64(col(textCol)))
+    else TextFunctions.fingerprintMd5(col(textCol))
+
   private def exactFps(
       df: DataFrame,
       textCol: String,
       hash64: Boolean
   ): DataFrame =
-    df.select(
-        (if (hash64) xxhash64(col(textCol))
-         else TextFunctions.fingerprintMd5(col(textCol))).as("_fp")
-      )
+    df.select(exactFp(textCol, hash64).as("_fp"))
       .distinct()
 
   /** Build and persist an exact-dedup index for `df` under catalog
@@ -135,9 +144,7 @@ object Dedup {
       materialize: Boolean
   ): DataFrame = {
     val spark = delta.sparkSession
-    val fp =
-      if (idx.hash64) xxhash64(col(textCol))
-      else TextFunctions.fingerprintMd5(col(textCol))
+    val fp = exactFp(textCol, idx.hash64)
     // `unseen` feeds BOTH the keeper aggregate and the final semi-join;
     // checkpoint it once or the anti-join against the bucketed index
     // (the probe's expensive stage) executes twice. Callers release via
@@ -1171,6 +1178,17 @@ object Dedup {
     * from the carried words, inline verification. Result is
     * materialized and the delta-side blocks are released before
     * returning.
+    *
+    * Hot-bucket caveat (same contract as the 64-bit twin): `maxBucket`
+    * caps only the within-delta leg — the delta × corpus leg reads
+    * corpus buckets UNCAPPED (capping them would shuffle or sort the
+    * corpus on every probe), so on a (chunk, value) bucket over the cap
+    * the incremental path emits pairs (and join work) the capped batch
+    * form would suppress. The incremental == batch parity gate holds
+    * only while no bucket exceeds the cap; audit with
+    * [[hotSimHash128Buckets]] at build time — at radius 20 the 11-12-bit
+    * chunks make hot buckets the expected failure mode on skewed
+    * corpora, which is exactly when the audit must gate the append.
     */
   def simHashNearDups128Incremental(
       delta: DataFrame,
@@ -1505,7 +1523,10 @@ object Dedup {
     * is inline `bit_count(xor)` — no lookup join at all. The within-delta
     * leg caps buckets at `maxBucket` like the batch path; the corpus side
     * is NOT capped (capping it would shuffle the corpus — audit with
-    * [[hotSimHashBuckets]] at build time instead).
+    * [[hotSimHashBuckets]] at build time instead). Consequence: on a
+    * bucket over the cap the incremental path emits pairs the capped
+    * batch form would suppress — the incremental == batch parity gate
+    * holds only while no bucket exceeds the cap.
     *
     * Result is materialized (localCheckpoint) and the delta-side blocks
     * are released before returning.

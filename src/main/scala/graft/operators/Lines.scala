@@ -110,10 +110,18 @@ object Lines {
           "\n"
         ).as(textCol)
       )
-    // re-admit fully-boilerplate documents with empty text
-    df.select(col(idCol))
+    // re-admit fully-boilerplate documents with empty text; NULL-text
+    // documents (whose split() produced no line rows at all) come back
+    // NULL, not '' — "untouched documents come back byte-identical"
+    // must hold for NULL too
+    df.select(col(idCol), col(textCol).isNull.as("_srcnull"))
       .join(kept, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+      .select(
+        col(idCol),
+        when(col("_srcnull"), lit(null).cast("string"))
+          .otherwise(coalesce(col(textCol), lit("")))
+          .as(textCol)
+      )
   }
 
   // --------------------------- persisted line-catalogue index
@@ -231,9 +239,15 @@ object Lines {
           "\n"
         ).as(textCol)
       )
-    delta.select(col(idCol))
+    // same NULL-preserving re-admission as [[dropDuplicatedLines]]
+    delta.select(col(idCol), col(textCol).isNull.as("_srcnull"))
       .join(kept, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+      .select(
+        col(idCol),
+        when(col("_srcnull"), lit(null).cast("string"))
+          .otherwise(coalesce(col(textCol), lit("")))
+          .as(textCol)
+      )
   }
 
   /** Compact the line catalogue after many appends: merge the

@@ -71,14 +71,16 @@ final class JsonTestReporter extends Reporter {
     val total = succeeded + failed.size + canceled
     val green = failed.isEmpty && aborted.isEmpty
     val path = roundedOutPath()
-    // a GREEN run must never shrink the artifact: a partial testOnly
-    // run covering most-but-not-all suites would otherwise overwrite
-    // the full record and assert green for tests it never ran — the
-    // exact silent-red-ship this artifact exists to prevent. The cost:
-    // after deleting tests, the stale larger total persists until the
-    // file is removed or the round (and filename) advances — a visible
-    // staleness, traded against an invisible green lie. Red results
-    // always write.
+    // A GREEN run smaller than the one already on disk is EITHER a
+    // partial `testOnly` run (the artifact must not silently assert
+    // green for tests it never ran) OR a legitimately shrunk suite
+    // (tests deleted/renamed — the newer, smaller run is the truth).
+    // The reporter cannot tell them apart, so it always writes the
+    // latest actual run and marks the ambiguity instead of silently
+    // keeping a stale file that claims green for tests that may no
+    // longer exist: `maybe_partial: true` + `prev_total` flag the
+    // shrink, and `written_at` dates every artifact so a stale record
+    // can never masquerade as current.
     val existingTotal =
       try {
         val src = scala.io.Source.fromFile(path)
@@ -87,13 +89,14 @@ final class JsonTestReporter extends Reporter {
           finally src.close()
         raw""""total":\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
       } catch { case _: Throwable => None }
-    if (green && existingTotal.exists(_ > total)) {
+    val maybePartial = green && existingTotal.exists(_ > total)
+    if (maybePartial) {
       System.err.println(
-        s"[JsonTestReporter] partial run ($total tests) — keeping fuller $path (${existingTotal.get} tests)")
-      return
+        s"[JsonTestReporter] run covered $total tests but $path previously recorded ${existingTotal.get} — writing with maybe_partial: true (full `sbt test` clears it)")
     }
+    val writtenAt = java.time.Instant.now().toString
     val json =
-      s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "aborted_suites": ${aborted.size}, "total": $total, "green": $green, "failed_names": [${(failed ++ aborted.map("ABORTED: " + _)).map(jsonStr).mkString(", ")}]}"""
+      s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "aborted_suites": ${aborted.size}, "total": $total, "green": $green, "maybe_partial": $maybePartial, "prev_total": ${existingTotal.map(_.toString).getOrElse("null")}, "written_at": ${jsonStr(writtenAt)}, "failed_names": [${(failed ++ aborted.map("ABORTED: " + _)).map(jsonStr).mkString(", ")}]}"""
     val out = new PrintWriter(path)
     try out.println(json)
     finally out.close()

@@ -825,6 +825,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) === "only\nunique\nlines")
   }
 
+  test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
+    // line dedup: a NULL-text doc produces no line rows, so it must come
+    // back NULL (byte-identical), not coerced to '' like a doc whose
+    // every line was boilerplate
+    val df = Seq(
+      Doc(1, "banner\nkeep\nbanner x"),
+      Doc(2, "banner\nother\nbanner x"),
+      Doc(3, null),
+      Doc(4, "")
+    ).toDS.toDF
+    val cleaned = Lines.dropDuplicatedLines(df, "text", "doc_id", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(cleaned(3L) === None)        // NULL preserved, not ''
+    assert(cleaned(4L) === Some(""))    // genuinely-empty text unchanged
+    assert(cleaned(1L) === Some("keep"))
+
+    // exact incremental dedup: NULL fingerprints never match the index
+    // (SQL join semantics) in EITHER hash mode — xxhash64(NULL) would
+    // otherwise yield the seed and silently dedup NULLs in hash64 mode
+    val corpus = Seq(Doc(1, null), Doc(2, "real")).toDS.toDF
+    for (h64 <- Seq(true, false)) {
+      val idx = Dedup.writeExactDedupIndex(corpus, "text", s"exnull_$h64", hash64 = h64)
+      try {
+        val delta = Seq(Doc(10, null), Doc(11, null), Doc(12, "real")).toDS.toDF
+        val out = Dedup.exactDedupIncremental(delta, "text", "doc_id", idx)
+        val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.CacheUtil.release(out)
+        // NULL texts pass through as unseen (keep-min within delta keeps
+        // 10); "real" is dropped by corpus precedence — identically in
+        // both modes
+        assert(got === Set(10L), s"hash64=$h64")
+      } finally spark.sql(s"DROP TABLE IF EXISTS exnull_${h64}_exactfps")
+    }
+  }
+
   test("incremental exact dedup: corpus precedence, within-delta keep-min, appends fold in") {
     val corpus = Seq(
       Doc(1, "seen before"),
