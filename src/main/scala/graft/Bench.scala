@@ -86,9 +86,20 @@ object Bench {
     "m04_resize_image", "m05_binaryfile_ingest"
   )
 
-  /** Brute-oracle-embedding forms timed only at the small fixture. */
+  /** Forms timed only at the small fixture: d04/d06/d12 embed the
+    * labeled brute O(n²) oracle (>120 s each at sf0.1), and the
+    * d25-d28 audits re-run their base emitter (d03/d21/d14/d22) plus
+    * verification joins — timing them at the target SF would double
+    * the heavy d-family's bench cost to measure work already timed
+    * under the base keys. The audit-specific machinery
+    * ([[graft.operators.Dedup.pairInvariants]]) still gets a visible
+    * number here.
+    */
   private val smallFixture: Seq[String] =
-    Seq("d04_jaccard_pairs", "d06_dup_clusters", "d12_near_dedup")
+    Seq(
+      "d04_jaccard_pairs", "d06_dup_clusters", "d12_near_dedup",
+      "d25_simhash_audit", "d26_simhash128_audit", "d27_combo_audit",
+      "d28_incremental128_audit")
 
   private val smallSuffix = "@sf0.01"
 

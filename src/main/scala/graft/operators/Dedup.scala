@@ -1255,6 +1255,57 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucket)
 
+  /** Structural audit of an emitted near-dup pair table, as ONE row of
+    * violation counts — the invariants every pair emitter in this file
+    * guarantees, checked from the OUTPUT side so an independent oracle
+    * can assert them as recorded expectations (all zeros + has_pairs=1)
+    * without being able to recompute the hash-seed-dependent pair set
+    * itself:
+    *
+    *  - `bad_order`: pairs with `id_a >= id_b` (canonical ordering,
+    *    subsumes self-pairs) — must be 0;
+    *  - `unknown_ids`: pair members absent from `perDoc` (ids ⊆ corpus)
+    *    — must be 0;
+    *  - `bad_measure`: pairs where `badMeasure` holds over the joined
+    *    (`fa`, `fb`) per-doc rows — callers recompute the similarity
+    *    measure from the carried per-doc columns and compare it to the
+    *    emitted measure column and its threshold — must be 0;
+    *  - `dup_pairs`: emissions minus distinct (id_a, id_b) — the
+    *    exactly-once lowest-matching-band/chunk rule — must be 0;
+    *  - `has_pairs`: 1 iff any pair was emitted (guards the audit
+    *    against vacuous truth on an empty output).
+    *
+    * `extraViolations` adds named violation counts (each a predicate
+    * over the same joined row; NULL predicate rows count as 0).
+    *
+    * Scale shape: two shuffle joins of the pair table against the
+    * per-doc table and one full aggregate — every stage partial-aggs
+    * map-side; nothing driver-side, no cross join.
+    */
+  def pairInvariants(
+      pairs: DataFrame,
+      perDoc: DataFrame,
+      badMeasure: Column,
+      extraViolations: Seq[(String, Column)] = Nil
+  ): DataFrame = {
+    def violations(pred: Column): Column =
+      coalesce(sum(when(pred, 1L)), lit(0L))
+    val joined = pairs
+      .join(perDoc.as("fa"), col("id_a") === col("fa._cid"), "left")
+      .join(perDoc.as("fb"), col("id_b") === col("fb._cid"), "left")
+    val base = Seq(
+      violations(col("id_a") >= col("id_b")).as("bad_order"),
+      violations(col("fa._cid").isNull || col("fb._cid").isNull)
+        .as("unknown_ids"),
+      violations(badMeasure).as("bad_measure"),
+      (count(lit(1)) - countDistinct(col("id_a"), col("id_b")))
+        .as("dup_pairs"),
+      when(count(lit(1)) > 0, 1L).otherwise(0L).as("has_pairs")
+    )
+    val extras = extraViolations.map { case (n, pred) => violations(pred).as(n) }
+    joined.agg(base.head, (base.tail ++ extras): _*)
+  }
+
   /** Exactly-once emission conjunction for chunk-blocked joins: true iff
     * NO chunk below the bucket's own chunk matches between the two sides,
     * each chunk value recomputed at plan time from the carried 64-bit

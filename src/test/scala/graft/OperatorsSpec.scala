@@ -825,6 +825,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) === "only\nunique\nlines")
   }
 
+  test("pairInvariants counts every violation class (the dNN_audit rows are not vacuously zero)") {
+    val perDoc = Seq((1L, 10L), (2L, 12L), (3L, 10L)).toDF("_cid", "_fp")
+    val pairs = Seq(
+      (1L, 3L, 0L),  // clean: bit_count(10^10)=0
+      (3L, 2L, 99L), // bad_order AND bad_measure (wrong + over threshold)
+      (1L, 2L, 3L),  // bad_measure: bit_count(10^12)=2, emitted 3
+      (1L, 9L, 0L),  // unknown id 9 (not counted as bad_measure: NULL pred)
+      (1L, 3L, 0L),  // duplicate emission
+      (2L, 2L, 0L)   // self pair (extraViolations) — also bad_order
+    ).toDF("id_a", "id_b", "hamming")
+    val r = Dedup
+      .pairInvariants(
+        pairs,
+        perDoc,
+        bit_count(col("fa._fp").bitwiseXOR(col("fb._fp"))) =!= col("hamming") ||
+          col("hamming") > lit(10),
+        extraViolations = Seq("self_pair" -> (col("id_a") === col("id_b"))))
+      .collect()(0)
+    assert(r.getAs[Long]("bad_order") === 2L)
+    assert(r.getAs[Long]("unknown_ids") === 1L)
+    assert(r.getAs[Long]("bad_measure") === 2L)
+    assert(r.getAs[Long]("dup_pairs") === 1L)
+    assert(r.getAs[Long]("has_pairs") === 1L)
+    assert(r.getAs[Long]("self_pair") === 1L)
+    // empty output: all zeros, has_pairs = 0 — the audit row proves
+    // non-vacuity because the oracle expects has_pairs = 1
+    val e = Dedup
+      .pairInvariants(pairs.limit(0), perDoc, lit(false))
+      .collect()(0)
+    assert(e.getAs[Long]("has_pairs") === 0L)
+    assert(e.getAs[Long]("bad_order") === 0L)
+    assert(e.getAs[Long]("dup_pairs") === 0L)
+  }
+
   test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
     // line dedup: a NULL-text doc produces no line rows, so it must come
     // back NULL (byte-identical), not coerced to '' like a doc whose
