@@ -613,6 +613,19 @@ object Dedup {
   ): Unit =
     compactBucketedIndexTable(spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"))
 
+  /** Compact a MinHash index after many appends: membership and shingle
+    * rows are unique per doc under the disjoint-delta append contract,
+    * so BOTH catalog tables compact as pure small-file merges (same
+    * crash-safe swap as every wrapper on [[compactBucketedIndexTable]]).
+    */
+  def compactMinHashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: MinHashIndex
+  ): Unit = {
+    compactBucketedIndexTable(spark, idx.bandTable, idx.buckets, Seq("_band", "_bucket"))
+    compactBucketedIndexTable(spark, idx.shingleTable, idx.buckets, Seq("_sid"))
+  }
+
   private def writeIndexTables(
       df: DataFrame,
       textCol: String,

@@ -223,6 +223,17 @@ object Passages {
   ): Unit =
     writeIndexTable(delta, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
 
+  /** Compact a passage index after many appends: per-(doc, fp)
+    * occurrence rows are unique under the disjoint-delta append
+    * contract, so this is a pure small-file merge via
+    * [[Dedup.compactBucketedIndexTable]]'s crash-safe swap.
+    */
+  def compactPassageIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: PassageIndex
+  ): Unit =
+    Dedup.compactBucketedIndexTable(spark, idx.fpTable, idx.buckets, Seq("_fp"))
+
   private def writeIndexTable(
       df: DataFrame,
       textCol: String,

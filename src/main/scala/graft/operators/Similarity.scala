@@ -682,6 +682,19 @@ object Similarity {
   ): Unit =
     writeLshIndexTables(delta, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
 
+  /** Compact an LSH index after many appends: band-membership and
+    * normalized-vector rows are unique per doc under the disjoint-delta
+    * append contract, so BOTH catalog tables compact as pure small-file
+    * merges via [[Dedup.compactBucketedIndexTable]]'s crash-safe swap.
+    */
+  def compactLshIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: LshIndex
+  ): Unit = {
+    Dedup.compactBucketedIndexTable(spark, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"))
+    Dedup.compactBucketedIndexTable(spark, idx.vecTable, idx.buckets, Seq("_vid"))
+  }
+
   private def writeLshIndexTables(
       df: DataFrame,
       vecCol: String,

@@ -1041,6 +1041,172 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cmp_exact_exactfps")
   }
 
+  test("compaction wrappers: minhash / vector-LSH / passage indexes keep probes identical, shrink files, keep bucket layout") {
+    def tableFiles(table: String): Int = {
+      val dir = new java.io.File(
+        spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .filter($"col_name" === "Location").head().getString(1).stripPrefix("file:"))
+      dir.listFiles().count(_.getName.startsWith("part-"))
+    }
+    def checkCompaction[A](
+        tables: Seq[String],
+        probe: () => A,
+        compact: () => Unit,
+        planOfProbe: () => String
+    ): Unit = {
+      val before = probe()
+      val filesBefore = tables.map(tableFiles).sum
+      compact()
+      assert(probe() === before, s"compaction changed probe results for ${tables.head}")
+      val filesAfter = tables.map(tableFiles).sum
+      assert(filesAfter < filesBefore,
+        s"${tables.head}: file count did not shrink ($filesBefore -> $filesAfter)")
+      val plan = planOfProbe()
+      assert(plan.contains("Bucketed: true") && !plan.contains("Bucketed: false"),
+        s"${tables.head}: compacted table lost its bucket layout:\n${plan.take(2000)}")
+    }
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    def echo(base: Long) =
+      corpus.limit(20).select(($"doc_id" + base).as("doc_id"), $"text")
+
+    // tiny test tables would otherwise broadcast and let the planner
+    // bypass the bucketed scan, vacuating the layout gate
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+
+    // ---- minhash (two catalog tables)
+    val mhIdx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "cmp_mh", buckets = 4)
+    try {
+      Dedup.appendToMinHashIndex(echo(500000L), "text", "doc_id", mhIdx)
+      Dedup.appendToMinHashIndex(echo(600000L), "text", "doc_id", mhIdx)
+      def mhProbe() = {
+        val out = Dedup.minHashNearDupsIncremental(
+          echo(700000L), "text", "doc_id", 0.9, mhIdx)
+        val got = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.CacheUtil.release(out)
+        got
+      }
+      assert(mhProbe().nonEmpty, "echoed delta produced no minhash pairs — gate vacuous")
+      checkCompaction(
+        Seq(mhIdx.bandTable, mhIdx.shingleTable),
+        () => mhProbe(),
+        () => Dedup.compactMinHashIndex(spark, mhIdx),
+        () => {
+          // the public probe is materialized — gate the LAZY plan
+          val lazyOut = Dedup.minHashCandidatesIncremental(
+            echo(710000L), "text", "doc_id", mhIdx)
+          val p = lazyOut.queryExecution.executedPlan.toString
+          graft.CacheUtil.release(lazyOut)
+          p
+        }
+      )
+    } finally Seq("cmp_mh_bands", "cmp_mh_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- vector-LSH (two catalog tables)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir).select($"vec_id", $"embedding")
+    val vCorpus = emb.filter($"vec_id" % 3 =!= 0)
+    def vEcho(base: Long) =
+      vCorpus.limit(20).select(($"vec_id" + base).as("vec_id"), $"embedding")
+    val lshIdx = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "cmp_lsh", nPlanes = 3, nTables = 8, buckets = 4)
+    try {
+      Similarity.appendToLshIndex(vEcho(500000L), "embedding", "vec_id", lshIdx)
+      Similarity.appendToLshIndex(vEcho(600000L), "embedding", "vec_id", lshIdx)
+      def lshProbe() = {
+        val out = Similarity.lshNearDupsIncremental(
+          vEcho(700000L), "embedding", "vec_id", 0.9, lshIdx)
+        val got = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.CacheUtil.release(out)
+        got
+      }
+      assert(lshProbe().nonEmpty, "echoed vectors produced no LSH pairs — gate vacuous")
+      checkCompaction(
+        Seq(lshIdx.bandTable, lshIdx.vecTable),
+        () => lshProbe(),
+        () => Similarity.compactLshIndex(spark, lshIdx),
+        () => {
+          val lazyOut = Similarity.lshPairsIncrementalLazy(
+            vEcho(710000L), "embedding", "vec_id", 0.9, lshIdx, 10000)
+          val p = lazyOut.queryExecution.executedPlan.toString
+          graft.CacheUtil.release(lazyOut)
+          p
+        }
+      )
+    } finally Seq("cmp_lsh_bands", "cmp_lsh_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- passages (one catalog table)
+    val pIdx = Passages.writePassageIndex(
+      corpus, "text", "doc_id", "cmp_pass", windowTokens = 8, buckets = 4)
+    try {
+      Passages.appendToPassageIndex(echo(500000L), "text", "doc_id", pIdx)
+      Passages.appendToPassageIndex(echo(600000L), "text", "doc_id", pIdx)
+      def pProbe() = {
+        val out = Passages.passageDupFractionIncremental(
+          echo(700000L), "text", "doc_id", pIdx)
+        val got = out.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        graft.CacheUtil.release(out)
+        got
+      }
+      assert(pProbe().values.exists(_._2 > 0), "echoed delta had no dup windows — gate vacuous")
+      checkCompaction(
+        Seq(pIdx.fpTable),
+        () => pProbe(),
+        () => Passages.compactPassageIndex(spark, pIdx),
+        () => {
+          val lazyOut = Passages.passageDupFractionIncrementalLazy(
+            echo(710000L), "text", "doc_id", pIdx)
+          val p = lazyOut.queryExecution.executedPlan.toString
+          graft.CacheUtil.release(lazyOut)
+          p
+        }
+      )
+    } finally spark.sql("DROP TABLE IF EXISTS cmp_pass_fps")
+
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("compaction crash recovery: stale tmp/old leftovers and a mid-swap crash both self-heal") {
+    val mk = () => Seq(Doc(1, "alpha"), Doc(2, "beta")).toDS.toDF
+    def probe(idx: Dedup.ExactDedupIndex): Set[Long] = {
+      val out = Dedup.exactDedupIncremental(
+        Seq(Doc(20, "alpha"), Doc(21, "fresh")).toDS.toDF, "text", "doc_id", idx)
+      val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(out)
+      got
+    }
+    val idx = Dedup.writeExactDedupIndex(mk(), "text", "cmp_crash", buckets = 4)
+    val t = idx.fpTable
+    try {
+      val expected = probe(idx)
+      assert(expected === Set(21L))
+      // state A: a previous attempt crashed after writing tmp (and after
+      // a retry of a still-earlier attempt left old) — canonical intact
+      spark.sql(s"CREATE TABLE ${t}_compact_tmp AS SELECT * FROM $t LIMIT 0")
+      spark.sql(s"CREATE TABLE ${t}_compact_old AS SELECT * FROM $t LIMIT 0")
+      Dedup.compactExactDedupIndex(spark, idx)
+      assert(probe(idx) === expected, "compaction after stale leftovers changed the probe")
+      assert(!spark.catalog.tableExists(s"${t}_compact_tmp"))
+      assert(!spark.catalog.tableExists(s"${t}_compact_old"))
+      // state B: crash BETWEEN the two renames — canonical absent, data
+      // lives under old, the new table under tmp; the retry must restore
+      // old as canonical, drop tmp, and complete
+      spark.sql(s"CREATE TABLE ${t}_compact_tmp AS SELECT * FROM $t")
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}_compact_old")
+      assert(!spark.catalog.tableExists(t))
+      Dedup.compactExactDedupIndex(spark, idx)
+      assert(spark.catalog.tableExists(t), "canonical table not restored")
+      assert(probe(idx) === expected, "mid-swap recovery changed the probe")
+      assert(!spark.catalog.tableExists(s"${t}_compact_tmp"))
+      assert(!spark.catalog.tableExists(s"${t}_compact_old"))
+    } finally Seq(t, s"${t}_compact_tmp", s"${t}_compact_old")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("incremental line cleaning reads the catalogue with no corpus-side Exchange") {
     val base = Tables.documents(spark, SparkTestSession.sfDir).select($"doc_id", $"text")
     val corpus = base.filter($"doc_id" % 3 =!= 0)
