@@ -1334,6 +1334,27 @@ object SparkEntry {
       },
       Some(auditOracle("corpus_only_pair" -> 0L))
     ),
+    // hyperplane-LSH pair audit (d07's emitter): the cosine measure is
+    // recomputed from re-normalized vectors through an independent join
+    // and must equal the emitted column bit-for-bit (same IEEE dot over
+    // the same floats) and clear the threshold
+    Q(
+      "d29_lsh_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val pairs = operators.Similarity.lshNearDups(
+          emb, "embedding", "vec_id", threshold = 0.3, nPlanes = 3, nTables = 12)
+        val perDoc = emb.select(
+          col("vec_id").as("_cid"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))
+        operators.Dedup.pairInvariants(
+          pairs,
+          perDoc,
+          graft.functions.VectorFunctions.dot(col("fa._nv"), col("fb._nv")) =!=
+            col("cosine") || col("cosine") <= lit(0.3))
+      },
+      Some(auditOracle())
+    ),
     // exact substring (passage) dedup, Lee et al. ACL'22 ExactSubstr
     // re-expressed as sliding-window fingerprints: the corpus-wide
     // duplicated-passage catalogue. md5 is engine-identical, so unlike
@@ -1614,8 +1635,11 @@ object SparkEntry {
       None
     ),
     // incremental dedup of a delta against a persisted corpus band index
-    // (hash-seed dependent — rows-only; the ScalaTest gate proves
-    // incremental(corpus, delta) == batch(corpus ∪ delta) pair-for-pair).
+    // — FULL oracle by the same argument as d02: emitted pairs carry
+    // their exact shingle Jaccard, every true pair sits at jaccard ≥ 0.9,
+    // and 16×2 banding makes the per-pair LSH miss probability ~3e-12,
+    // so the output equals the brute thresholded pair set restricted to
+    // pairs touching the delta (the incremental == batch gate's shape).
     // The index build is part of the measured op: a real pipeline builds
     // once and probes daily, but a deterministic registry entry must be
     // self-contained.
@@ -1626,12 +1650,23 @@ object SparkEntry {
         val corpus = docs.filter(col("doc_id") % 3 =!= 0)
         val delta = docs.filter(col("doc_id") % 3 === 0)
         val idx = operators.Dedup
-          .writeMinHashIndex(corpus, "text", "doc_id", "d08_idx", buckets = 8)
+          .writeMinHashIndex(corpus, "text", "doc_id", "d08_idx", bands = 16, buckets = 8)
         operators.Dedup
           .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
-          .select(col("id_a"), col("id_b"))
+          .select(col("id_a"), col("id_b"), col("jaccard"))
       },
-      None
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+             |  AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)""".stripMargin)
     ),
     // incremental simhash against a persisted chunk index: the simhash
     // twin of d08 — one self-contained bucketed table, inline

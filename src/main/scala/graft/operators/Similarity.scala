@@ -515,7 +515,10 @@ object Similarity {
       .join(v.select(col("_vid").as("_idb"), col("_nv").as("_vb")), col("id_b") === col("_idb"))
       .withColumn("cos", VectorFunctions.dot(col("_va"), col("_vb")))
       .filter(col("cos") > threshold)
-      .select(col("id_a"), col("id_b"))
+      // the verification measure rides along (same contract as the
+      // minhash jaccard / simhash hamming columns) so output-side
+      // audits can recompute and compare it
+      .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
   }
 
   /** (_id, _tbl, _sig, _lower) hyperplane-table blocking rows. Each row
