@@ -99,7 +99,7 @@ object Bench {
     Seq(
       "d04_jaccard_pairs", "d06_dup_clusters", "d12_near_dedup",
       "d25_simhash_audit", "d26_simhash128_audit", "d27_combo_audit",
-      "d28_incremental128_audit", "d29_lsh_audit")
+      "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit")
 
   private val smallSuffix = "@sf0.01"
 

@@ -2112,6 +2112,37 @@ object SparkEntry {
         ),
       None
     ),
+    // top-k audit of the bucket/centroid-dependent ANN emitters (the
+    // true-cosine rankers s02/s03 — PQ/ADC emitters rank by approximate
+    // distance by design and are excluded from the order check): exact
+    // cosines recomputed from raw vectors, rank-set and monotonicity
+    // checked, and no neighbor may beat the corpus brute best
+    Q(
+      "s07_ann_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val lsh = operators.Similarity
+          .topKAudit(
+            operators.Similarity.annTopK(
+              emb, "embedding", "vec_id", queryId = 0L, k = 5, nPlanes = 6),
+            emb, "embedding", "vec_id", queryId = 0L, k = 5)
+          .withColumn("family", lit("ann_lsh"))
+        val ivf = operators.Similarity
+          .topKAudit(
+            operators.Similarity.ivfTopK(
+              emb, "embedding", "vec_id", queryId = 0L, k = 5,
+              nCentroids = 16, nProbe = 6),
+            emb, "embedding", "vec_id", queryId = 0L, k = 5)
+          .withColumn("family", lit("ivf"))
+        lsh.unionByName(ivf)
+      },
+      Some("""SELECT 'ann_lsh' AS family, CAST(0 AS BIGINT) AS missing_rows,
+             |       CAST(0 AS BIGINT) AS bad_ids, CAST(0 AS BIGINT) AS bad_rank_set,
+             |       CAST(0 AS BIGINT) AS disorder, CAST(0 AS BIGINT) AS above_best
+             |UNION ALL
+             |SELECT 'ivf', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)
+    ),
     // SemDeDup: k-means cluster the embeddings, verify cosine within
     // clusters only. Planted near-colinear twins (scaled + nudged every
     // 7th axis, id+100000) give pairs at cosine ~0.999 — far above the

@@ -318,6 +318,76 @@ object Similarity {
     ivfProbe(index, qVec, k, nProbe, excludeId = Some(queryId))
   }
 
+  /** Structural audit of a cosine-ranked top-k result (the
+    * [[knn]]/[[annTopK]]/[[ivfTopK]] `(neighbor_id, rank)` shape) — the
+    * top-k twin of [[Dedup.pairInvariants]]: the returned SET is
+    * bucket/centroid-dependent, but its invariants are not, so an
+    * independent oracle can record the expected row. ONE row of
+    * violation counts:
+    *
+    *  - `missing_rows`: `k` minus rows returned — 0 for any emitter
+    *    whose candidate pool covers k rows (true on the fixture);
+    *  - `bad_ids`: neighbors absent from the corpus or equal to the
+    *    query id — must be 0;
+    *  - `bad_rank_set`: 1 unless ranks are exactly {1..returned};
+    *  - `disorder`: adjacent rank pairs whose EXACT cosine (recomputed
+    *    from the raw vectors, independent of the emitter's score path)
+    *    increases with rank — must be 0 for true-cosine rankers (do
+    *    NOT audit PQ/ADC emitters with this: their rank order is by
+    *    approximate distance by design);
+    *  - `above_best`: neighbors whose exact cosine exceeds the corpus
+    *    brute best — impossible (a max over a subset), must be 0.
+    *
+    * Scale shape: one broadcast of the 1-row query vector, one
+    * broadcast-able scalar (brute best = a max-agg over the corpus),
+    * a k-row window — nothing driver-side beyond the k rows.
+    */
+  def topKAudit(
+      res: DataFrame,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = df
+      .filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"), lit(1).as("_k1"))
+    val bruteBest = df
+      .filter(col(idCol) =!= queryId)
+      .withColumn("_k1", lit(1))
+      .join(broadcast(q), "_k1")
+      .agg(max(VectorFunctions.cosine(col(vecCol), col("_qv"))).as("_best"))
+      .select(col("_best"), lit(1).as("_k1"))
+    val scored = res
+      .withColumn("_k1", lit(1))
+      .join(
+        df.select(col(idCol).as("_nid"), col(vecCol).as("_nv")),
+        col("neighbor_id") === col("_nid"),
+        "left")
+      .join(broadcast(q), "_k1")
+      .join(broadcast(bruteBest), "_k1")
+      .withColumn("_cos", VectorFunctions.cosine(col("_nv"), col("_qv")))
+      .withColumn(
+        "_prev",
+        lag(col("_cos"), 1).over(Window.orderBy(col("rank"))))
+    scored.agg(
+      (lit(k.toLong) - count(lit(1))).as("missing_rows"),
+      coalesce(
+        sum(when(col("_nid").isNull || col("neighbor_id") === queryId, 1L)),
+        lit(0L)).as("bad_ids"),
+      when(
+        countDistinct(col("rank")) === count(lit(1)) &&
+          min(col("rank")) === 1 && max(col("rank")) === count(lit(1)),
+        0L).otherwise(1L).as("bad_rank_set"),
+      coalesce(sum(when(col("_cos") > col("_prev"), 1L)), lit(0L))
+        .as("disorder"),
+      coalesce(sum(when(col("_cos") > col("_best"), 1L)), lit(0L))
+        .as("above_best")
+    )
+  }
+
   // ------------------------------------------------------- SemDeDup
 
   /** Semantic near-dup pairs via k-means clustering — SemDeDup (Abbas

@@ -859,6 +859,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getAs[Long]("dup_pairs") === 0L)
   }
 
+  test("topKAudit counts every violation class (the s07 audit row is not vacuously zero)") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),      // the query
+      (1L, Array(0.9f, 0.4359f)), // cos ≈ 0.9 vs query
+      (2L, Array(0.5f, 0.866f)),  // cos = 0.5
+      (3L, Array(0f, 1f))         // cos = 0
+    ).toDF("vec_id", "embedding")
+    val good = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("neighbor_id", "rank")
+    val g = Similarity.topKAudit(good, emb, "embedding", "vec_id", 0L, 3).collect()(0)
+    for (c <- Seq("missing_rows", "bad_ids", "bad_rank_set", "disorder", "above_best"))
+      assert(g.getAs[Long](c) === 0L, c)
+    // planted violations: a missing row (k=4, 3 returned), an unknown
+    // neighbor, a rank gap, and a cosine increasing with rank.
+    // above_best stays 0 BY CONSTRUCTION — a recomputed cosine of a real
+    // corpus member can never exceed the corpus max — which is exactly
+    // why it is a safe oracle invariant
+    val bad = Seq((3L, 1), (1L, 3), (99L, 4)).toDF("neighbor_id", "rank")
+    val b = Similarity.topKAudit(bad, emb, "embedding", "vec_id", 0L, 4).collect()(0)
+    assert(b.getAs[Long]("missing_rows") === 1L)
+    assert(b.getAs[Long]("bad_ids") === 1L)
+    assert(b.getAs[Long]("bad_rank_set") === 1L)
+    assert(b.getAs[Long]("disorder") === 1L)
+    assert(b.getAs[Long]("above_best") === 0L)
+  }
+
   test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
     // line dedup: a NULL-text doc produces no line rows, so it must come
     // back NULL (byte-identical), not coerced to '' like a doc whose
