@@ -302,6 +302,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch + persisted line catalogue: each micro-batch cleans against everything seen") {
+    // ingest-time boilerplate-line removal for unbounded corpora: each
+    // micro-batch is cleaned against the persisted per-fp doc counts
+    // (zero corpus-side Exchange) and its own counts, then folded in.
+    // Cleaning is RELATIVE to what has been seen, and already-emitted
+    // documents are never revisited (the ingest-time contract): batch
+    // k's cleaned text == batch dropDuplicatedLines over chunks 1..k
+    // restricted to chunk k's ids.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Lines
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    // fixture docs are unique single-liners — stream echoes AFTER the
+    // originals so later batches contain lines the catalogue has seen
+    val originals = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val echoes = originals.take(40).map { case (id, t) => (id + 500000L, t) }
+    val fixture = originals ++ echoes
+    val idx = Lines.writeLineIndex(
+      docs.limit(0), "text", "doc_id", "stream_linc_idx", buckets = 4)
+    val perBatch = scala.collection.mutable.Buffer[Map[Long, String]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint(true)
+        val cleaned = Lines.dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+        perBatch += cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        Lines.appendToLineIndex(delta, "text", "doc_id", idx)
+        graft.CacheUtil.release(cleaned)
+        graft.CacheUtil.release(delta)
+        ()
+      }
+      .start()
+    try {
+      val chunks = fixture.grouped(math.max(1, fixture.length / 3 + 1)).toSeq
+      var seen = Seq.empty[(Long, String)]
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        seen = seen ++ chunk
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        val ids = chunk.map(_._1).toSet
+        val expected = Lines
+          .dropDuplicatedLines(seen.toDF("doc_id", "text"), "text", "doc_id")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          .filter { case (id, _) => ids.contains(id) }
+        assert(perBatch(i) === expected, s"batch $i cleaned text diverged")
+      }
+      // non-vacuity: the echoed docs' duplicated lines must actually drop
+      assert(perBatch.last.exists { case (id, t) => id >= 500000L && t.isEmpty },
+        "no echoed doc was cleaned — test is vacuous")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_linc_idx_linefps")
+    }
+  }
+
   test("streaming 128-bit simhash pairs == batch simHashNearDups128 across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
