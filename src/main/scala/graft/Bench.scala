@@ -68,11 +68,13 @@ object Bench {
     "t05_quality_score", "t06_repetition", "t07_redact",
     "t08_quality_filter", "t09_strip_html", "t10_ngram_docfreq",
     "t11_ngram_lm", "t12_gopher_rules", "t13_url_extract",
+    "t14_canonicalize",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d05_embedding_neardup", "d11_contamination_report",
     "d14_simhash_combo", "d15_dup_passages", "d16_passage_dup_fraction",
     "d17_passage_dedup_docs", "d18_incremental_passages",
-    "d19_dup_lines", "d20_drop_dup_lines", "d21_simhash128",
+    "d19_dup_lines", "d20_drop_dup_lines", "d30_drop_dup_paragraphs",
+    "d21_simhash128",
     "d23_incremental_lines", "d24_incremental_exact",
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d22_incremental_simhash128",

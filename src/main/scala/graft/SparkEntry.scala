@@ -80,6 +80,33 @@ object SparkEntry {
     (3000005L, "bracketed (https://x.y/z) and multi https://m.n/o?utm_a=1&utm_b=2&c=3")
   )
 
+  /** Planted docs for t14 (canonicalization): the fixture is ASCII-only,
+    * so the planted rows supply the Unicode branches — decomposed vs
+    * precomposed accents (NFC must fold them), combining diaeresis, case
+    * folding over non-ASCII, tab/newline/run-of-space collapse, and an
+    * already-canonical row that must pass through untouched.
+    */
+  private val nfcPlantedDocs: Seq[(Long, String)] = Seq(
+    (3100001L, "Café  DELUXE"),
+    (3100002L, "Élève\tNaïve"),
+    (3100003L, "  leading, trailing  \nline"),
+    (3100004L, "already canonical ascii")
+  )
+
+  /** Planted docs for d30 (paragraph-level dedup): fixture docs are
+    * single-line, so these supply the paragraph branches — a hot
+    * boilerplate paragraph that itself CONTAINS a newline (the whole
+    * point of "\n\n" granularity: inner newlines survive), a hot
+    * footer, unique bodies, a fully-boilerplate doc, and an untouched
+    * doc with an inner newline.
+    */
+  private val paragraphPlantedDocs: Seq[(Long, String)] = Seq(
+    (3200001L, "Cookie notice\nspanning two lines\n\nunique body one\n\nShared footer"),
+    (3200002L, "Cookie notice\nspanning two lines\n\nunique body two\n\nShared footer"),
+    (3200003L, "Cookie notice\nspanning two lines\n\nShared footer"),
+    (3200004L, "standalone doc\nwith inner newline kept")
+  )
+
   /** Planted corpus/delta docs for d23 (incremental line cleaning): the
     * fixture docs are unique single-liners, so the planted rows supply
     * corpus-hot, union-hot, and untouched branches.
@@ -1061,6 +1088,28 @@ object SparkEntry {
            |FROM u""".stripMargin
       }
     ),
+    // Unicode canonicalization for dedup keys: compiled NFC expression
+    // (java.text.Normalizer == DuckDB's utf8proc nfc_normalize, both
+    // UAX #15) → lowercase → explicit-class whitespace collapse → trim.
+    // The fixture is ASCII-only, so planted rows carry the Unicode
+    // branches (see nfcPlantedDocs)
+    Q(
+      "t14_canonicalize",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nfcPlantedDocs.toDF("doc_id", "text"))
+          .select(
+            col("doc_id"),
+            functions.TextFunctions.canonicalizeForDedup(col("text")).as("canon"))
+      },
+      Some(s"""WITH all_docs AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL ${valuesSql(nfcPlantedDocs)})
+              |SELECT doc_id,
+              |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS canon
+              |FROM all_docs""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",
@@ -1506,6 +1555,36 @@ object SparkEntry {
              |  SELECT doc_id, pos, line FROM lines ANTI JOIN hot USING (line))
              |SELECT a.doc_id,
              |       coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+             |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
+             |GROUP BY a.doc_id""".stripMargin)
+    ),
+    // paragraph-level dedup (Dolma-style): the same catalogue/removal
+    // kernel at "\n\n" granularity — a boilerplate paragraph whose
+    // INNER newlines survive is one unit, which line-level dedup cannot
+    // express. Fixture docs are single-line (no "\n\n"), so the planted
+    // rows carry every branch; FULL oracle on the cleaned text
+    Q(
+      "d30_drop_dup_paragraphs",
+      (s, d) => {
+        import s.implicits._
+        operators.Lines.dropDuplicatedLines(
+          documents(s, d).select(col("doc_id"), col("text"))
+            .unionByName(paragraphPlantedDocs.toDF("doc_id", "text")),
+          "text", "doc_id", minDocs = 2, hash64 = true, delimiter = "\n\n")
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(paragraphPlantedDocs)}),
+             |paras AS (
+             |  SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS para
+             |  FROM (SELECT doc_id, split(text, chr(10)||chr(10)) AS l FROM all_docs)),
+             |hot AS (
+             |  SELECT para FROM paras GROUP BY para
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |kept AS (
+             |  SELECT doc_id, pos, para FROM paras ANTI JOIN hot USING (para))
+             |SELECT a.doc_id,
+             |       coalesce(string_agg(k.para, chr(10)||chr(10) ORDER BY k.pos), '') AS text
              |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
              |GROUP BY a.doc_id""".stripMargin)
     ),

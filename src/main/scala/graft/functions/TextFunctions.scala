@@ -18,6 +18,26 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode NFC normalization (compiled [[UnicodeFunctions.NfcNormalize]]
+    * expression; DuckDB-oracle-exact vs `nfc_normalize`).
+    */
+  def nfcNormalize(text: Column): Column = UnicodeFunctions.nfc_normalize(text)
+
+  /** Canonical form for exact/near dedup keys: NFC (fold precomposed vs
+    * combining-mark spellings) → lowercase → collapse runs of
+    * `[ \t\n\r\f]` to one space → trim. The whitespace class is written
+    * EXPLICITLY (not `\s`) because Java's `\s` includes U+000B while
+    * RE2's does not — the explicit class keeps the literal shareable
+    * with the DuckDB oracle (t14 gate). Pure Column composition: stays
+    * in codegen, no shuffle.
+    */
+  def canonicalizeForDedup(text: Column): Column =
+    trim(
+      regexp_replace(
+        lower(UnicodeFunctions.nfc_normalize(text)),
+        "[ \\t\\n\\r\\f]+",
+        " "))
+
   /** Token count via regex — robust to repeated whitespace. */
   def tokenCount(text: Column): Column = regexp_count(text, lit("[^ ]+"))
 

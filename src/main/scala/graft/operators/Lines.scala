@@ -30,16 +30,24 @@ object Lines {
     * corpus-scale shuffles) of the exact line text. Empty lines
     * participate like any other line — a corpus-hot empty line is
     * boilerplate too.
+    *
+    * `delimiter` selects the dedup granularity: "\n" = C4-style lines
+    * (default), "\n\n" = Dolma-style PARAGRAPHS. Any literal delimiter
+    * is lossless: split-on-literal + join-with-the-same-literal
+    * round-trips byte-identically (the delimiter is regex-quoted before
+    * reaching `split`).
     */
   private def lineFps(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      hash64: Boolean
+      hash64: Boolean,
+      delimiter: String = "\n"
   ): DataFrame =
     df.select(
         col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line"))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("_pos", "_line"))
       )
       .select(
         col(idCol),
@@ -58,10 +66,11 @@ object Lines {
       textCol: String,
       idCol: String,
       minDocs: Int = 2,
-      hash64: Boolean = false
+      hash64: Boolean = false,
+      delimiter: String = "\n"
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
-    lineFps(df, textCol, idCol, hash64)
+    lineFps(df, textCol, idCol, hash64, delimiter)
       .groupBy(col(idCol), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
       .groupBy(col("_fp"))
@@ -93,10 +102,11 @@ object Lines {
       textCol: String,
       idCol: String,
       minDocs: Int = 2,
-      hash64: Boolean = true
+      hash64: Boolean = true,
+      delimiter: String = "\n"
   ): DataFrame = {
-    val lines = lineFps(df, textCol, idCol, hash64)
-    val hot = duplicatedLines(df, textCol, idCol, minDocs, hash64)
+    val lines = lineFps(df, textCol, idCol, hash64, delimiter)
+    val hot = duplicatedLines(df, textCol, idCol, minDocs, hash64, delimiter)
       .select(col(if (hash64) "fp_x64" else "fp_md5").as("_fp"))
     val kept = lines
       .join(hot, Seq("_fp"), "left_anti")
@@ -107,7 +117,7 @@ object Lines {
             array_sort(collect_list(struct(col("_pos"), col("_line")))),
             x => x.getField("_line")
           ),
-          "\n"
+          delimiter
         ).as(textCol)
       )
     // re-admit fully-boilerplate documents with empty text; NULL-text
@@ -135,7 +145,11 @@ object Lines {
     * member of the incremental index family (MinHash d08, SimHash64
     * d09, vector-LSH d13, passages d18, SimHash128 d22).
     */
-  case class LineIndex(fpTable: String, hash64: Boolean, buckets: Int)
+  case class LineIndex(
+      fpTable: String,
+      hash64: Boolean,
+      buckets: Int,
+      delimiter: String = "\n")
 
   /** Per-fingerprint distinct-document counts for `df` — the rows both
     * [[writeLineIndex]] and [[appendToLineIndex]] persist.
@@ -144,9 +158,10 @@ object Lines {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      hash64: Boolean
+      hash64: Boolean,
+      delimiter: String = "\n"
   ): DataFrame =
-    lineFps(df, textCol, idCol, hash64)
+    lineFps(df, textCol, idCol, hash64, delimiter)
       .select(col(idCol), col("_fp"))
       .distinct()
       .groupBy(col("_fp"))
@@ -163,11 +178,12 @@ object Lines {
       idCol: String,
       name: String,
       hash64: Boolean = true,
-      buckets: Int = 32
+      buckets: Int = 32,
+      delimiter: String = "\n"
   ): LineIndex = {
-    val idx = LineIndex(s"${name}_linefps", hash64, buckets)
+    val idx = LineIndex(s"${name}_linefps", hash64, buckets, delimiter)
     Dedup.writeBucketedTable(
-      fpDocCounts(df, textCol, idCol, hash64),
+      fpDocCounts(df, textCol, idCol, hash64, delimiter),
       idx.fpTable,
       buckets,
       Seq("_fp"),
@@ -187,7 +203,7 @@ object Lines {
       idx: LineIndex
   ): Unit =
     Dedup.writeBucketedTable(
-      fpDocCounts(delta, textCol, idCol, idx.hash64),
+      fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
@@ -213,8 +229,8 @@ object Lines {
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
     val spark = delta.sparkSession
-    val lines = lineFps(delta, textCol, idCol, idx.hash64)
-    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64)
+    val lines = lineFps(delta, textCol, idCol, idx.hash64, idx.delimiter)
+    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
     // appends leave multiple rows per fp; summing on the bucket key
     // plans as a bucketed scan + partial agg with no Exchange
     val corpusCounts = spark
@@ -236,7 +252,7 @@ object Lines {
             array_sort(collect_list(struct(col("_pos"), col("_line")))),
             x => x.getField("_line")
           ),
-          "\n"
+          idx.delimiter
         ).as(textCol)
       )
     // same NULL-preserving re-admission as [[dropDuplicatedLines]]

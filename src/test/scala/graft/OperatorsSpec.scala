@@ -825,6 +825,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) === "only\nunique\nlines")
   }
 
+  test("compiled nfcNormalize == java.text.Normalizer on edge strings; canonicalizeForDedup folds spellings") {
+    val edge = Seq(
+      "",
+      "plain ascii",
+      "Café",            // decomposed
+      "Café",             // precomposed — same visible string
+      "Ǻb",        // stacked combining marks
+      "😀 emoji",    // surrogate pair
+      "ẛ̣",          // NFC corner: long s with dot above + dot below
+      "mixed Café and Café in one"
+    )
+    val df = edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df
+      .select($"doc_id", TextFunctions.nfcNormalize($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    edge.zipWithIndex.foreach { case (t, i) =>
+      val expected = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(got(i.toLong) === expected, s"input $i")
+    }
+    // the two spellings of café canonicalize to the SAME bytes — the
+    // whole point of running this before exact dedup
+    val canon = Seq((1L, "Café  DELUXE"), (2L, "CAFÉ\tdeluxe"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.canonicalizeForDedup($"text").as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(canon.size === 1, s"spellings did not fold: $canon")
+    assert(canon.head === "café deluxe")
+  }
+
   test("pairInvariants counts every violation class (the dNN_audit rows are not vacuously zero)") {
     val perDoc = Seq((1L, 10L), (2L, 12L), (3L, 10L)).toDF("_cid", "_fp")
     val pairs = Seq(
@@ -857,6 +886,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getAs[Long]("has_pairs") === 0L)
     assert(e.getAs[Long]("bad_order") === 0L)
     assert(e.getAs[Long]("dup_pairs") === 0L)
+  }
+
+  test("paragraph-level dedup: inner newlines survive, hot paragraphs drop, incremental carries the delimiter") {
+    val df = Seq(
+      Doc(1, "hot para\nline two\n\nbody one"),
+      Doc(2, "hot para\nline two\n\nbody two"),
+      Doc(3, "hot para\nline two"),            // fully boilerplate
+      Doc(4, "keep\nme\n\nintact")             // untouched, inner \n kept
+    ).toDS.toDF
+    val got = Lines
+      .dropDuplicatedLines(df, "text", "doc_id", minDocs = 2, delimiter = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "body one",
+      2L -> "body two",
+      3L -> "",
+      4L -> "keep\nme\n\nintact"
+    ))
+    // doc 4's inner "\n" and "\n\n" structure came back byte-identical —
+    // the lossless split/join round trip at paragraph granularity
+    val idx = Lines.writeLineIndex(
+      df.filter($"doc_id" <= 2), "text", "doc_id", "para_idx",
+      buckets = 4, delimiter = "\n\n")
+    try {
+      assert(idx.delimiter === "\n\n")
+      val delta = Seq(Doc(10, "hot para\nline two\n\nfresh body")).toDS.toDF
+      val cleaned = Lines
+        .dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(cleaned(10L) === "fresh body",
+        "corpus-hot paragraph must drop from the delta at the index's delimiter")
+    } finally spark.sql("DROP TABLE IF EXISTS para_idx_linefps")
   }
 
   test("topKAudit counts every violation class (the s07 audit row is not vacuously zero)") {
