@@ -93,6 +93,18 @@ object SparkEntry {
     (3100004L, "already canonical ascii")
   )
 
+  /** Planted docs for d31 (canonical-key exact dedup): three spellings
+    * of the same text that byte-differ (decomposed vs precomposed vs
+    * case/whitespace variants) but collapse to ONE canonical key —
+    * exact dedup on raw bytes would keep all three.
+    */
+  private val canonPlantedDocs: Seq[(Long, String)] = Seq(
+    (3300001L, "Café Menu"), // DECOMPOSED e + U+0301
+    (3300002L, "CAFÉ  MENU"),
+    (3300003L, "café menu"),
+    (3300004L, "a genuinely unique planted text")
+  )
+
   /** Planted docs for d30 (paragraph-level dedup): fixture docs are
     * single-line, so these supply the paragraph branches — a hot
     * boilerplate paragraph that itself CONTAINS a newline (the whole
@@ -1110,6 +1122,27 @@ object SparkEntry {
               |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS canon
               |FROM all_docs""".stripMargin)
     ),
+    // corpus vocabulary top-k (tokenizer-prep shape): token counts via
+    // one map-side-combinable hash-agg, then TakeOrdered — never a full
+    // sort. Ties at the cut are broken (count desc, token asc) so the
+    // selected SET is deterministic in both engines
+    Q(
+      "t15_vocab_topk",
+      (s, d) =>
+        documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(100),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT unnest(split(text, ' ')) AS token FROM documents)
+             |WHERE token <> ''
+             |GROUP BY token
+             |ORDER BY n DESC, token ASC
+             |LIMIT 100""".stripMargin)
+    ),
     // document fingerprinting: md5 + polynomial rolling hash
     Q(
       "t04_fingerprint",
@@ -1587,6 +1620,27 @@ object SparkEntry {
              |       coalesce(string_agg(k.para, chr(10)||chr(10) ORDER BY k.pos), '') AS text
              |FROM all_docs a LEFT JOIN kept k ON a.doc_id = k.doc_id
              |GROUP BY a.doc_id""".stripMargin)
+    ),
+    // exact dedup on the CANONICAL key (t14 ∘ d01, the intended
+    // composition): spellings that byte-differ only in Unicode form,
+    // case, or whitespace collapse to one group, keep-min-id. Raw-byte
+    // exact dedup keeps all three planted café spellings; canonical
+    // dedup keeps one
+    Q(
+      "d31_dedup_canonical",
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(canonPlantedDocs.toDF("doc_id", "text"))
+          .groupBy(functions.TextFunctions.canonicalizeForDedup(col("text")).as("_c"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(canonPlantedDocs)})
+             |SELECT min(doc_id) AS doc_id FROM all_docs
+             |GROUP BY trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g'))""".stripMargin)
     ),
     // incremental line cleaning against the persisted catalogue — the
     // SECOND full-oracle incremental member (after d18): line
