@@ -90,11 +90,14 @@ object Bench {
 
   /** Forms timed only at the small fixture: d04/d06/d12 embed the
     * labeled brute O(n²) oracle (>120 s each at sf0.1), and the
-    * d25-d28 audits re-run their base emitter (d03/d21/d14/d22) plus
-    * verification joins — timing them at the target SF would double
-    * the heavy d-family's bench cost to measure work already timed
-    * under the base keys. The audit-specific machinery
-    * ([[graft.operators.Dedup.pairInvariants]]) still gets a visible
+    * d25-d29 + s07 audits re-run their base emitter (d03/d21/d14/d22
+    * for the simhash audits, d07 for the vector-LSH audit, s02/s03 for
+    * the ANN top-k audit) plus verification joins — timing them at the
+    * target SF would double the heavy d-family's bench cost to measure
+    * work already timed under the base keys (every base emitter is
+    * still timed at full SF under its own key). The audit-specific
+    * machinery ([[graft.operators.Dedup.pairInvariants]],
+    * [[graft.operators.Similarity.topKAudit]]) still gets a visible
     * number here.
     */
   private val smallFixture: Seq[String] =

@@ -1115,11 +1115,17 @@ object SparkEntry {
             col("doc_id"),
             functions.TextFunctions.canonicalizeForDedup(col("text")).as("canon"))
       },
+      // NOTE: the whitespace class is double-escaped (\\t → the two
+      // chars backslash-t in the SQL literal) so DuckDB's regex engine —
+      // not the Scala interpolator — interprets the escapes. A literal
+      // TAB/LF/CR/FF inside this string would survive today but breaks
+      // silently under stripMargin reformats or CRLF checkouts
+      // (round-9 advice)
       Some(s"""WITH all_docs AS (
               |  SELECT doc_id, text FROM documents
               |  UNION ALL ${valuesSql(nfcPlantedDocs)})
               |SELECT doc_id,
-              |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g')) AS canon
+              |  trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS canon
               |FROM all_docs""".stripMargin)
     ),
     // corpus vocabulary top-k (tokenizer-prep shape): token counts via
@@ -1636,11 +1642,12 @@ object SparkEntry {
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
       },
+      // whitespace class double-escaped for the same reason as t14's
       Some(s"""WITH all_docs AS (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL ${valuesSql(canonPlantedDocs)})
              |SELECT min(doc_id) AS doc_id FROM all_docs
-             |GROUP BY trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g'))""".stripMargin)
+             |GROUP BY trim(regexp_replace(lower(nfc_normalize(text)), '[ \\t\\n\\r\\f]+', ' ', 'g'))""".stripMargin)
     ),
     // incremental line cleaning against the persisted catalogue — the
     // SECOND full-oracle incremental member (after d18): line

@@ -153,8 +153,18 @@ object Dedup {
       .withColumn("_fp", fp)
       .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
     val unseen = if (materialize) unseenLazy.localCheckpoint(true) else unseenLazy
+    // NULL-text CONTRACT (batch-invariant, round-9 advice): a NULL text
+    // is never a duplicate of anything — not of the index (SQL anti-join
+    // semantics pass NULL fps through as unseen) and not of another
+    // NULL in the SAME delta. Grouping on `_fp` alone would collapse
+    // same-delta NULLs (groupBy treats NULLs as one group) while
+    // cross-delta NULLs both survive — a batching-dependent result. The
+    // secondary key is the row's own id exactly when `_fp` IS NULL, so
+    // each NULL-fp row forms its own keeper group and passes through
+    // untouched; for non-NULL fps the key is constant-NULL and the
+    // grouping is unchanged.
     val keepers = unseen
-      .groupBy(col("_fp"))
+      .groupBy(col("_fp"), when(col("_fp").isNull, col(idCol)).as("_nullkey"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     unseen.drop("_fp").join(keepers, Seq(idCol), "left_semi")

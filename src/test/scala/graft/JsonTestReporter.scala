@@ -92,11 +92,18 @@ final class JsonTestReporter extends Reporter {
     val maybePartial = green && existingTotal.exists(_ > total)
     if (maybePartial) {
       System.err.println(
-        s"[JsonTestReporter] run covered $total tests but $path previously recorded ${existingTotal.get} — writing with maybe_partial: true (full `sbt test` clears it)")
+        s"[JsonTestReporter] run covered $total tests but $path previously recorded ${existingTotal.get} — writing with green: false, maybe_partial: true (full `sbt test` restores green)")
     }
     val writtenAt = java.time.Instant.now().toString
+    // `green` is the CONSUMER-FACING verdict: a possibly-partial run must
+    // not assert green for tests it never ran, so maybe_partial forces
+    // green: false even when every executed test passed (round-9 advice —
+    // consumers that read only `green` would otherwise see a green
+    // artifact covering a subset of suites). `run_green` preserves the
+    // this-run-only outcome for humans debugging a partial run.
+    val consumerGreen = green && !maybePartial
     val json =
-      s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "aborted_suites": ${aborted.size}, "total": $total, "green": $green, "maybe_partial": $maybePartial, "prev_total": ${existingTotal.map(_.toString).getOrElse("null")}, "written_at": ${jsonStr(writtenAt)}, "failed_names": [${(failed ++ aborted.map("ABORTED: " + _)).map(jsonStr).mkString(", ")}]}"""
+      s"""{"succeeded": $succeeded, "failed": ${failed.size}, "canceled": $canceled, "ignored": $ignored, "aborted_suites": ${aborted.size}, "total": $total, "green": $consumerGreen, "run_green": $green, "maybe_partial": $maybePartial, "prev_total": ${existingTotal.map(_.toString).getOrElse("null")}, "written_at": ${jsonStr(writtenAt)}, "failed_names": [${(failed ++ aborted.map("ABORTED: " + _)).map(jsonStr).mkString(", ")}]}"""
     val out = new PrintWriter(path)
     try out.println(json)
     finally out.close()

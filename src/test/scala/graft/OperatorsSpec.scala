@@ -199,6 +199,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("d02/d08 full-oracle guard: sf0.01 fixture has no pair in the LSH recall-unsafe jaccard band [0.4, 0.9)") {
+    // The d02/d08 exact-set DuckDB oracles are sound only because every
+    // fixture pair above the 0.4 threshold actually sits at jaccard
+    // ≥ 0.9, where 16×2 banding misses with p ≈ 3e-12. A generator
+    // change introducing mid-band pairs (e.g. j ≈ 0.45 → ~3% per-pair
+    // miss) would turn those oracles into rare flakes; this guard makes
+    // such a regen fail HERE, loudly, at the cause (round-9 advice).
+    // Runs at sf0.01 — the fixture the driver's oracle compare uses.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir)
+    val inBand = Dedup
+      .jaccardPairsBrute(docs, "text", "doc_id", threshold = 0.4)
+      .filter($"jacc" < 0.9)
+      .agg(count(lit(1)).as("n"), min($"jacc").as("lo"), max($"jacc").as("hi"))
+      .collect()(0)
+    val n = inBand.getLong(0)
+    val range =
+      if (n == 0) "" else f" in [${inBand.getDouble(1)}%.3f, ${inBand.getDouble(2)}%.3f]"
+    assert(
+      n === 0L,
+      s"fixture regen introduced $n pair(s) with jaccard$range ⊂ [0.4, 0.9) — " +
+        "the d02/d08 FULL oracles are no longer recall-safe; either regenerate " +
+        "without mid-band pairs or demote d02/d08 to rows-only")
+  }
+
   test("incremental dedup against a persisted index == batch on the union (gate)") {
     // the daily-pipeline contract: pairs(corpus) ∪ incremental(delta, idx)
     // must equal batch(corpus ∪ delta) — no missed cross pairs, no
@@ -972,10 +998,24 @@ class OperatorsSpec extends AnyFunSuite {
         val out = Dedup.exactDedupIncremental(delta, "text", "doc_id", idx)
         val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
         graft.CacheUtil.release(out)
-        // NULL texts pass through as unseen (keep-min within delta keeps
-        // 10); "real" is dropped by corpus precedence — identically in
-        // both modes
-        assert(got === Set(10L), s"hash64=$h64")
+        // NULL texts are never duplicates of ANYTHING — not of the
+        // indexed NULL, and not of each other even within one delta
+        // (batch-invariant contract: the same two docs in one delta or
+        // in two deltas give the same answer). "real" is dropped by
+        // corpus precedence — identically in both modes
+        assert(got === Set(10L, 11L), s"hash64=$h64")
+        // batch-invariance leg: the same NULL docs split across two
+        // deltas must give the same survivors
+        val d1 = Seq(Doc(10, null)).toDS.toDF
+        val d2 = Seq(Doc(11, null)).toDS.toDF
+        val o1 = Dedup.exactDedupIncremental(d1, "text", "doc_id", idx)
+        val s1 = o1.select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.CacheUtil.release(o1)
+        Dedup.appendToExactDedupIndex(d1, "text", idx)
+        val o2 = Dedup.exactDedupIncremental(d2, "text", "doc_id", idx)
+        val s2 = o2.select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.CacheUtil.release(o2)
+        assert((s1 ++ s2) === got, s"hash64=$h64 batching changed NULL survivors")
       } finally spark.sql(s"DROP TABLE IF EXISTS exnull_${h64}_exactfps")
     }
   }
