@@ -597,6 +597,72 @@ object Dedup {
     spark.sql(s"DROP TABLE $old")
   }
 
+  /** Cap every (_chunk, _val) bucket of a pigeonhole membership table at
+    * its `maxBucket` LOWEST ids — the batch emitters' cap rule applied at
+    * WRITE time, so incremental probes read pre-capped corpus buckets and
+    * incremental == capped-batch holds even over the cap (round-9
+    * verdict: the uncapped corpus leg was the family's one contract-level
+    * hazard). Singleton buckets are KEPT (a future delta may pair against
+    * them — unlike the emitters' members table, which drops them as a
+    * pure optimization). Ordering is by `_id` (ids are unique, so the
+    * struct sort is a deterministic pure id sort). The groupBy adds one
+    * Exchange on the bucket keys at build/append time — the same keys the
+    * bucketed write needs anyway.
+    */
+  private def capChunkBuckets(
+      chunked: DataFrame,
+      maxBucket: Int,
+      carried: Seq[String]
+  ): DataFrame = {
+    val fields = "_id" +: carried
+    // rank-filter, not groupBy+collect_list+slice: one sort-based window
+    // over the bucket keys instead of per-bucket array materialization —
+    // same one Exchange (which the bucketed write needs anyway), no
+    // wide-row aggregation buffers on hot buckets
+    val w = Window.partitionBy(col("_chunk"), col("_val")).orderBy(col("_id"))
+    chunked
+      .withColumn("_brank", row_number().over(w))
+      .filter(col("_brank") <= maxBucket)
+      .select(
+        col("_chunk") +: col("_val") +: fields.map(col): _*)
+  }
+
+  /** Delta-side bucket admission against a capped index table under the
+    * FIRST-SEEN-WINS cap contract (monotone ids: corpus ids precede delta
+    * ids — the same daily-crawl assumption [[exactDedupIncremental]]
+    * documents): a delta row joins a bucket only while the bucket has
+    * free slots after the stored members, lowest delta ids first. With
+    * the table pre-capped by [[capChunkBuckets]], the stored-row count
+    * per bucket IS min(bucket size, maxBucket), so
+    * `rank ≤ maxBucket − count(stored)` reproduces the batch cap on the
+    * union exactly: a saturated bucket admits nothing, a part-full bucket
+    * admits the lowest remaining ids. Under NON-monotone ids an over-cap
+    * bucket may diverge from batch (a low delta id cannot retroactively
+    * evict a stored member) — identical in kind to first-seen-wins vs
+    * min-id in the exact family. Corpus cost: one extra column-pruned
+    * bucketed scan (bucket keys only), semi-filtered by the broadcast
+    * delta bucket set and aggregated with zero Exchange.
+    */
+  private def admittedAgainstIndex(
+      chunked: DataFrame,
+      table: String,
+      maxBucket: Int
+  ): DataFrame = {
+    val spark = chunked.sparkSession
+    val deltaBuckets = chunked.select(col("_chunk"), col("_val")).distinct()
+    val counts = spark
+      .table(table)
+      .join(broadcast(deltaBuckets), Seq("_chunk", "_val"), "left_semi")
+      .groupBy(col("_chunk"), col("_val"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("_chunk"), col("_val")).orderBy(col("_id"))
+    chunked
+      .withColumn("_rank", row_number().over(w))
+      .join(counts, Seq("_chunk", "_val"), "left_outer")
+      .filter(col("_rank") <= lit(maxBucket.toLong) - coalesce(col("_n"), lit(0L)))
+      .drop("_rank", "_n")
+  }
+
   /** Compact an exact-dedup index: appends may re-add fingerprints a
     * later delta already contributed, so compaction also dedups rows.
     */
@@ -607,21 +673,38 @@ object Dedup {
     compactBucketedIndexTable(
       spark, idx.fpTable, idx.buckets, Seq("_fp"), _.distinct())
 
-  /** Compact a SimHash index (membership rows are already unique per
-    * doc — this is a pure small-file merge).
+  /** Compact a SimHash index (membership rows are unique per doc — a
+    * small-file merge that also re-applies the bucket cap, healing any
+    * legacy uncapped table into the capped-write contract).
     */
   def compactSimHashIndex(
       spark: org.apache.spark.sql.SparkSession,
       idx: SimHashIndex
   ): Unit =
-    compactBucketedIndexTable(spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"))
+    compactBucketedIndexTable(
+      spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      capChunkBuckets(_, idx.maxBucket, Seq("_simhash")))
 
-  /** Compact a 128-bit SimHash index (pure small-file merge). */
+  /** Compact a 128-bit SimHash index (small-file merge + cap re-apply). */
   def compactSimHash128Index(
       spark: org.apache.spark.sql.SparkSession,
       idx: SimHash128Index
   ): Unit =
-    compactBucketedIndexTable(spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"))
+    compactBucketedIndexTable(
+      spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      capChunkBuckets(_, idx.maxBucket, Seq("_sh0", "_sh1")))
+
+  /** Compact a combination-keyed SimHash index (small-file merge + cap
+    * re-apply) — the eighth index family's wrapper, same crash-safe swap
+    * and gates as every other wrapper on [[compactBucketedIndexTable]].
+    */
+  def compactSimHashComboIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: SimHashComboIndex
+  ): Unit =
+    compactBucketedIndexTable(
+      spark, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      capChunkBuckets(_, idx.maxBucket, Seq("_simhash")))
 
   /** Compact a MinHash index after many appends: membership and shingle
     * rows are unique per doc under the disjoint-delta append contract,
@@ -1144,11 +1227,19 @@ object Dedup {
     * and exactly-once emission run inline from the table — no lookup
     * join.
     */
-  case class SimHash128Index(chunkTable: String, maxHamming: Int, buckets: Int)
+  case class SimHash128Index(
+      chunkTable: String,
+      maxHamming: Int,
+      buckets: Int,
+      maxBucket: Int = 10000)
 
   /** Build and persist a 128-bit SimHash index for `df` under catalog
     * table `<name>_chunks128`, bucketed by (_chunk, _val) so incremental
-    * probes read the corpus side with zero Exchange.
+    * probes read the corpus side with zero Exchange. Buckets are capped
+    * at the `maxBucket` lowest ids AT WRITE TIME ([[capChunkBuckets]]),
+    * so probes see exactly the membership the capped batch form would
+    * use; `maxBucket` travels with the handle — probing with a different
+    * cap would break the parity contract.
     */
   def writeSimHash128Index(
       df: DataFrame,
@@ -1156,15 +1247,20 @@ object Dedup {
       idCol: String,
       name: String,
       maxHamming: Int = 20,
-      buckets: Int = 32
+      buckets: Int = 32,
+      maxBucket: Int = 10000
   ): SimHash128Index = {
     require(
       maxHamming >= 0 && maxHamming < 128,
       s"maxHamming must be in [0, 128), got $maxHamming"
     )
-    val idx = SimHash128Index(s"${name}_chunks128", maxHamming, buckets)
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val idx = SimHash128Index(s"${name}_chunks128", maxHamming, buckets, maxBucket)
     writeBucketedTable(
-      simHashChunked128(df, textCol, idCol, maxHamming),
+      capChunkBuckets(
+        simHashChunked128(df, textCol, idCol, maxHamming),
+        maxBucket,
+        Seq("_sh0", "_sh1")),
       idx.chunkTable,
       buckets,
       Seq("_chunk", "_val"),
@@ -1175,21 +1271,32 @@ object Dedup {
 
   /** Fold a delta into an existing 128-bit index (after its pairs were
     * emitted via [[simHashNearDups128Incremental]]) so the NEXT delta
-    * dedups against corpus ∪ this delta.
+    * dedups against corpus ∪ this delta. Only rows the bucket cap admits
+    * ([[admittedAgainstIndex]]) are appended — exactly the membership the
+    * probe paired, keeping stored buckets ≤ `idx.maxBucket` forever.
     */
   def appendToSimHash128Index(
       delta: DataFrame,
       textCol: String,
       idCol: String,
       idx: SimHash128Index
-  ): Unit =
-    writeBucketedTable(
+  ): Unit = {
+    // materialize before writing: the admission plan reads the very
+    // table the append inserts into
+    val admitted = admittedAgainstIndex(
       simHashChunked128(delta, textCol, idCol, idx.maxHamming),
+      idx.chunkTable,
+      idx.maxBucket
+    ).localCheckpoint(true)
+    writeBucketedTable(
+      admitted,
       idx.chunkTable,
       idx.buckets,
       Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append
     )
+    graft.CacheUtil.release(admitted)
+  }
 
   /** Incremental wide-radius SimHash near-dups: every pair within
     * `idx.maxHamming` with at least one member in `delta` =
@@ -1202,26 +1309,24 @@ object Dedup {
     * materialized and the delta-side blocks are released before
     * returning.
     *
-    * Hot-bucket caveat (same contract as the 64-bit twin): `maxBucket`
-    * caps only the within-delta leg — the delta × corpus leg reads
-    * corpus buckets UNCAPPED (capping them would shuffle or sort the
-    * corpus on every probe), so on a (chunk, value) bucket over the cap
-    * the incremental path emits pairs (and join work) the capped batch
-    * form would suppress. The incremental == batch parity gate holds
-    * only while no bucket exceeds the cap; audit with
-    * [[hotSimHash128Buckets]] at build time — at radius 20 the 11-12-bit
-    * chunks make hot buckets the expected failure mode on skewed
-    * corpora, which is exactly when the audit must gate the append.
+    * Bucket-cap contract (round-10): the index is pre-capped at write/
+    * append/compact time ([[capChunkBuckets]]) and the delta side is
+    * admitted per bucket into the remaining slots
+    * ([[admittedAgainstIndex]]), so incremental == capped-batch holds
+    * even on buckets OVER `idx.maxBucket` (gated with a planted over-cap
+    * bucket), under the monotone-id daily-crawl contract. Audit what the
+    * cap truncates with [[hotSimHash128Buckets]] — at radius 20 the
+    * 11-12-bit chunks make hot buckets the expected failure mode on
+    * skewed corpora.
     */
   def simHashNearDups128Incremental(
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHash128Index,
-      maxBucket: Int = 10000
+      idx: SimHash128Index
   ): DataFrame = {
     val lazyPairs =
-      simHash128PairsIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+      simHash128PairsIncrementalLazy(delta, textCol, idCol, idx)
     val out = lazyPairs.localCheckpoint(true)
     graft.CacheUtil.release(lazyPairs)
     out
@@ -1235,14 +1340,15 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHash128Index,
-      maxBucket: Int
+      idx: SimHash128Index
   ): DataFrame = {
-    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val spark = delta.sparkSession
-    val chunked =
+    val chunkedRaw =
       simHashChunked128(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
-    val within = simHash128PairsFromChunked(chunked, idx.maxHamming, maxBucket)
+    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
+      .localCheckpoint(true)
+    graft.CacheUtil.release(chunkedRaw)
+    val within = simHash128PairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
     val corpus = spark.table(idx.chunkTable)
     val cross = chunked
       .as("d")
@@ -1533,12 +1639,19 @@ object Dedup {
     * `maxHamming`, and probing with a different radius would block on a
     * disjoint (chunk, value) space.
     */
-  case class SimHashIndex(chunkTable: String, maxHamming: Int, buckets: Int)
+  case class SimHashIndex(
+      chunkTable: String,
+      maxHamming: Int,
+      buckets: Int,
+      maxBucket: Int = 10000)
 
   /** Build and persist a SimHash index for `df` under catalog table
     * `<name>_chunks`, bucketed by (_chunk, _val) so incremental probes
     * read the corpus side with zero Exchange. One pass evaluates each
     * SimHash once ([[simHashChunked]] spreads the hash compute first).
+    * Buckets are capped at the `maxBucket` lowest ids AT WRITE TIME
+    * ([[capChunkBuckets]]) so probes see exactly the membership the
+    * capped batch form would use; `maxBucket` travels with the handle.
     */
   def writeSimHashIndex(
       df: DataFrame,
@@ -1546,15 +1659,20 @@ object Dedup {
       idCol: String,
       name: String,
       maxHamming: Int = 3,
-      buckets: Int = 32
+      buckets: Int = 32,
+      maxBucket: Int = 10000
   ): SimHashIndex = {
     require(
       maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming"
     )
-    val idx = SimHashIndex(s"${name}_chunks", maxHamming, buckets)
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val idx = SimHashIndex(s"${name}_chunks", maxHamming, buckets, maxBucket)
     writeBucketedTable(
-      simHashChunked(df, textCol, idCol, maxHamming),
+      capChunkBuckets(
+        simHashChunked(df, textCol, idCol, maxHamming),
+        maxBucket,
+        Seq("_simhash")),
       idx.chunkTable,
       buckets,
       Seq("_chunk", "_val"),
@@ -1565,21 +1683,32 @@ object Dedup {
 
   /** Fold a delta into an existing SimHash index (after its pairs were
     * emitted via [[simHashNearDupsIncremental]]) so the NEXT delta dedups
-    * against corpus ∪ this delta.
+    * against corpus ∪ this delta. Only rows the bucket cap admits
+    * ([[admittedAgainstIndex]]) are appended — exactly the membership the
+    * probe paired, keeping stored buckets ≤ `idx.maxBucket` forever.
     */
   def appendToSimHashIndex(
       delta: DataFrame,
       textCol: String,
       idCol: String,
       idx: SimHashIndex
-  ): Unit =
-    writeBucketedTable(
+  ): Unit = {
+    // materialize before writing: the admission plan reads the very
+    // table the append inserts into
+    val admitted = admittedAgainstIndex(
       simHashChunked(delta, textCol, idCol, idx.maxHamming),
+      idx.chunkTable,
+      idx.maxBucket
+    ).localCheckpoint(true)
+    writeBucketedTable(
+      admitted,
       idx.chunkTable,
       idx.buckets,
       Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append
     )
+    graft.CacheUtil.release(admitted)
+  }
 
   /** Incremental SimHash near-dups: every pair within `idx.maxHamming`
     * with at least one member in `delta` = (delta × corpus) via the
@@ -1594,13 +1723,15 @@ object Dedup {
     * index's bucket partitioning). Exactly-once emission uses the same
     * lowest-matching-chunk conjunction as the batch path, evaluated
     * across the delta/corpus pair from the carried hashes; verification
-    * is inline `bit_count(xor)` — no lookup join at all. The within-delta
-    * leg caps buckets at `maxBucket` like the batch path; the corpus side
-    * is NOT capped (capping it would shuffle the corpus — audit with
-    * [[hotSimHashBuckets]] at build time instead). Consequence: on a
-    * bucket over the cap the incremental path emits pairs the capped
-    * batch form would suppress — the incremental == batch parity gate
-    * holds only while no bucket exceeds the cap.
+    * is inline `bit_count(xor)` — no lookup join at all.
+    *
+    * Bucket-cap contract (round-10): the index is pre-capped at write/
+    * append/compact time ([[capChunkBuckets]]) and the delta side is
+    * admitted per bucket into the remaining slots
+    * ([[admittedAgainstIndex]]), so incremental == capped-batch holds
+    * even on buckets OVER `idx.maxBucket` (gated with a planted over-cap
+    * bucket), under the monotone-id daily-crawl contract. Audit what the
+    * cap truncates with [[hotSimHashBuckets]] at build time.
     *
     * Result is materialized (localCheckpoint) and the delta-side blocks
     * are released before returning.
@@ -1609,14 +1740,13 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashIndex,
-      maxBucket: Int = 10000
+      idx: SimHashIndex
   ): DataFrame = {
     val lazyPairs =
-      simHashPairsIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+      simHashPairsIncrementalLazy(delta, textCol, idCol, idx)
     val out = lazyPairs.localCheckpoint(true)
     // releasing the lazy plan frees BOTH delta-side checkpoints it reads
-    // (the chunked delta and the capped within-delta membership)
+    // (the admitted delta membership and the capped within-delta members)
     graft.CacheUtil.release(lazyPairs)
     out
   }
@@ -1630,14 +1760,15 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashIndex,
-      maxBucket: Int
+      idx: SimHashIndex
   ): DataFrame = {
-    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val spark = delta.sparkSession
-    val chunked =
+    val chunkedRaw =
       simHashChunked(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
-    val within = simHashPairsFromChunked(chunked, idx.maxHamming, maxBucket)
+    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
+      .localCheckpoint(true)
+    graft.CacheUtil.release(chunkedRaw)
+    val within = simHashPairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
     val corpus = spark.table(idx.chunkTable)
     val cross = chunked
       .as("d")
@@ -1675,7 +1806,8 @@ object Dedup {
       chunkTable: String,
       maxHamming: Int,
       blocks: Int,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 10000
   )
 
   /** Build and persist a combination-keyed SimHash index for `df` under
@@ -1693,13 +1825,18 @@ object Dedup {
       name: String,
       maxHamming: Int = 3,
       blocks: Int = 6,
-      buckets: Int = 32
+      buckets: Int = 32,
+      maxBucket: Int = 10000
   ): SimHashComboIndex = {
     val subsets = comboSubsetsChecked(maxHamming, blocks)
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val (widths, offsets) = chunkLayout(blocks)
-    val idx = SimHashComboIndex(s"${name}_combo", maxHamming, blocks, buckets)
+    val idx = SimHashComboIndex(s"${name}_combo", maxHamming, blocks, buckets, maxBucket)
     writeBucketedTable(
-      simHashComboKeyed(df, textCol, idCol, subsets, widths, offsets),
+      capChunkBuckets(
+        simHashComboKeyed(df, textCol, idCol, subsets, widths, offsets),
+        maxBucket,
+        Seq("_simhash")),
       idx.chunkTable,
       buckets,
       Seq("_chunk", "_val"),
@@ -1710,7 +1847,8 @@ object Dedup {
 
   /** Fold a delta into an existing combination index (after its pairs
     * were emitted via [[simHashNearDupsIncrementalCombo]]) so the NEXT
-    * delta dedups against corpus ∪ this delta.
+    * delta dedups against corpus ∪ this delta. Only rows the bucket cap
+    * admits ([[admittedAgainstIndex]]) are appended.
     */
   def appendToSimHashComboIndex(
       delta: DataFrame,
@@ -1720,13 +1858,19 @@ object Dedup {
   ): Unit = {
     val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
     val (widths, offsets) = chunkLayout(idx.blocks)
-    writeBucketedTable(
+    val admitted = admittedAgainstIndex(
       simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets),
+      idx.chunkTable,
+      idx.maxBucket
+    ).localCheckpoint(true)
+    writeBucketedTable(
+      admitted,
       idx.chunkTable,
       idx.buckets,
       Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append
     )
+    graft.CacheUtil.release(admitted)
   }
 
   /** Incremental combination-keyed SimHash near-dups: every pair within
@@ -1754,11 +1898,10 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashComboIndex,
-      maxBucket: Int = 10000
+      idx: SimHashComboIndex
   ): DataFrame = {
     val lazyPairs =
-      simHashComboIncrementalLazy(delta, textCol, idCol, idx, maxBucket)
+      simHashComboIncrementalLazy(delta, textCol, idCol, idx)
     val out = lazyPairs.localCheckpoint(true)
     graft.CacheUtil.release(lazyPairs)
     out
@@ -1772,18 +1915,19 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashComboIndex,
-      maxBucket: Int
+      idx: SimHashComboIndex
   ): DataFrame = {
-    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val spark = delta.sparkSession
     val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
     val (widths, offsets) = chunkLayout(idx.blocks)
     val keyVal = (h: Column, c: Int) => comboVal(h, subsets(c), widths, offsets)
-    val keyed = simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets)
+    val keyedRaw = simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets)
       .localCheckpoint(true)
+    val keyed = admittedAgainstIndex(keyedRaw, idx.chunkTable, idx.maxBucket)
+      .localCheckpoint(true)
+    graft.CacheUtil.release(keyedRaw)
     val within =
-      simHashPairsFromKeyed(keyed, idx.maxHamming, maxBucket, subsets.length, keyVal)
+      simHashPairsFromKeyed(keyed, idx.maxHamming, idx.maxBucket, subsets.length, keyVal)
     val corpus = spark.table(idx.chunkTable)
     val cross = keyed
       .as("d")

@@ -362,6 +362,74 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("over-cap planted bucket: incremental simhash == capped batch for 64 and 128 (write/append/probe all cap)") {
+    // Round-9 verdict #2: the corpus leg used to read UNCAPPED buckets,
+    // so over the cap the incremental path emitted pairs the capped
+    // batch form suppressed. Now write/append pre-cap the stored buckets
+    // at the maxBucket lowest ids and the probe admits delta rows into
+    // the remaining slots — this gate PLANTS an over-cap bucket (cap 3,
+    // monotone ids: corpus < delta, the documented contract) and checks
+    // pair-for-pair equality with the capped batch on the union.
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val b = "kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    val c = "victor whiskey xray yankee zulu one two three four five six seven"
+    val corpus = Seq(
+      Doc(1, a), Doc(2, a), Doc(3, a), Doc(4, a), Doc(5, a), Doc(6, a), // over cap
+      Doc(101, b), Doc(102, b),                                         // 1 slot left
+      Doc(201, c)                                                       // 2 slots left
+    ).toDS.toDF
+    val delta = Seq(
+      Doc(1001, b), Doc(1002, b),             // only 1001 fits bucket b
+      Doc(1003, a),                           // bucket a saturated — excluded
+      Doc(2001, c), Doc(2002, c), Doc(2003, c) // 2001+2002 fit bucket c
+    ).toDS.toDF
+    val h = 2
+    val cap = 3
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val got = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, "pair emitted more than once")
+      got.toSet
+    }
+    val expected = Set(
+      (101L, 1001L), (102L, 1001L),                      // cross, part-full bucket
+      (201L, 2001L), (201L, 2002L), (2001L, 2002L)       // cross + within under admission
+    )
+
+    // 64-bit family
+    val idx = Dedup.writeSimHashIndex(
+      corpus, "text", "doc_id", "cap_gate", maxHamming = h, buckets = 4, maxBucket = cap)
+    try {
+      val incr = pairSet(Dedup.simHashNearDupsIncremental(delta, "text", "doc_id", idx))
+      val batch = pairSet(Dedup.simHashNearDups(
+        corpus.unionByName(delta), "text", "doc_id", maxHamming = h, maxBucket = cap))
+      val touchesDelta = batch.filter { case (x, y) => x >= 1000L || y >= 1000L }
+      assert(incr === touchesDelta, "incremental != capped batch on the over-cap fixture")
+      assert(incr === expected)
+      // append also caps: bucket b saturates at {101,102,1001}; a second
+      // b-doc must neither pair nor grow the stored bucket
+      Dedup.appendToSimHashIndex(delta, "text", "doc_id", idx)
+      val delta2 = Seq(Doc(3001, b)).toDS.toDF
+      val incr2 = Dedup.simHashNearDupsIncremental(delta2, "text", "doc_id", idx)
+      assert(incr2.count() === 0L, "saturated bucket admitted a later delta doc")
+      graft.CacheUtil.release(incr2)
+      val maxStored = spark.table(idx.chunkTable)
+        .groupBy($"_chunk", $"_val").count().agg(max($"count")).head().getLong(0)
+      assert(maxStored <= cap.toLong, s"stored bucket exceeds cap: $maxStored")
+    } finally spark.sql("DROP TABLE IF EXISTS cap_gate_chunks")
+
+    // 128-bit family (same fixture; radius on the doubled Hamming scale)
+    val idx128 = Dedup.writeSimHash128Index(
+      corpus, "text", "doc_id", "cap_gate128", maxHamming = 4, buckets = 4, maxBucket = cap)
+    try {
+      val incr = pairSet(Dedup.simHashNearDups128Incremental(delta, "text", "doc_id", idx128))
+      val batch = pairSet(Dedup.simHashNearDups128(
+        corpus.unionByName(delta), "text", "doc_id", maxHamming = 4, maxBucket = cap))
+      val touchesDelta = batch.filter { case (x, y) => x >= 1000L || y >= 1000L }
+      assert(incr === touchesDelta, "128: incremental != capped batch on the over-cap fixture")
+      assert(incr === expected)
+    } finally spark.sql("DROP TABLE IF EXISTS cap_gate128_chunks128")
+  }
+
   test("incremental simhash reads the corpus index with no corpus-side Exchange") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
@@ -374,7 +442,7 @@ class OperatorsSpec extends AnyFunSuite {
       // the public wrapper eagerly checkpoints (hiding the join), so
       // assert on the lazy plan it materializes
       val pairs =
-        Dedup.simHashPairsIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+        Dedup.simHashPairsIncrementalLazy(delta, "text", "doc_id", idx)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
@@ -465,7 +533,7 @@ class OperatorsSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val pairs =
-        Dedup.simHashComboIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+        Dedup.simHashComboIncrementalLazy(delta, "text", "doc_id", idx)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
@@ -540,7 +608,7 @@ class OperatorsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val idx = Dedup.writeSimHash128Index(
         corpus, "text", "doc_id", "s128inc_plan", maxHamming = 20, buckets = 8)
-      val pairs = Dedup.simHash128PairsIncrementalLazy(delta, "text", "doc_id", idx, 10000)
+      val pairs = Dedup.simHash128PairsIncrementalLazy(delta, "text", "doc_id", idx)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
@@ -1263,6 +1331,35 @@ class OperatorsSpec extends AnyFunSuite {
       )
     } finally Seq("cmp_lsh_bands", "cmp_lsh_vecs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- combination-keyed simhash (one catalog table) — the eighth
+    // family's wrapper (round-9 verdict #3)
+    val cbIdx = Dedup.writeSimHashComboIndex(
+      corpus, "text", "doc_id", "cmp_cb", maxHamming = 3, blocks = 6, buckets = 4)
+    try {
+      Dedup.appendToSimHashComboIndex(echo(500000L), "text", "doc_id", cbIdx)
+      Dedup.appendToSimHashComboIndex(echo(600000L), "text", "doc_id", cbIdx)
+      def cbProbe() = {
+        val out = Dedup.simHashNearDupsIncrementalCombo(
+          echo(700000L), "text", "doc_id", cbIdx)
+        val got = out.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        graft.CacheUtil.release(out)
+        got
+      }
+      assert(cbProbe().nonEmpty, "echoed delta produced no combo pairs — gate vacuous")
+      checkCompaction(
+        Seq(cbIdx.chunkTable),
+        () => cbProbe(),
+        () => Dedup.compactSimHashComboIndex(spark, cbIdx),
+        () => {
+          val lazyOut = Dedup.simHashComboIncrementalLazy(
+            echo(710000L), "text", "doc_id", cbIdx)
+          val p = lazyOut.queryExecution.executedPlan.toString
+          graft.CacheUtil.release(lazyOut)
+          p
+        }
+      )
+    } finally spark.sql("DROP TABLE IF EXISTS cmp_cb_combo")
 
     // ---- passages (one catalog table)
     val pIdx = Passages.writePassageIndex(
