@@ -68,7 +68,8 @@ object Bench {
     "t05_quality_score", "t06_repetition", "t07_redact",
     "t08_quality_filter", "t09_strip_html", "t10_ngram_docfreq",
     "t11_ngram_lm", "t12_gopher_rules", "t13_url_extract",
-    "t14_canonicalize", "t15_vocab_topk", "d31_dedup_canonical",
+    "t14_canonicalize", "t15_vocab_topk", "t16_registrable_domain",
+    "d31_dedup_canonical",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d05_embedding_neardup", "d11_contamination_report",
     "d14_simhash_combo", "d15_dup_passages", "d16_passage_dup_fraction",

@@ -134,6 +134,32 @@ object SparkEntry {
     (4100003L, "delta only\ncontent")              // untouched
   )
 
+  /** Planted URLs for t16 (registrable-domain extraction): one row per
+    * PSL algorithm branch — multi-label suffix, private-section rule,
+    * wildcard, wildcard exception, implicit-* fallback, bare suffix and
+    * IP (both NULL). `expected` is the closed-form answer the oracle
+    * restates (the PSL lookup is not expressible in SQL); the Spark side
+    * must COMPUTE it from `url` through the vendored snapshot — a
+    * passthrough cannot fake agreement on every branch. Expected values
+    * hand-derived from the publicsuffix.org algorithm over
+    * `graft/public_suffix_list_trimmed.dat`.
+    */
+  private val pslPlantedUrls: Seq[(Long, String, String)] = Seq(
+    (3400001L, "https://news.BBC.co.uk/stories?id=1", "bbc.co.uk"),
+    (3400002L, "http://example.com/a", "example.com"),
+    (3400003L, "https://deep.sub.tracker.example.com/x", "example.com"),
+    (3400004L, "https://user.github.io/project", "user.github.io"),
+    (3400005L, "https://shop.site.co.jp/", "site.co.jp"),
+    (3400006L, "http://a.b.ck/wild", "a.b.ck"),
+    (3400007L, "http://sub.www.ck/exception", "www.ck"),
+    (3400008L, "https://a.city.kawasaki.jp/ward", "city.kawasaki.jp"),
+    (3400009L, "https://x.y.kawasaki.jp/geo", "x.y.kawasaki.jp"),
+    (3400010L, "http://foo.unknowntld/fallback", "foo.unknowntld"),
+    (3400011L, "https://co.uk/", null),
+    (3400012L, "http://192.168.0.1/ip", null),
+    (3400013L, "https://cdn.assets.azurewebsites.net/f", "assets.azurewebsites.net")
+  )
+
   private def valuesSql(rows: Seq[(Long, String)]): String =
     rows
       .map { case (id, text) =>
@@ -1098,6 +1124,35 @@ object SparkEntry {
            |  lower(regexp_extract($norm, '${tf.urlSchemeHostPattern}', 0))
            |    || regexp_replace($norm, '${tf.urlSchemeHostPattern}', '', 'g') AS norm_url
            |FROM u""".stripMargin
+      }
+    ),
+    // Registrable-domain (eTLD+1) extraction against the vendored PSL
+    // snapshot — the C4/RefinedWeb per-domain grouping key
+    // (capPerGroup(domain) caps bbc.co.uk across all its hosts; raw-host
+    // grouping cannot). The PSL lookup is a JVM-side static matcher, so
+    // the oracle restates the hand-derived closed-form answers per
+    // planted branch (m02-style): Spark must actually run the matcher to
+    // agree on wildcard/exception/private/implicit-* rows at once
+    Q(
+      "t16_registrable_domain",
+      (s, d) => {
+        import s.implicits._
+        pslPlantedUrls.toDF("doc_id", "url", "_expected")
+          .select(
+            col("doc_id"),
+            col("url"),
+            functions.DomainFunctions.registrableDomainFromUrl(col("url"))
+              .as("domain"))
+      },
+      Some {
+        val values = pslPlantedUrls
+          .map { case (id, url, exp) =>
+            val e = if (exp == null) "CAST(NULL AS VARCHAR)" else s"'$exp'"
+            s"($id, '$url', $e)"
+          }
+          .mkString(", ")
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, url, domain
+           |FROM (VALUES $values) v(doc_id, url, domain)""".stripMargin
       }
     ),
     // Unicode canonicalization for dedup keys: compiled NFC expression

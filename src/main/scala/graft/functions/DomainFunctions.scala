@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registrable-domain (eTLD+1) extraction against a vendored Public
+  * Suffix List snapshot — the missing piece between [[TextFunctions.urlHost]]
+  * and the C4/RefinedWeb per-domain cap
+  * ([[graft.operators.Sampling.capPerGroup]]): capping on the raw host
+  * groups `a.co.uk` and `b.co.uk` as two unrelated hosts but lumps
+  * `news.bbc.co.uk` apart from `bbc.co.uk`; the per-domain rules in the
+  * published pipelines (C4's bad-URL filtering, RefinedWeb §3.1) are
+  * stated over REGISTRABLE domains.
+  *
+  * The matcher implements the publicsuffix.org algorithm: among all
+  * rules matching a suffix of the host (wildcard `*` matches exactly one
+  * label; `!` exception rules win outright, contributing `rule − 1`
+  * labels), the longest match is the public suffix, with the implicit
+  * `*` rule (the bare TLD) as the floor; the registrable domain is the
+  * public suffix plus one label, or NULL when the host IS a public
+  * suffix (or an IP literal / not a hostname). The rule set is a
+  * hand-trimmed PSL snapshot vendored as a resource
+  * (`graft/public_suffix_list_trimmed.dat`, MPL-2.0 public content —
+  * see its header) loaded ONCE per JVM into three hash sets — at 100 TB
+  * this is a ~100 KB static lookup on every executor, no broadcast, no
+  * join, and the expression stays inside whole-stage codegen (same
+  * static-call pattern as [[UnicodeFunctions.NfcNormalize]]).
+  */
+object DomainFunctions {
+
+  case class RegistrableDomain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "registrable_domain"
+
+    override protected def nullSafeEval(input: Any): Any =
+      DomainFunctionImpls.registrable(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode = {
+      // the impl returns null for hosts with no registrable domain, so
+      // the default defineCodeGen (which never re-checks null) would hand
+      // downstream operators a null through a non-null ExprCode slot
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"""
+          ${ev.value} = graft.functions.DomainFunctionImpls.registrable($c);
+          ${ev.isNull} = (${ev.value} == null);
+        """
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): RegistrableDomain =
+      copy(child = newChild)
+  }
+
+  case class PublicSuffix(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "public_suffix"
+
+    override protected def nullSafeEval(input: Any): Any =
+      DomainFunctionImpls.publicSuffix(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      nullSafeCodeGen(
+        ctx,
+        ev,
+        c => s"""
+          ${ev.value} = graft.functions.DomainFunctionImpls.publicSuffix($c);
+          ${ev.isNull} = (${ev.value} == null);
+        """
+      )
+
+    override protected def withNewChildInternal(newChild: Expression): PublicSuffix =
+      copy(child = newChild)
+  }
+
+  /** Registrable domain (eTLD+1) of a HOST column (see
+    * [[TextFunctions.urlHost]] to get the host from a URL). NULL when
+    * the host is itself a public suffix, an IP literal, or not a
+    * hostname.
+    */
+  def registrableDomain(host: Column): Column =
+    Shim.toColumn(RegistrableDomain(Shim.toExpression(host)))
+
+  /** Public suffix (eTLD) of a HOST column; NULL for IP literals and
+    * non-hostnames.
+    */
+  def publicSuffix(host: Column): Column =
+    Shim.toColumn(PublicSuffix(Shim.toExpression(host)))
+
+  /** Convenience composition: registrable domain straight from a URL
+    * column.
+    */
+  def registrableDomainFromUrl(url: Column): Column =
+    registrableDomain(TextFunctions.urlHost(url))
+}
+
+/** Static PSL matcher (kept outside [[DomainFunctions]] so generated
+  * code references a plain object method).
+  */
+object DomainFunctionImpls {
+
+  /** (exact rules, wildcard rule TAILS — the part after "*." —,
+    * exception rules WITHOUT the "!"), all lowercase.
+    */
+  private[graft] lazy val rules: (java.util.HashSet[String], java.util.HashSet[String], java.util.HashSet[String]) = {
+    val exact = new java.util.HashSet[String]()
+    val wildcardTails = new java.util.HashSet[String]()
+    val exceptions = new java.util.HashSet[String]()
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list_trimmed.dat")
+    require(in != null, "vendored PSL snapshot missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      for (raw <- src.getLines()) {
+        val line = raw.trim.toLowerCase
+        if (line.nonEmpty && !line.startsWith("//")) {
+          if (line.startsWith("!")) exceptions.add(line.substring(1))
+          else if (line.startsWith("*.")) wildcardTails.add(line.substring(2))
+          else exact.add(line)
+        }
+      }
+    } finally src.close()
+    (exact, wildcardTails, exceptions)
+  }
+
+  /** Number of labels in the public suffix of `labels`, or -1 when the
+    * host has no valid public suffix. Implements the PSL algorithm:
+    * exceptions win (rule minus its leftmost label), else the longest
+    * matching rule, else the implicit `*` rule (1 label).
+    */
+  private def publicSuffixLabels(labels: Array[String]): Int = {
+    val (exact, wildcardTails, exceptions) = rules
+    val n = labels.length
+    var best = 1 // implicit "*" rule: the bare TLD is a public suffix
+    var i = 0
+    while (i < n) {
+      val suffix = labels.slice(i, n).mkString(".")
+      if (exceptions.contains(suffix)) return n - i - 1
+      if (exact.contains(suffix) && n - i > best) best = n - i
+      // wildcard "*.tail" matches labels(i) + tail
+      if (i + 1 < n && wildcardTails.contains(labels.slice(i + 1, n).mkString(".")) && n - i > best)
+        best = n - i
+      i += 1
+    }
+    best
+  }
+
+  /** Split + validate a host: lowercase labels, or null when the input
+    * is an IP literal or not a plausible hostname (empty labels, no
+    * dot-separated structure needed — single labels are allowed and
+    * yield no registrable domain).
+    */
+  private def hostLabels(host: String): Array[String] = {
+    if (host.isEmpty || host.indexOf(':') >= 0) return null // IPv6 / port residue
+    val h = if (host.charAt(host.length - 1) == '.') host.substring(0, host.length - 1) else host
+    if (h.isEmpty) return null
+    val labels = h.split('.')
+    if (labels.exists(_.isEmpty)) return null
+    // IPv4 literal: every label all-digits
+    if (labels.forall(l => l.forall(c => c >= '0' && c <= '9'))) return null
+    labels.map(_.toLowerCase)
+  }
+
+  def registrable(host: UTF8String): UTF8String = {
+    if (host == null) return null
+    val labels = hostLabels(host.toString)
+    if (labels == null) return null
+    val ps = publicSuffixLabels(labels)
+    if (labels.length <= ps) null
+    else UTF8String.fromString(labels.takeRight(ps + 1).mkString("."))
+  }
+
+  def publicSuffix(host: UTF8String): UTF8String = {
+    if (host == null) return null
+    val labels = hostLabels(host.toString)
+    if (labels == null) return null
+    val ps = publicSuffixLabels(labels)
+    if (labels.length < ps) null
+    else UTF8String.fromString(labels.takeRight(ps).mkString("."))
+  }
+}

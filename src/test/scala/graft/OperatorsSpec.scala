@@ -2065,6 +2065,73 @@ class OperatorsSpec extends AnyFunSuite {
       "version strings and prices must survive")
   }
 
+  test("registrableDomain: PSL algorithm — longest rule, wildcard, exception, private, implicit-*, NULLs") {
+    val df = functions.DomainFunctions
+    def rd(host: String): Option[String] =
+      Option(Seq(Doc(1, host)).toDS.toDF
+        .select(df.registrableDomain($"text")).head().getString(0))
+    def ps(host: String): Option[String] =
+      Option(Seq(Doc(1, host)).toDS.toDF
+        .select(df.publicSuffix($"text")).head().getString(0))
+    // plain + longest-rule-wins multi-label suffixes
+    assert(rd("example.com") === Some("example.com"))
+    assert(rd("a.b.example.com") === Some("example.com"))
+    assert(rd("bbc.co.uk") === Some("bbc.co.uk"))
+    assert(rd("news.bbc.co.uk") === Some("bbc.co.uk"))
+    assert(ps("news.bbc.co.uk") === Some("co.uk"))
+    // private-section rules behave identically (github.io)
+    assert(rd("user.github.io") === Some("user.github.io"))
+    assert(rd("deep.user.github.io") === Some("user.github.io"))
+    // wildcard *.ck: every 2-level name is a suffix…
+    assert(rd("a.b.ck") === Some("a.b.ck"))
+    assert(ps("a.b.ck") === Some("b.ck"))
+    assert(rd("b.ck") === None)
+    // …except the !www.ck exception
+    assert(rd("www.ck") === Some("www.ck"))
+    assert(rd("sub.www.ck") === Some("www.ck"))
+    // Japanese geographic wildcards + city exceptions
+    assert(rd("x.y.kawasaki.jp") === Some("x.y.kawasaki.jp"))
+    assert(rd("city.kawasaki.jp") === Some("city.kawasaki.jp"))
+    assert(rd("a.city.kawasaki.jp") === Some("city.kawasaki.jp"))
+    // unknown TLD → implicit * rule (the TLD itself is the suffix)
+    assert(rd("foo.unknowntld") === Some("foo.unknowntld"))
+    assert(rd("a.foo.unknowntld") === Some("foo.unknowntld"))
+    // a bare public suffix has no registrable domain
+    assert(rd("co.uk") === None)
+    assert(rd("com") === None)
+    assert(ps("co.uk") === Some("co.uk"))
+    // IP literals / junk → NULL; trailing dot + case are folded
+    assert(rd("192.168.0.1") === None)
+    assert(rd("[2001:db8::1]") === None)
+    assert(rd("Example.COM.") === Some("example.com"))
+    // composition from a URL column
+    val got = Seq(Doc(1, "read https://News.BBC.co.uk/x?a=1 now")).toDS.toDF
+      .select(explode(functions.TextFunctions.extractUrls($"text")).as("url"))
+      .select(df.registrableDomainFromUrl($"url")).head().getString(0)
+    assert(got === "bbc.co.uk")
+  }
+
+  test("capPerGroup by registrable domain: hosts of one domain share a cap, sibling domains don't") {
+    // the C4/RefinedWeb per-domain rule: news.bbc.co.uk and www.bbc.co.uk
+    // share bbc.co.uk's cap; other.co.uk is a DIFFERENT domain even
+    // though the raw-host suffix "co.uk" matches
+    val rows = (1L to 30L).map { i =>
+      val host =
+        if (i <= 20) { if (i % 2 == 0) "news.bbc.co.uk" else "www.bbc.co.uk" }
+        else "other.co.uk"
+      (i, host)
+    }
+    val df = rows.toDF("doc_id", "host")
+      .withColumn("domain", functions.DomainFunctions.registrableDomain($"host"))
+    val kept = graft.operators.Sampling.capPerGroup(df, "domain", "doc_id", maxN = 5)
+      .select($"doc_id", $"domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byDomain = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDomain("bbc.co.uk") === 5, "20 docs across two hosts must share ONE domain cap")
+    assert(byDomain("other.co.uk") === 5)
+    assert(kept.length === 10)
+  }
+
   test("URL extract/host/normalize: delimiters, tracking params, case folding") {
     val tf = functions.TextFunctions
     val df = Seq(
