@@ -80,6 +80,7 @@ object Bench {
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
+    "st02_stream_lines",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",

@@ -160,6 +160,23 @@ object SparkEntry {
     (3400013L, "https://cdn.assets.azurewebsites.net/f", "assets.azurewebsites.net")
   )
 
+  /** Planted near-dup sentinel pair (round-9 verdict #7): two
+    * byte-identical docs whose ids span the %3 corpus/delta split
+    * (3500001 ≡ 0 → delta side, 3500002 ≡ 1 → corpus side), unioned into
+    * the near-dup emitters d02/d03/d08/d09/st01 so each is guaranteed
+    * ≥ 1 output row even at sf0.001, where the tiny slice's natural max
+    * similarity sits below every threshold — the smoke tier can no
+    * longer pass on a broken emitter. Identical text ⇒ jaccard 1.0 /
+    * hamming 0: emission is deterministic (no banding luck) and the pair
+    * stays out of the d02/d08 recall-unsafe jaccard band by
+    * construction. The vocabulary is disjoint from the generator's, so
+    * no planted-vs-fixture pair can land near any threshold.
+    */
+  private val nearDupPlantedDocs: Seq[(Long, String)] = Seq(
+    (3500001L, "planted sentinel duplicate regarding bucketed shuffle free spark joins forever"),
+    (3500002L, "planted sentinel duplicate regarding bucketed shuffle free spark joins forever")
+  )
+
   private def valuesSql(rows: Seq[(Long, String)]): String =
     rows
       .map { case (id, text) =>
@@ -1276,18 +1293,25 @@ object SparkEntry {
     // filters them, which at THIS scale is free).
     Q(
       "d02_minhash_neardup",
-      (s, d) =>
+      (s, d) => {
+        import s.implicits._
         operators.Dedup
           .minHashNearDups(
-            documents(s, d), "text", "doc_id",
+            documents(s, d).select(col("doc_id"), col("text"))
+              .unionByName(nearDupPlantedDocs.toDF("doc_id", "text")),
+            "text", "doc_id",
             threshold = 0.4, numHashes = 32, bands = 16)
-          .select(col("id_a"), col("id_b"), col("jaccard")),
-      Some("""WITH sh AS (
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
              |  SELECT doc_id,
              |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
              |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
              |         END) AS s
-             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents))
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
              |FROM sh a, sh b
@@ -1302,12 +1326,16 @@ object SparkEntry {
     // blocked==brute gate relies on that).
     Q(
       "d03_simhash_neardup",
-      (s, d) =>
+      (s, d) => {
+        import s.implicits._
         operators.Dedup
           .simHashNearDups(
-            documents(s, d), "text", "doc_id",
+            documents(s, d).select(col("doc_id"), col("text"))
+              .unionByName(nearDupPlantedDocs.toDF("doc_id", "text")),
+            "text", "doc_id",
             maxHamming = 10, maxBucket = 8192)
-          .select(col("id_a"), col("id_b")),
+          .select(col("id_a"), col("id_b"))
+      },
       None
     ),
     // 128-bit wide-radius SimHash (hash-dependent; rows-only — the
@@ -1841,7 +1869,9 @@ object SparkEntry {
     Q(
       "d08_incremental_dedup",
       (s, d) => {
-        val docs = documents(s, d)
+        import s.implicits._
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
         val corpus = docs.filter(col("doc_id") % 3 =!= 0)
         val delta = docs.filter(col("doc_id") % 3 === 0)
         val idx = operators.Dedup
@@ -1850,12 +1880,15 @@ object SparkEntry {
           .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
           .select(col("id_a"), col("id_b"), col("jaccard"))
       },
-      Some("""WITH sh AS (
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
              |  SELECT doc_id,
              |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
              |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
              |         END) AS s
-             |  FROM (SELECT doc_id, split(text, ' ') w FROM documents))
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
              |FROM sh a, sh b
@@ -1871,7 +1904,9 @@ object SparkEntry {
     Q(
       "d09_incremental_simhash",
       (s, d) => {
-        val docs = documents(s, d)
+        import s.implicits._
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
         val corpus = docs.filter(col("doc_id") % 3 =!= 0)
         val delta = docs.filter(col("doc_id") % 3 === 0)
         val idx = operators.Dedup
@@ -2174,7 +2209,7 @@ object SparkEntry {
         val fixture = documents(s, d)
           .select(col("doc_id"), col("text"))
           .as[(Long, String)]
-          .collect()
+          .collect() ++ nearDupPlantedDocs // guaranteed pair at sf0.001
         val mem = MemoryStream[(Long, String)]
         val name = s"st01_out_${streamOutSeq.incrementAndGet()}"
         // radius 3 (4×16-bit chunks): the streaming-appropriate setting —
@@ -2205,6 +2240,88 @@ object SparkEntry {
         out
       },
       None
+    ),
+    // foreachBatch + growing line catalogue — the unbounded-corpus
+    // ingest shape (round-9 verdict #5: the four growing-index stream
+    // compositions were ScalaTest-only; this promotes the line-cleaning
+    // one to a driver-visible row). Three deterministic micro-batches
+    // (doc_id % 3 = 0, 1, 2, in order) each clean against everything
+    // seen SO FAR then fold their own counts in — batch k's cleaned
+    // text == batch dropDuplicatedLines over chunks 0..k restricted to
+    // chunk k's ids, which is exactly what the FULL oracle restates as
+    // three unioned legs. The planted multi-line docs make the
+    // cross-batch phenomenon non-vacuous: "shared banner" is UNIQUE
+    // within batch 0 (kept) but hot by batch 1 (dropped) — the
+    // ingest-time asymmetry that defines the contract.
+    Q(
+      "st02_stream_lines",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(lineDedupPlanted(s))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Lines.writeLineIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st02_idx", buckets = 8)
+        val collected =
+          scala.collection.mutable.Buffer[Array[(Long, String)]]()
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = batch.localCheckpoint(true)
+            val cleaned = operators.Lines
+              .dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+            collected += cleaned.collect()
+              .map(r => (r.getLong(0), r.getString(1)))
+            operators.Lines.appendToLineIndex(delta, "text", "doc_id", idx)
+            graft.CacheUtil.release(cleaned)
+            graft.CacheUtil.release(delta)
+            ()
+          }
+          .start()
+        try {
+          chunks.foreach { c =>
+            mem.addData(c.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        collected.flatten.toSeq.toDF("doc_id", "text")
+      },
+      Some {
+        // one leg per micro-batch: clean over chunks 0..k (the growing
+        // catalogue), restricted to chunk k's docs — generated from one
+        // template (parity rule: never hand-duplicate nested SQL)
+        val legs = (0 to 2).map { k =>
+          s"""out_$k AS (
+             |  SELECT a.doc_id,
+             |         coalesce(string_agg(kp.line, chr(10) ORDER BY kp.pos), '') AS text
+             |  FROM (SELECT doc_id FROM all_docs WHERE doc_id % 3 = $k) a
+             |  LEFT JOIN (
+             |    SELECT l.doc_id, l.pos, l.line
+             |    FROM (SELECT doc_id, unnest(range(len(sl))) AS pos, unnest(sl) AS line
+             |          FROM (SELECT doc_id, split(text, chr(10)) AS sl
+             |                FROM all_docs WHERE doc_id % 3 <= $k)) l
+             |    ANTI JOIN (
+             |      SELECT line
+             |      FROM (SELECT doc_id, unnest(split(text, chr(10))) AS line
+             |            FROM all_docs WHERE doc_id % 3 <= $k)
+             |      GROUP BY line HAVING count(DISTINCT doc_id) >= 2) h
+             |    USING (line)
+             |    WHERE l.doc_id % 3 = $k) kp
+             |  ON a.doc_id = kp.doc_id
+             |  GROUP BY a.doc_id)""".stripMargin
+        }
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL $lineDedupPlantedSql),
+           |${legs.mkString(",\n")}
+           |SELECT * FROM out_0
+           |UNION ALL SELECT * FROM out_1
+           |UNION ALL SELECT * FROM out_2""".stripMargin
+      }
     ),
     // ---- similarity search (north-star) --------------------------------
     // brute-force cosine top-k of one query vector; output ids+rank only

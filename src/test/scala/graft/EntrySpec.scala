@@ -19,12 +19,13 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.queryDefs.map(_.name).distinct.size === SparkEntry.queryDefs.size)
   }
 
-  /** Legitimately empty at sf0.001: every customer has orders (anti-join),
-    * and the near-dup thresholds exceed the tiny slice's max similarity.
+  /** Legitimately empty at sf0.001: every customer has orders, so the
+    * anti-join is empty by DATA. The near-dup emitters that used to sit
+    * here (d02/d03/d08/d09/st01) now union a planted sentinel duplicate
+    * pair spanning the corpus/delta split, so each is guaranteed ≥ 1 row
+    * — a broken emitter can no longer smoke-pass (round-9 verdict #7).
     */
-  private val mayBeEmpty =
-    Set("q11_join_anti", "d02_minhash_neardup", "d03_simhash_neardup",
-      "d08_incremental_dedup", "d09_incremental_simhash", "st01_stream_simhash")
+  private val mayBeEmpty = Set("q11_join_anti")
 
   for (q <- SparkEntry.queryDefs)
     test(s"${q.name} runs at sf0.001 with rows") {
