@@ -31,6 +31,11 @@ def main(old_path, new_path, ratio=1.3):
     if old.get("contended") or new.get("contended"):
         print("WARNING: a side is stamped contended=true — box noise, "
               "ratios below are advisory only")
+    cq = set(old.get("contended_queries", [])) | set(new.get("contended_queries", []))
+    if cq:
+        print(f"WARNING: {len(cq)} queries were measured in a batch that stayed "
+              "contended after retries — their ratios are advisory: "
+              + ", ".join(sorted(cq)))
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     only_old = sorted(set(qo) - set(qn))

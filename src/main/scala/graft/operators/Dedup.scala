@@ -473,12 +473,18 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       shingleSize: Int,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 10000
   )
 
   /** Build and persist a MinHash index for `df` under catalog tables
     * `<name>_bands` / `<name>_shingles`. One pass over the corpus
-    * evaluates each signature and shingle set exactly once.
+    * evaluates each signature and shingle set exactly once. Band buckets
+    * are capped at the `maxBucket` lowest ids AT WRITE TIME (the batch
+    * emitters' cap rule — same round-10 contract as the simhash
+    * families); the shingle table stays COMPLETE (a doc capped out of
+    * one band may be within cap in another, and verification must find
+    * its shingles).
     */
   def writeMinHashIndex(
       df: DataFrame,
@@ -488,10 +494,14 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      buckets: Int = 32
+      buckets: Int = 32,
+      maxBucket: Int = 10000
   ): MinHashIndex = {
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val idx =
-      MinHashIndex(s"${name}_bands", s"${name}_shingles", numHashes, bands, shingleSize, buckets)
+      MinHashIndex(
+        s"${name}_bands", s"${name}_shingles", numHashes, bands,
+        shingleSize, buckets, maxBucket)
     writeIndexTables(df, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
     idx
   }
@@ -506,8 +516,31 @@ object Dedup {
       textCol: String,
       idCol: String,
       idx: MinHashIndex
-  ): Unit =
-    writeIndexTables(delta, textCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+  ): Unit = {
+    // band rows are admitted into each bucket's remaining slots (the
+    // capped-write contract); shingle rows append in full — a doc capped
+    // out of one band may be in-cap in another and must verify
+    val admitted = admittedAgainstIndexKeyed(
+      minHashBanded(delta, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize),
+      idx.bandTable,
+      idx.maxBucket,
+      Seq("_band", "_bucket")
+    ).localCheckpoint(true)
+    writeBucketedTable(
+      admitted, idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(admitted)
+    writeBucketedTable(
+      delta.select(
+        col(idCol).as("_sid"),
+        TextFunctions.shingleSet(col(textCol), idx.shingleSize).as("_sh")
+      ),
+      idx.shingleTable,
+      idx.buckets,
+      Seq("_sid"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+  }
 
   /** Drop a managed table AND its warehouse directory. With the
     * in-memory catalog the metadata dies with the session but the files
@@ -609,23 +642,33 @@ object Dedup {
     * Exchange on the bucket keys at build/append time — the same keys the
     * bucketed write needs anyway.
     */
-  private def capChunkBuckets(
-      chunked: DataFrame,
+  private[operators] def capBucketMembership(
+      membership: DataFrame,
       maxBucket: Int,
+      keys: Seq[String],
       carried: Seq[String]
   ): DataFrame = {
     val fields = "_id" +: carried
     // rank-filter, not groupBy+collect_list+slice: one sort-based window
     // over the bucket keys instead of per-bucket array materialization —
     // same one Exchange (which the bucketed write needs anyway), no
-    // wide-row aggregation buffers on hot buckets
-    val w = Window.partitionBy(col("_chunk"), col("_val")).orderBy(col("_id"))
-    chunked
+    // wide-row aggregation buffers on hot buckets; works for ANY carried
+    // column type (the emitters' struct-sort form cannot carry arrays in
+    // a deterministic sort, the window never sorts them)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_id"))
+    membership
       .withColumn("_brank", row_number().over(w))
       .filter(col("_brank") <= maxBucket)
-      .select(
-        col("_chunk") +: col("_val") +: fields.map(col): _*)
+      .select(keys.map(col) ++ fields.map(col): _*)
   }
+
+  /** The (_chunk, _val)-keyed form used by the three simhash families. */
+  private def capChunkBuckets(
+      chunked: DataFrame,
+      maxBucket: Int,
+      carried: Seq[String]
+  ): DataFrame =
+    capBucketMembership(chunked, maxBucket, Seq("_chunk", "_val"), carried)
 
   /** Delta-side bucket admission against a capped index table under the
     * FIRST-SEEN-WINS cap contract (monotone ids: corpus ids precede delta
@@ -643,25 +686,34 @@ object Dedup {
     * bucketed scan (bucket keys only), semi-filtered by the broadcast
     * delta bucket set and aggregated with zero Exchange.
     */
+  private[operators] def admittedAgainstIndexKeyed(
+      membership: DataFrame,
+      table: String,
+      maxBucket: Int,
+      keys: Seq[String]
+  ): DataFrame = {
+    val spark = membership.sparkSession
+    val deltaBuckets = membership.select(keys.map(col): _*).distinct()
+    val counts = spark
+      .table(table)
+      .join(broadcast(deltaBuckets), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_id"))
+    membership
+      .withColumn("_rank", row_number().over(w))
+      .join(counts, keys, "left_outer")
+      .filter(col("_rank") <= lit(maxBucket.toLong) - coalesce(col("_n"), lit(0L)))
+      .drop("_rank", "_n")
+  }
+
+  /** The (_chunk, _val)-keyed form used by the three simhash families. */
   private def admittedAgainstIndex(
       chunked: DataFrame,
       table: String,
       maxBucket: Int
-  ): DataFrame = {
-    val spark = chunked.sparkSession
-    val deltaBuckets = chunked.select(col("_chunk"), col("_val")).distinct()
-    val counts = spark
-      .table(table)
-      .join(broadcast(deltaBuckets), Seq("_chunk", "_val"), "left_semi")
-      .groupBy(col("_chunk"), col("_val"))
-      .agg(count(lit(1)).as("_n"))
-    val w = Window.partitionBy(col("_chunk"), col("_val")).orderBy(col("_id"))
-    chunked
-      .withColumn("_rank", row_number().over(w))
-      .join(counts, Seq("_chunk", "_val"), "left_outer")
-      .filter(col("_rank") <= lit(maxBucket.toLong) - coalesce(col("_n"), lit(0L)))
-      .drop("_rank", "_n")
-  }
+  ): DataFrame =
+    admittedAgainstIndexKeyed(chunked, table, maxBucket, Seq("_chunk", "_val"))
 
   /** Compact an exact-dedup index: appends may re-add fingerprints a
     * later delta already contributed, so compaction also dedups rows.
@@ -707,15 +759,18 @@ object Dedup {
       capChunkBuckets(_, idx.maxBucket, Seq("_simhash")))
 
   /** Compact a MinHash index after many appends: membership and shingle
-    * rows are unique per doc under the disjoint-delta append contract,
-    * so BOTH catalog tables compact as pure small-file merges (same
+    * rows are unique per doc under the disjoint-delta append contract —
+    * the band table re-applies the bucket cap (healing legacy uncapped
+    * tables), the shingle table is a pure small-file merge (same
     * crash-safe swap as every wrapper on [[compactBucketedIndexTable]]).
     */
   def compactMinHashIndex(
       spark: org.apache.spark.sql.SparkSession,
       idx: MinHashIndex
   ): Unit = {
-    compactBucketedIndexTable(spark, idx.bandTable, idx.buckets, Seq("_band", "_bucket"))
+    compactBucketedIndexTable(
+      spark, idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
+      capBucketMembership(_, idx.maxBucket, Seq("_band", "_bucket"), Seq("_lower")))
     compactBucketedIndexTable(spark, idx.shingleTable, idx.buckets, Seq("_sid"))
   }
 
@@ -727,7 +782,11 @@ object Dedup {
       mode: org.apache.spark.sql.SaveMode
   ): Unit = {
     writeBucketedTable(
-      minHashBanded(df, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize),
+      capBucketMembership(
+        minHashBanded(df, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize),
+        idx.maxBucket,
+        Seq("_band", "_bucket"),
+        Seq("_lower")),
       idx.bandTable,
       idx.buckets,
       Seq("_band", "_bucket"),
@@ -759,25 +818,29 @@ object Dedup {
     * lowest-matching-band conjunction as the batch path, evaluated across
     * the delta/corpus pair.
     *
-    * Caps: the within-delta leg caps buckets at `maxBucket` like the
-    * batch path. The corpus side is NOT capped — capping it would shuffle
-    * the corpus, defeating the index; audit hot buckets with
-    * [[hotMinHashBuckets]] at build time instead. A delta doc landing in
-    * a corpus bucket of size s contributes ≤ s cross candidates.
+    * Bucket-cap contract (round-10, same as the simhash families): the
+    * band table is pre-capped at write/append/compact time
+    * ([[capBucketMembership]]) and the delta side is admitted per bucket
+    * into the remaining slots ([[admittedAgainstIndexKeyed]]), so
+    * incremental == capped-batch holds even on buckets OVER
+    * `idx.maxBucket`, under the monotone-id daily-crawl contract. Audit
+    * what the cap truncates with [[hotMinHashBuckets]] at build time.
     */
   def minHashCandidatesIncremental(
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: MinHashIndex,
-      maxBucket: Int = 10000
+      idx: MinHashIndex
   ): DataFrame = {
-    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val spark = delta.sparkSession
-    val banded =
+    val bandedRaw =
       minHashBanded(delta, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
         .localCheckpoint(true)
-    val within = candidatePairsFromBanded(banded, idx.bands, maxBucket)
+    val banded = admittedAgainstIndexKeyed(
+      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_band", "_bucket"))
+      .localCheckpoint(true)
+    graft.CacheUtil.release(bandedRaw)
+    val within = candidatePairsFromBanded(banded, idx.bands, idx.maxBucket)
     val corpus = spark.table(idx.bandTable)
     val cross = banded
       .as("d")
@@ -811,11 +874,10 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
-      idx: MinHashIndex,
-      maxBucket: Int = 10000
+      idx: MinHashIndex
   ): DataFrame = {
     val spark = delta.sparkSession
-    val cands = minHashCandidatesIncremental(delta, textCol, idCol, idx, maxBucket)
+    val cands = minHashCandidatesIncremental(delta, textCol, idCol, idx)
     val corpusSh = spark.table(idx.shingleTable)
     val deltaSh = delta
       .select(

@@ -724,11 +724,17 @@ object Similarity {
       dim: Int,
       seed: Long,
       nTables: Int,
-      buckets: Int
+      buckets: Int,
+      maxBucket: Int = 10000
   )
 
   /** Build and persist an LSH index for `df` under catalog tables
-    * `<name>_bands` / `<name>_vecs`. */
+    * `<name>_bands` / `<name>_vecs`. Band buckets are capped at the
+    * `maxBucket` lowest ids AT WRITE TIME (round-10 contract, same as
+    * every other pair-emitting family); the vector table stays COMPLETE
+    * — a doc capped out of one table may be in-cap in another and must
+    * verify.
+    */
   def writeLshIndex(
       df: DataFrame,
       vecCol: String,
@@ -738,33 +744,63 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       nTables: Int = 4,
-      buckets: Int = 32
+      buckets: Int = 32,
+      maxBucket: Int = 10000
   ): LshIndex = {
-    val idx = LshIndex(s"${name}_bands", s"${name}_vecs", nPlanes, dim, seed, nTables, buckets)
+    require(maxBucket > 1, "maxBucket must allow at least one pair")
+    val idx = LshIndex(
+      s"${name}_bands", s"${name}_vecs", nPlanes, dim, seed, nTables,
+      buckets, maxBucket)
     writeLshIndexTables(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
     idx
   }
 
   /** Fold a delta into an existing LSH index (after its pairs were
-    * emitted via [[lshNearDupsIncremental]]). */
+    * emitted via [[lshNearDupsIncremental]]). Band rows are admitted
+    * into each bucket's remaining slots (the capped-write contract);
+    * vector rows append in full.
+    */
   def appendToLshIndex(
       delta: DataFrame,
       vecCol: String,
       idCol: String,
       idx: LshIndex
-  ): Unit =
-    writeLshIndexTables(delta, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+  ): Unit = {
+    val admitted = Dedup.admittedAgainstIndexKeyed(
+      lshBanded(delta, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables),
+      idx.bandTable,
+      idx.maxBucket,
+      Seq("_tbl", "_sig")
+    ).localCheckpoint(true)
+    Dedup.writeBucketedTable(
+      admitted, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(admitted)
+    Dedup.writeBucketedTable(
+      delta.select(
+        col(idCol).as("_vid"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("_nv")
+      ),
+      idx.vecTable,
+      idx.buckets,
+      Seq("_vid"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+  }
 
   /** Compact an LSH index after many appends: band-membership and
     * normalized-vector rows are unique per doc under the disjoint-delta
-    * append contract, so BOTH catalog tables compact as pure small-file
-    * merges via [[Dedup.compactBucketedIndexTable]]'s crash-safe swap.
+    * append contract — the band table re-applies the bucket cap (healing
+    * legacy uncapped tables), the vector table is a pure small-file
+    * merge via [[Dedup.compactBucketedIndexTable]]'s crash-safe swap.
     */
   def compactLshIndex(
       spark: org.apache.spark.sql.SparkSession,
       idx: LshIndex
   ): Unit = {
-    Dedup.compactBucketedIndexTable(spark, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"))
+    Dedup.compactBucketedIndexTable(
+      spark, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
+      Dedup.capBucketMembership(_, idx.maxBucket, Seq("_tbl", "_sig"), Seq("_lower")))
     Dedup.compactBucketedIndexTable(spark, idx.vecTable, idx.buckets, Seq("_vid"))
   }
 
@@ -776,7 +812,11 @@ object Similarity {
       mode: org.apache.spark.sql.SaveMode
   ): Unit = {
     Dedup.writeBucketedTable(
-      lshBanded(df, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables),
+      Dedup.capBucketMembership(
+        lshBanded(df, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables),
+        idx.maxBucket,
+        Seq("_tbl", "_sig"),
+        Seq("_lower")),
       idx.bandTable,
       idx.buckets,
       Seq("_tbl", "_sig"),
@@ -804,8 +844,13 @@ object Similarity {
     * Exchange, exactly-once emission uses the carried lower-table
     * signatures across the delta/corpus pair, and verification joins
     * corpus vectors from the index's bucketed vector table (delta
-    * vectors are computed once and checkpointed). The within-delta leg
-    * caps buckets at `maxBucket`; the corpus side is NOT capped.
+    * vectors are computed once and checkpointed).
+    *
+    * Bucket-cap contract (round-10, same as every pair-emitting family):
+    * the band table is pre-capped at write/append/compact time and the
+    * delta side is admitted per bucket into the remaining slots, so
+    * incremental == capped-batch holds even on buckets OVER
+    * `idx.maxBucket`, under the monotone-id daily-crawl contract.
     *
     * Result is materialized (localCheckpoint) and delta-side blocks are
     * released before returning.
@@ -815,11 +860,10 @@ object Similarity {
       vecCol: String,
       idCol: String,
       threshold: Double,
-      idx: LshIndex,
-      maxBucket: Int = 10000
+      idx: LshIndex
   ): DataFrame = {
     val lazyPairs =
-      lshPairsIncrementalLazy(delta, vecCol, idCol, threshold, idx, maxBucket)
+      lshPairsIncrementalLazy(delta, vecCol, idCol, threshold, idx)
     val out = lazyPairs.localCheckpoint(true)
     graft.CacheUtil.release(lazyPairs)
     out
@@ -833,15 +877,17 @@ object Similarity {
       vecCol: String,
       idCol: String,
       threshold: Double,
-      idx: LshIndex,
-      maxBucket: Int
+      idx: LshIndex
   ): DataFrame = {
-    require(maxBucket > 1, "maxBucket must allow at least one pair")
     val spark = delta.sparkSession
-    val banded =
+    val bandedRaw =
       lshBanded(delta, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables)
         .localCheckpoint(true)
-    val within = lshCandidatesFromBanded(banded, idx.nTables, maxBucket)
+    val banded = Dedup.admittedAgainstIndexKeyed(
+      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_tbl", "_sig"))
+      .localCheckpoint(true)
+    graft.CacheUtil.release(bandedRaw)
+    val within = lshCandidatesFromBanded(banded, idx.nTables, idx.maxBucket)
     val corpus = spark.table(idx.bandTable)
     val cross = banded
       .as("d")

@@ -121,11 +121,11 @@ object IncrementalIndexProbe {
     timedUnit("lsh-index-build") {
       lIdx = Similarity.writeLshIndex(
         corpusV, "embedding", "vec_id", "incprobe_l",
-        nPlanes = lp.nPlanes, nTables = lp.nTables)
+        nPlanes = lp.nPlanes, nTables = lp.nTables, maxBucket = Int.MaxValue)
     }
     timed("lsh-incremental")(
       Similarity.lshNearDupsIncremental(
-        deltaV, "embedding", "vec_id", 0.3, lIdx, maxBucket = Int.MaxValue))
+        deltaV, "embedding", "vec_id", 0.3, lIdx))
 
     // passage twin (hash64 production keys): daily profile of the delta
     // vs re-profiling the whole union. The filter references a column

@@ -430,6 +430,84 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS cap_gate128_chunks128")
   }
 
+  test("over-cap planted bucket: minhash and vector-LSH incremental == capped batch (round-10 family contract)") {
+    // same contract as the simhash over-cap gate, for the two remaining
+    // pair-emitting families: band tables pre-capped at write/append,
+    // delta admitted into remaining slots. Identical texts/vectors per
+    // group make emission deterministic; the gate asserts pair-for-pair
+    // parity with the capped batch (delta-touching restriction), plus
+    // stored-bucket-size ≤ cap after append.
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val b = "kilo lima mike november oscar papa quebec romeo sierra tango uniform"
+    val c = "victor whiskey xray yankee zulu one two three four five six seven"
+    val corpus = Seq(
+      Doc(1, a), Doc(2, a), Doc(3, a), Doc(4, a), Doc(5, a), Doc(6, a),
+      Doc(101, b), Doc(102, b),
+      Doc(201, c)
+    ).toDS.toDF
+    val delta = Seq(
+      Doc(1001, b), Doc(1002, b),
+      Doc(1003, a),
+      Doc(2001, c), Doc(2002, c), Doc(2003, c)
+    ).toDS.toDF
+    val cap = 3
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val got = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, "pair emitted more than once")
+      got.toSet
+    }
+
+    // ---- minhash
+    val mIdx = Dedup.writeMinHashIndex(
+      corpus, "text", "doc_id", "mh_capgate", buckets = 4, maxBucket = cap)
+    try {
+      val incr = pairSet(Dedup.minHashNearDupsIncremental(delta, "text", "doc_id", 0.5, mIdx))
+      val batch = pairSet(Dedup.minHashNearDups(
+        corpus.unionByName(delta), "text", "doc_id", threshold = 0.5, maxBucket = cap))
+      val touchesDelta = batch.filter { case (x, y) => x >= 1000L || y >= 1000L }
+      assert(touchesDelta.nonEmpty, "over-cap fixture yields no delta pairs — gate vacuous")
+      assert(incr === touchesDelta, "minhash: incremental != capped batch on over-cap fixture")
+      Dedup.appendToMinHashIndex(delta, "text", "doc_id", mIdx)
+      val maxStored = spark.table(mIdx.bandTable)
+        .groupBy($"_band", $"_bucket").count().agg(max($"count")).head().getLong(0)
+      assert(maxStored <= cap.toLong, s"minhash stored bucket exceeds cap: $maxStored")
+    } finally Seq("mh_capgate_bands", "mh_capgate_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+    // ---- vector-LSH (8-dim orthogonal groups; cosine verification
+    // filters any cross-group bucket collision identically in both forms)
+    def vec(i: Int): Array[Float] = Array.tabulate(8)(j => if (j == i) 1f else 0f)
+    val vCorpus = Seq(
+      Vec(1, vec(0)), Vec(2, vec(0)), Vec(3, vec(0)), Vec(4, vec(0)),
+      Vec(5, vec(0)), Vec(6, vec(0)),
+      Vec(101, vec(1)), Vec(102, vec(1)),
+      Vec(201, vec(2))
+    ).toDS.toDF
+    val vDelta = Seq(
+      Vec(1001, vec(1)), Vec(1002, vec(1)),
+      Vec(1003, vec(0)),
+      Vec(2001, vec(2)), Vec(2002, vec(2)), Vec(2003, vec(2))
+    ).toDS.toDF
+    val lIdx = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "lsh_capgate",
+      nPlanes = 3, dim = 8, nTables = 4, buckets = 4, maxBucket = cap)
+    try {
+      val incr = pairSet(
+        Similarity.lshNearDupsIncremental(vDelta, "embedding", "vec_id", 0.9, lIdx))
+      val batch = pairSet(Similarity.lshNearDups(
+        vCorpus.unionByName(vDelta), "embedding", "vec_id", threshold = 0.9,
+        nPlanes = 3, dim = 8, nTables = 4, maxBucket = cap))
+      val touchesDelta = batch.filter { case (x, y) => x >= 1000L || y >= 1000L }
+      assert(touchesDelta.nonEmpty, "over-cap LSH fixture yields no delta pairs — gate vacuous")
+      assert(incr === touchesDelta, "LSH: incremental != capped batch on over-cap fixture")
+      Similarity.appendToLshIndex(vDelta, "embedding", "vec_id", lIdx)
+      val maxStored = spark.table(lIdx.bandTable)
+        .groupBy($"_tbl", $"_sig").count().agg(max($"count")).head().getLong(0)
+      assert(maxStored <= cap.toLong, s"LSH stored bucket exceeds cap: $maxStored")
+    } finally Seq("lsh_capgate_bands", "lsh_capgate_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("incremental simhash reads the corpus index with no corpus-side Exchange") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
@@ -1323,7 +1401,7 @@ class OperatorsSpec extends AnyFunSuite {
         () => Similarity.compactLshIndex(spark, lshIdx),
         () => {
           val lazyOut = Similarity.lshPairsIncrementalLazy(
-            vEcho(710000L), "embedding", "vec_id", 0.9, lshIdx, 10000)
+            vEcho(710000L), "embedding", "vec_id", 0.9, lshIdx)
           val p = lazyOut.queryExecution.executedPlan.toString
           graft.CacheUtil.release(lazyOut)
           p
@@ -2652,7 +2730,7 @@ class OperatorsSpec extends AnyFunSuite {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val pairs = Similarity.lshPairsIncrementalLazy(
-        delta, "embedding", "vec_id", 0.3, idx, 10000)
+        delta, "embedding", "vec_id", 0.3, idx)
       val plan = pairs.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"),
         s"index scan did not use the bucket layout:\n${plan.take(3000)}")
