@@ -69,6 +69,7 @@ object Bench {
     "t08_quality_filter", "t09_strip_html", "t10_ngram_docfreq",
     "t11_ngram_lm", "t12_gopher_rules", "t13_url_extract",
     "t14_canonicalize", "t15_vocab_topk", "t16_registrable_domain",
+    "t17_cap_per_domain",
     "d31_dedup_canonical",
     "d01_dedup_exact", "d02_minhash_neardup", "d03_simhash_neardup",
     "d05_embedding_neardup", "d11_contamination_report",

@@ -160,6 +160,33 @@ object SparkEntry {
     (3400013L, "https://cdn.assets.azurewebsites.net/f", "assets.azurewebsites.net")
   )
 
+  /** Planted URL corpus for t17 (per-REGISTRABLE-DOMAIN capping — the
+    * C4/RefinedWeb rule): multiple hosts of ONE domain must share a
+    * single cap (news./www.bbc.co.uk), sibling private-suffix domains
+    * must cap separately (user1/user2.github.io are distinct
+    * registrable domains), and a domain under the cap passes whole.
+    * `expected` is the closed-form registrable domain the oracle
+    * restates (same contract as t16).
+    */
+  private val domainCapUrls: Seq[(Long, String, String)] = Seq(
+    (3600001L, "https://news.bbc.co.uk/a1", "bbc.co.uk"),
+    (3600002L, "https://news.bbc.co.uk/a2", "bbc.co.uk"),
+    (3600003L, "https://news.bbc.co.uk/a3", "bbc.co.uk"),
+    (3600004L, "https://news.bbc.co.uk/a4", "bbc.co.uk"),
+    (3600005L, "https://www.bbc.co.uk/b1", "bbc.co.uk"),
+    (3600006L, "https://www.bbc.co.uk/b2", "bbc.co.uk"),
+    (3600007L, "https://www.bbc.co.uk/b3", "bbc.co.uk"),
+    (3600008L, "https://www.bbc.co.uk/b4", "bbc.co.uk"),
+    (3600009L, "https://a.example.com/c1", "example.com"),
+    (3600010L, "https://a.example.com/c2", "example.com"),
+    (3600011L, "https://b.example.com/c3", "example.com"),
+    (3600012L, "https://b.example.com/c4", "example.com"),
+    (3600013L, "https://user1.github.io/d1", "user1.github.io"),
+    (3600014L, "https://user1.github.io/d2", "user1.github.io"),
+    (3600015L, "https://user2.github.io/e1", "user2.github.io"),
+    (3600016L, "https://user2.github.io/e2", "user2.github.io")
+  )
+
   /** Planted near-dup sentinel pair (round-9 verdict #7): two
     * byte-identical docs whose ids span the %3 corpus/delta split
     * (3500001 ≡ 0 → delta side, 3500002 ≡ 1 → corpus side), unioned into
@@ -1170,6 +1197,39 @@ object SparkEntry {
           .mkString(", ")
         s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, url, domain
            |FROM (VALUES $values) v(doc_id, url, domain)""".stripMargin
+      }
+    ),
+    // Per-registrable-domain capping — the t16 ∘ p09 composition that IS
+    // the C4/RefinedWeb per-domain rule: registrableDomain as the
+    // capPerGroup key, so every host of bbc.co.uk shares ONE cap while
+    // each github.io user site caps separately. FULL oracle: the domain
+    // column is restated closed-form (t16's contract) and the cap is the
+    // p09 deterministic-md5 window — DuckDB reproduces the kept set
+    // exactly
+    Q(
+      "t17_cap_per_domain",
+      (s, d) => {
+        import s.implicits._
+        val withDomain = domainCapUrls.toDF("doc_id", "url", "_expected")
+          .withColumn(
+            "domain",
+            functions.DomainFunctions.registrableDomainFromUrl(col("url")))
+        operators.Sampling
+          .capPerGroup(withDomain, "domain", "doc_id", maxN = 3)
+          .select(col("doc_id"), col("url"), col("domain"))
+      },
+      Some {
+        val values = domainCapUrls
+          .map { case (id, url, dom) => s"($id, '$url', '$dom')" }
+          .mkString(", ")
+        s"""WITH v AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id, url, domain
+           |  FROM (VALUES $values) t(doc_id, url, domain))
+           |SELECT doc_id, url, domain FROM (
+           |  SELECT doc_id, url, domain, row_number() OVER (
+           |      PARTITION BY domain
+           |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |  FROM v) WHERE rn <= 3""".stripMargin
       }
     ),
     // Unicode canonicalization for dedup keys: compiled NFC expression
