@@ -347,7 +347,7 @@ object Bench {
     "d13_incremental_lsh", "d18_incremental_passages",
     "d22_incremental_simhash128")
 
-  private def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
+  private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     def familyOf(n: String) = n.takeWhile(!_.isDigit)
     val families = tokens.map(familyOf).distinct
     families.flatMap { f =>

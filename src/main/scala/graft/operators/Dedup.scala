@@ -642,7 +642,7 @@ object Dedup {
     * Exchange on the bucket keys at build/append time — the same keys the
     * bucketed write needs anyway.
     */
-  private[operators] def capBucketMembership(
+  private[graft] def capBucketMembership(
       membership: DataFrame,
       maxBucket: Int,
       keys: Seq[String],
@@ -686,7 +686,7 @@ object Dedup {
     * bucketed scan (bucket keys only), semi-filtered by the broadcast
     * delta bucket set and aggregated with zero Exchange.
     */
-  private[operators] def admittedAgainstIndexKeyed(
+  private[graft] def admittedAgainstIndexKeyed(
       membership: DataFrame,
       table: String,
       maxBucket: Int,
@@ -1057,7 +1057,7 @@ object Dedup {
   /** (_id, _simhash, _chunk, _val) pigeonhole blocking pipeline shared by
     * the pair and audit paths: `maxHamming + 1` bit-chunks per hash.
     */
-  private def simHashChunked(
+  private[graft] def simHashChunked(
       df: DataFrame,
       textCol: String,
       idCol: String,

@@ -11,6 +11,26 @@ import scala.concurrent.duration._
   * (B27), source round-trips (B20).
   */
 class InfraSpec extends AnyFunSuite {
+
+  test("bench batching: solo heavy probes become singleton batches, families never mix") {
+    val tokens = Seq(
+      "q01_global_agg", "q02_group_year",
+      "d01_dedup_exact", "d08_incremental_dedup", "d09_incremental_simhash",
+      "d10_decontaminate", "d11_contamination_report", "d13_incremental_lsh",
+      "m01_binary_meta")
+    val batches = Bench.batchesOf(tokens)
+    // partition: every token exactly once
+    assert(batches.flatten.sorted === tokens.sorted)
+    // the heavy incremental probes ride alone
+    for (solo <- Seq("d08_incremental_dedup", "d09_incremental_simhash", "d13_incremental_lsh"))
+      assert(batches.contains(Seq(solo)), s"$solo not a singleton batch: $batches")
+    // batches never mix families, and d-batches stay ≤ 4
+    def fam(s: String) = s.takeWhile(!_.isDigit)
+    for (b <- batches) {
+      assert(b.map(fam).distinct.size === 1, s"mixed-family batch: $b")
+      if (fam(b.head) == "d") assert(b.size <= 4)
+    }
+  }
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 

@@ -508,6 +508,38 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucket admission reads the corpus index bucketed, semi-filtered by a broadcast delta bucket set") {
+    // the round-10 admission step adds a second corpus scan per probe
+    // (bucket-key counts). This gates ITS plan shape — the main probe
+    // plan asserts can't see it because callers checkpoint the admitted
+    // frame eagerly: the corpus side must stay a bucketed scan (counts
+    // group on the table's own bucket keys — no Exchange) behind a
+    // broadcast LeftSemi on the delta's bucket set.
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val idx = Dedup.writeSimHashIndex(
+      corpus, "text", "doc_id", "adm_plan", maxHamming = 10, buckets = 8)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val chunked = Dedup.simHashChunked(delta, "text", "doc_id", 10)
+      val admitted = Dedup.admittedAgainstIndexKeyed(
+        chunked, idx.chunkTable, 10000, Seq("_chunk", "_val"))
+      val plan = admitted.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"admission corpus scan lost the bucket layout:\n${plan.take(3000)}")
+      assert(!plan.contains("Bucketed: false"),
+        s"planner disabled the admission's bucketed read:\n${plan.take(3000)}")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"delta bucket set is not a broadcast semi-filter:\n${plan.take(3000)}")
+      assert(admitted.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS adm_plan_chunks")
+    }
+  }
+
   test("incremental simhash reads the corpus index with no corpus-side Exchange") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val corpus = docs.filter($"doc_id" % 3 =!= 0)
