@@ -491,12 +491,28 @@ object Bench {
         case None =>
           failed = failed ++ batch
       }
+      // CRASH-SAFE PARTIAL ARTIFACT: the full orchestration runs ~30
+      // min; if an external budget kills this parent mid-run, an
+      // end-only write would leave NO artifact at all. Rewrite the
+      // merged line after every batch — a killed run leaves the batches
+      // that completed, self-described by "batches_done" < "batches"
+      // (a complete artifact has them equal).
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+        (renderLine(
+          merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
+          ref, contended, contendedQueries, leaked, sfDir,
+          isolation = "fresh-jvm-batches", batches = batches.size,
+          batchesDone = i + 1) + "\n").getBytes("UTF-8")
+      )
     }
 
     val line = renderLine(
       merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
       ref, contended, contendedQueries, leaked, sfDir,
-      isolation = "fresh-jvm-batches", batches = batches.size)
+      isolation = "fresh-jvm-batches", batches = batches.size,
+      batchesDone = batches.size)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
@@ -547,8 +563,11 @@ object Bench {
       leakedBlocks: Int,
       sfDir: String,
       isolation: String,
-      batches: Int
+      batches: Int,
+      batchesDone: Int = -1
   ): String = {
+    // single-jvm callers pass no batchesDone — their one batch is done
+    val doneN = if (batchesDone < 0) batches else batchesDone
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -558,6 +577,6 @@ object Bench {
     val (smallRes, mainRes) = results.partition(_._1.endsWith(smallSuffix))
     val total = mainRes.map(_._2).sum
     val smallTotal = smallRes.map(_._2).sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"small_fixture_sec":$smallTotal%.3f}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f}"""
   }
 }
