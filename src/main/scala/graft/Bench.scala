@@ -118,19 +118,28 @@ object Bench {
     * an absolute threshold — the r9 failure mode was a loaded box whose
     * calib (0.636, 2.3× quiet) sailed under the absolute 2.0 s gate.
     * Override with SPARK_GRAFT_CALIB_REF; a missing file falls back to
-    * the measured quiet floor 0.30 so ad-hoc runs outside the repo root
-    * still gate sanely.
+    * the SAME 0.22 committed in dev/calib_ref.json (round-10 advice: a
+    * looser fallback would silently gate ad-hoc runs 36% weaker than
+    * the provenance-backed reference) and warns loudly so an
+    * orchestrated run outside the repo root is visibly degraded.
     */
   private def calibRef: Double =
     sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble).getOrElse {
       val f = new java.io.File("dev/calib_ref.json")
-      if (f.isFile) {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        "\"calib_ref_sec\":\\s*([0-9.]+)".r
-          .findFirstMatchIn(txt)
-          .map(_.group(1).toDouble)
-          .getOrElse(0.30)
-      } else 0.30
+      val fromFile =
+        if (f.isFile) {
+          val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          "\"calib_ref_sec\":\\s*([0-9.]+)".r
+            .findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        } else None
+      fromFile.getOrElse {
+        System.err.println(
+          "[bench] WARNING: dev/calib_ref.json not found; falling back to " +
+            "the committed quiet-box reference 0.22 — set " +
+            "SPARK_GRAFT_CALIB_REF for this box if it is not the repo box")
+        0.22
+      }
     }
 
   private def smallDirFor(sfDir: String): Option[String] = {
@@ -396,8 +405,10 @@ object Bench {
     // attempt is still contended, its queries are listed under
     // "contended_queries" and the artifact-level flag trips — the merged
     // line can no longer present loaded-box numbers as clean.
-    val maxAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RETRIES", "3").toInt
+    // Clamped to >= 1 (round-10 advice): 0 must mean "run once, never
+    // retry", not "never run the multi-query batches at all".
+    val maxAttempts = math.max(
+      1, sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RETRIES", "3").toInt)
     batches.zipWithIndex.foreach { case (batch, i) =>
       def runChild(attempt: Int): Option[ChildResult] = {
         val outFile = tmpDir.resolve(s"batch_${i}_a$attempt.json")
@@ -455,16 +466,20 @@ object Bench {
                 // clean attempt
                 if (r.contended) Some(if (b.calibSec <= r.calibSec) b else r)
                 else if (b.contended) Some(r)
-                else Some(ChildResult(
-                  (b.queries.keySet ++ r.queries.keySet).map { k =>
+                else {
+                  val mergedQ = (b.queries.keySet ++ r.queries.keySet).map { k =>
                     k -> math.min(
                       b.queries.getOrElse(k, Double.MaxValue),
                       r.queries.getOrElse(k, Double.MaxValue))
-                  }.toMap,
-                  (b.failed ++ r.failed).distinct,
+                  }.toMap
+                  Some(ChildResult(
+                  mergedQ,
+                  // success-in-any-attempt wins
+                  (b.failed ++ r.failed).distinct.filterNot(mergedQ.contains),
                   math.min(b.calibSec, r.calibSec),
                   contended = false,
                   math.max(b.leaked, r.leaked)))
+                }
             }
             if (r.contended) {
               System.err.println(
@@ -483,7 +498,10 @@ object Bench {
       best match {
         case Some(r) =>
           merged = merged ++ r.queries
-          failed = failed ++ r.failed
+          // success-in-any-attempt wins (round-10 advice): a query that
+          // failed in attempt 1 but was timed in attempt 2 must not
+          // appear in both `queries` and `failed`
+          failed = (failed ++ r.failed).filterNot(merged.contains)
           calibMax = math.max(calibMax, r.calibSec)
           contended = contended || r.contended
           if (r.contended) contendedQueries = contendedQueries ++ batch

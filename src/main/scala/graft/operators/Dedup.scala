@@ -23,10 +23,19 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup: keep the lowest id per identical text. */
+  /** Exact dedup: keep the lowest id per identical text. NULL-text
+    * CONTRACT (shared with [[exactDedupIncremental]]): a NULL text is
+    * never a duplicate of anything, so every NULL-fingerprint row is
+    * its own window partition (secondary key = own id exactly when the
+    * fingerprint IS NULL) and passes through untouched — without it,
+    * `partitionBy` would collapse all NULL fps into one group and batch
+    * would disagree with incremental-over-union on any corpus with ≥2
+    * NULL-text docs.
+    */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprintMd5(col(textCol))
     val w = Window
-      .partitionBy(TextFunctions.fingerprintMd5(col(textCol)))
+      .partitionBy(fp, when(fp.isNull, col(idCol)))
       .orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

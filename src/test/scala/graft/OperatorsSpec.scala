@@ -1196,6 +1196,19 @@ class OperatorsSpec extends AnyFunSuite {
         assert((s1 ++ s2) === got, s"hash64=$h64 batching changed NULL survivors")
       } finally spark.sql(s"DROP TABLE IF EXISTS exnull_${h64}_exactfps")
     }
+
+    // BATCH exactDedup honors the same contract (round-10 advice): with
+    // ≥2 NULL-text docs, the window must NOT collapse them into one
+    // keeper group, so batch-on-union == incremental restricted to delta
+    // ids even on a NULL-bearing corpus
+    val unionDf = Seq(
+      Doc(1, null), Doc(2, "real"),               // corpus
+      Doc(10, null), Doc(11, null), Doc(12, "real") // delta
+    ).toDS.toDF
+    val batchIds = Dedup.exactDedup(unionDf, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds === Set(1L, 2L, 10L, 11L),
+      "batch exactDedup must keep every NULL-text doc and min-id per real text")
   }
 
   test("incremental exact dedup: corpus precedence, within-delta keep-min, appends fold in") {

@@ -38,7 +38,14 @@ class PslPropertySpec extends AnyFunSuite {
     } yield cs.mkString.toLowerCase
 
   // suffixes drawn from the vendored snapshot (exact rules) plus
-  // unknown TLDs (implicit-* territory)
+  // unknown TLDs (implicit-* territory). DELIBERATELY no wildcard-rule
+  // suffixes (e.g. kawasaki.jp under `*.jp`-style rules): for a host
+  // directly under a `*.` rule, prefixing one label flips the
+  // registrable domain from Some to None (x.kawasaki.jp IS the public
+  // suffix), so the prefix-stability property below is only universal
+  // over non-wildcard suffixes — extending this generator with
+  // wildcard rules requires special-casing that property, not a
+  // matcher fix (round-10 advice).
   private val suffix: Gen[String] = Gen.frequency(
     4 -> Gen.oneOf("com", "co.uk", "github.io", "co.jp", "com.au", "ac.uk"),
     1 -> Gen.oneOf("unknowntld", "zz", "internal")
