@@ -81,7 +81,8 @@ object Bench {
     "d07_lsh_neardup", "d08_incremental_dedup", "d09_incremental_simhash",
     "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
-    "st02_stream_lines",
+    "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
+    "st05_stream_minhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
@@ -354,7 +355,11 @@ object Bench {
   private val soloQueries: Set[String] = Set(
     "d08_incremental_dedup", "d09_incremental_simhash",
     "d13_incremental_lsh", "d18_incremental_passages",
-    "d22_incremental_simhash128")
+    "d22_incremental_simhash128",
+    // the two heavy streaming compositions run 3 probe+append cycles
+    // against their growing index — same measurement class as the
+    // incremental probes above (per-JVM slow mode dominates)
+    "st04_stream_passages", "st05_stream_minhash")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     def familyOf(n: String) = n.takeWhile(!_.isDigit)
