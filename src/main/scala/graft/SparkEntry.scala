@@ -141,8 +141,12 @@ object SparkEntry {
     * restates (the PSL lookup is not expressible in SQL); the Spark side
     * must COMPUTE it from `url` through the vendored snapshot — a
     * passthrough cannot fake agreement on every branch. Expected values
-    * hand-derived from the publicsuffix.org algorithm over
-    * `graft/public_suffix_list_trimmed.dat`.
+    * hand-derived from the publicsuffix.org algorithm over the full
+    * vendored snapshot `graft/public_suffix_list.dat`, including the
+    * IDN branches (round-10 verdict #2): a punycode host against an
+    * A-label-indexed U-label rule, a punycode ccTLD, a Unicode-form
+    * host against the U-label rule directly, and a bare punycode
+    * suffix (NULL).
     */
   private val pslPlantedUrls: Seq[(Long, String, String)] = Seq(
     (3400001L, "https://news.BBC.co.uk/stories?id=1", "bbc.co.uk"),
@@ -157,7 +161,11 @@ object SparkEntry {
     (3400010L, "http://foo.unknowntld/fallback", "foo.unknowntld"),
     (3400011L, "https://co.uk/", null),
     (3400012L, "http://192.168.0.1/ip", null),
-    (3400013L, "https://cdn.assets.azurewebsites.net/f", "assets.azurewebsites.net")
+    (3400013L, "https://cdn.assets.azurewebsites.net/f", "assets.azurewebsites.net"),
+    (3400014L, "http://shop.xn--55qx5d.cn/a", "shop.xn--55qx5d.cn"), // 公司.cn rule, A-label host
+    (3400015L, "https://site.xn--p1ai/b", "site.xn--p1ai"),          // рф ccTLD, A-label host
+    (3400016L, "https://shop.公司.cn/u", "shop.公司.cn"),            // U-label host, rule matched directly
+    (3400017L, "http://xn--55qx5d.cn/", null)                        // bare punycode suffix
   )
 
   /** Planted URL corpus for t17 (per-REGISTRABLE-DOMAIN capping — the
@@ -208,13 +216,13 @@ object SparkEntry {
     * 8-token window spanning the doc_id % 3 micro-batch split (ids 0
     * and 1 mod 3), vocabulary disjoint from the generator's and from
     * every other planted family. The ingest-time asymmetry the row
-    * must prove: the chunk-0 doc profiles CLEAN when it arrives (its
+    * must prove (ids 3900000 ≡ 0, 3900001 ≡ 1 mod 3): the chunk-0 doc profiles CLEAN when it arrives (its
     * window is unique so far) while the chunk-1 doc profiles DUP
     * against the grown index — a phenomenon no single-batch run shows.
     */
   private val passageStreamPlantedDocs: Seq[(Long, String)] = Seq(
-    (3600000L, "leadin opening sentinel passage window spanning stream micro batches here"),
-    (3600001L, "sentinel passage window spanning stream micro batches here tail ending")
+    (3900000L, "leadin opening sentinel passage window spanning stream micro batches here"),
+    (3900001L, "sentinel passage window spanning stream micro batches here tail ending")
   )
 
   private def valuesSql(rows: Seq[(Long, String)]): String =

@@ -22,13 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * labels), the longest match is the public suffix, with the implicit
   * `*` rule (the bare TLD) as the floor; the registrable domain is the
   * public suffix plus one label, or NULL when the host IS a public
-  * suffix (or an IP literal / not a hostname). The rule set is a
-  * hand-trimmed PSL snapshot vendored as a resource
-  * (`graft/public_suffix_list_trimmed.dat`, MPL-2.0 public content —
-  * see its header) loaded ONCE per JVM into three hash sets — at 100 TB
-  * this is a ~100 KB static lookup on every executor, no broadcast, no
-  * join, and the expression stays inside whole-stage codegen (same
-  * static-call pattern as [[UnicodeFunctions.NfcNormalize]]).
+  * suffix (or an IP literal / not a hostname). The rule set is the
+  * FULL PSL snapshot vendored as a resource
+  * (`graft/public_suffix_list.dat`, MPL-2.0 public content — see its
+  * header; IDN rules additionally indexed under their punycode A-label
+  * form so `xn--` crawl hosts group correctly) loaded ONCE per JVM
+  * into three hash sets — at 100 TB this is a ~250 KB static lookup on
+  * every executor, no broadcast, no join, and the expression stays
+  * inside whole-stage codegen (same static-call pattern as
+  * [[UnicodeFunctions.NfcNormalize]]).
   */
 object DomainFunctions {
 
@@ -113,22 +115,42 @@ object DomainFunctions {
 object DomainFunctionImpls {
 
   /** (exact rules, wildcard rule TAILS — the part after "*." —,
-    * exception rules WITHOUT the "!"), all lowercase.
+    * exception rules WITHOUT the "!"), all lowercase. IDN rules (the
+    * full PSL carries them in Unicode U-label form) are additionally
+    * indexed under their punycode A-label form via [[java.net.IDN]],
+    * so `xn--` hosts — the form real crawls carry — match their real
+    * rules instead of falling back to the implicit-* rule (round-10
+    * verdict #2). A Unicode-form host still matches the U-label entry
+    * directly; both spellings of one rule resolve identically.
     */
   private[graft] lazy val rules: (java.util.HashSet[String], java.util.HashSet[String], java.util.HashSet[String]) = {
     val exact = new java.util.HashSet[String]()
     val wildcardTails = new java.util.HashSet[String]()
     val exceptions = new java.util.HashSet[String]()
-    val in = getClass.getResourceAsStream("/graft/public_suffix_list_trimmed.dat")
+    // A-label (punycode) twin of a rule, or None when the rule is pure
+    // ASCII (nothing to add) or IDNA-unconvertible (defensive: the
+    // upstream list has none)
+    def alabel(rule: String): Option[String] =
+      if (rule.forall(_ < 0x80)) None
+      else
+        try {
+          val a = java.net.IDN.toASCII(rule)
+          if (a == rule) None else Some(a)
+        } catch { case _: IllegalArgumentException => None }
+    def add(set: java.util.HashSet[String], rule: String): Unit = {
+      set.add(rule)
+      alabel(rule).foreach(set.add(_))
+    }
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "vendored PSL snapshot missing from classpath")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
       for (raw <- src.getLines()) {
         val line = raw.trim.toLowerCase
         if (line.nonEmpty && !line.startsWith("//")) {
-          if (line.startsWith("!")) exceptions.add(line.substring(1))
-          else if (line.startsWith("*.")) wildcardTails.add(line.substring(2))
-          else exact.add(line)
+          if (line.startsWith("!")) add(exceptions, line.substring(1))
+          else if (line.startsWith("*.")) add(wildcardTails, line.substring(2))
+          else add(exact, line)
         }
       }
     } finally src.close()

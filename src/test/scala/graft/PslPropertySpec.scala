@@ -98,6 +98,25 @@ class PslPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("punycode twin: the A-label host resolves to the A-label of the U-label host's domain") {
+    // the loader indexes every U-label rule under its punycode A-label
+    // form, so the two spellings of one host must resolve to the two
+    // spellings of ONE registrable domain (round-10 verdict #2). Bare
+    // suffixes map None -> None through the same equation.
+    val idnSuffix: Gen[String] = Gen.oneOf("公司.cn", "рф", "срб", "укр", "бг")
+    val idnHost: Gen[String] =
+      for {
+        depth <- Gen.choose(0, 3)
+        labels <- Gen.listOfN(depth, label)
+        s <- idnSuffix
+      } yield (labels :+ s).mkString(".")
+    check(forAll(idnHost) { h =>
+      val a = java.net.IDN.toASCII(h)
+      Prop(rd(a) == rd(h).map(java.net.IDN.toASCII)) :|
+        s"A-label '$a' -> ${rd(a)} but U-label '$h' -> ${rd(h)}"
+    })
+  }
+
   test("IP literals and junk never yield a domain") {
     check(forAll(Gen.choose(0, 255), Gen.choose(0, 255)) { (a, b) =>
       Prop(rd(s"$a.$b.0.1").isEmpty)
