@@ -508,6 +508,29 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("write-time bucket cap plans as WindowGroupLimit, not a full hot-bucket sort") {
+    // the cap is `row_number() <= k` over the bucket keys; Spark 4's
+    // WindowGroupLimit rewrite turns that into per-partition top-k
+    // (bounded memory per hot bucket) instead of a full bucket sort —
+    // at 100 TB a skewed bucket would otherwise sort all its members to
+    // keep k. Gate the executed plan so a Spark upgrade or planner
+    // regression can't silently degrade the write path (round-10
+    // verdict #5).
+    val df = (1L to 200L).map(i => (i % 5, i % 3, i, i * 2))
+      .toDF("_chunk", "_val", "_id", "_w")
+    val capped = Dedup.capBucketMembership(df, 3, Seq("_chunk", "_val"), Seq("_w"))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"cap no longer plans as WindowGroupLimit:\n${plan.take(3000)}")
+    // and the cap semantics hold on the same frame: 3 lowest ids per bucket
+    val got = capped.collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sorted.toSeq }
+    val want = (1L to 200L).map(i => ((i % 5, i % 3), i))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted.take(3).toSeq }
+    assert(got === want, "capBucketMembership did not keep the 3 lowest ids per bucket")
+  }
+
   test("bucket admission reads the corpus index bucketed, semi-filtered by a broadcast delta bucket set") {
     // the round-10 admission step adds a second corpus scan per probe
     // (bucket-key counts). This gates ITS plan shape — the main probe
