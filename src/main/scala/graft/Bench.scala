@@ -89,7 +89,7 @@ object Bench {
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
     "m01_binary_meta", "m02_decode_image", "m03_frame_sample",
-    "m04_resize_image", "m05_binaryfile_ingest"
+    "m04_resize_image", "m05_binaryfile_ingest", "m06_decode_audio"
   )
 
   /** Forms timed only at the small fixture: d04/d06/d12 embed the

@@ -2848,6 +2848,39 @@ object SparkEntry {
              |       md5(text) AS checksum
              |FROM documents""".stripMargin)
     ),
+    // REAL audio decode (round-10 verdict #4): the fixture clips are
+    // 16-bit LE PCM WAVs (mono/stereo by id) written by the real
+    // javax.sound.sampled codec; decodeAudio parses the RIFF container
+    // back and sums the signed samples. The oracle restates
+    // (sample_rate, channels, n_frames, sample_sum) in closed form from
+    // the fixture rule sample(i, ch) = id%1000 + 3i + ch — a payload
+    // passthrough cannot fake the sum without decoding.
+    Q(
+      "m06_decode_audio",
+      (s, d) =>
+        operators.Multimodal
+          .decodeAudio(
+            s,
+            operators.Multimodal.syntheticAudioMedia(s, documents(s, d)))
+          .toDF()
+          .select(
+            col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("sample_sum")),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |         1 + doc_id % 2 AS c,
+             |         100 + doc_id % 50 AS n,
+             |         doc_id % 1000 AS base
+             |  FROM documents)
+             |SELECT doc_id,
+             |       8000 AS sample_rate,
+             |       CAST(c AS INT) AS channels,
+             |       CAST(n AS BIGINT) AS n_frames,
+             |       CAST(c * n * base
+             |            + 3 * c * ((n - 1) * n // 2)
+             |            + n * ((c - 1) * c // 2) AS BIGINT) AS sample_sum
+             |FROM b""".stripMargin)
+    ),
     // B20 CSV scan & sink: write through CSV, read back, aggregate — the
     // distributed replacement for per-node fread/write.csv
     Q(

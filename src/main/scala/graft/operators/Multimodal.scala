@@ -34,6 +34,18 @@ final case class DecodedImageRow(
     pix_sum: Long
 )
 
+/** Real audio decode output: format metadata plus the sum of all signed
+  * PCM samples (the cheapest whole-clip content witness — any decode
+  * shortcut, endianness slip, or container corruption changes it).
+  */
+final case class DecodedAudioRow(
+    doc_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_frames: Long,
+    sample_sum: Long
+)
+
 /** Real image resize output: input/output dimensions, the resized
   * raster's sample sum, and the re-encoded PNG (what a pipeline would
   * store; its byte length is codec-dependent, so only the dims and the
@@ -55,9 +67,11 @@ final case class ResizedImageRow(
   *
   * IMAGE decode and resize are REAL since round 9 ([[decodeImages]] /
   * [[resizeImages]] run the JRE's `javax.imageio` PNG codec over the
-  * payload and operate on the decoded raster). Audio/video codecs are not
-  * in this container, so for those payloads the byte-stat stubs remain:
-  * the Spark-side plumbing is real and tested — schema (binary +
+  * payload and operate on the decoded raster), and AUDIO decode is REAL
+  * since round 11 ([[decodeAudio]] parses WAV containers through
+  * `javax.sound.sampled` and reconstructs the signed PCM samples). No
+  * video codec ships with the JRE, so video payloads keep the byte-stat
+  * stubs: the Spark-side plumbing is real and tested — schema (binary +
   * metadata), partition-local batched iteration (the shape a GPU or
   * native decoder needs) — with deterministic fake features so the
   * pipeline is verifiable end-to-end.
@@ -399,6 +413,108 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", bos)
       ResizedImageRow(
         m.doc_id, w, h, wOut, hOut, sampleSum(out), bos.toByteArray)
+    }
+  }
+
+  // ---- real audio decode (javax.sound.sampled — public JRE API) ------
+  //
+  // The container has no audio assets, so the FIXTURE is synthesized:
+  // deterministic 16-bit little-endian PCM WAVs (mono or stereo by id)
+  // whose every sample is a pure function of doc_id. The decode below
+  // is REAL — it parses the RIFF/fmt/data chunks through the JRE's WAV
+  // codec and reconstructs the signed samples — and because PCM WAV is
+  // lossless, the decoded sample sum equals the written one, which the
+  // oracle states in closed form. A payload passthrough cannot fake
+  // (sample_rate, channels, n_frames, sample_sum) without actually
+  // decoding. Video payloads remain on the byte-stat aliases (no video
+  // codec ships with the JRE).
+
+  /** Fixture params for [[syntheticAudioMedia]]: channels `1 + id%2`
+    * (mono/stereo), frames `100 + id%50`, sample at (frame i, channel
+    * ch) = `id%1000 + 3*i + ch` — maximum 999 + 3*149 + 1 = 1447, far
+    * inside 16-bit signed range, so every quantity has a closed form.
+    */
+  private[graft] def audioParams(id: Long): (Int, Int, Int) = {
+    require(id >= 0, s"fixture ids must be non-negative, got $id")
+    (1 + (id % 2).toInt, 100 + (id % 50).toInt, (id % 1000).toInt)
+  }
+
+  /** Render one fixture clip as a WAV file (RIFF container, 16-bit LE
+    * signed PCM at 8 kHz) through the real `javax.sound.sampled` writer.
+    */
+  private[graft] def renderWav(id: Long): Array[Byte] = {
+    val (c, n, base) = audioParams(id)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, c, true, false)
+    val pcm = new Array[Byte](n * c * 2)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      var ch = 0
+      while (ch < c) {
+        val v = base + 3 * i + ch
+        pcm(off) = (v & 0xff).toByte
+        pcm(off + 1) = ((v >> 8) & 0xff).toByte
+        off += 2
+        ch += 1
+      }
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic WAV media fixture: one PCM clip per document id,
+    * encoded with the real WAV writer on the executors. Stands in for an
+    * audio corpus read via [[fromBinaryFiles]] on a real cluster.
+    */
+  def syntheticAudioMedia(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map(id => MediaRow(id, "audio/wav", renderWav(id)))
+      .toDF()
+  }
+
+  /** REAL audio decode: run the JRE's WAV codec over each binary payload
+    * and emit (sample_rate, channels, n_frames, sum of signed samples).
+    * Same partition-local batched iterator as [[decodeImages]] — the
+    * shape a native/GPU audio frontend would slot into — with the
+    * actual codec call.
+    */
+  def decodeAudio(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64
+  ): Dataset[DecodedAudioRow] = {
+    import spark.implicits._
+    batched(spark, media, batchSize) { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val f = ais.getFormat
+      require(
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian,
+        s"doc ${m.doc_id}: expected 16-bit LE signed PCM, got $f")
+      val data = ais.readAllBytes()
+      val c = f.getChannels
+      val frames = data.length.toLong / (2L * c)
+      var s = 0L
+      var off = 0
+      while (off + 1 < data.length) {
+        // 16-bit LE signed: high byte sign-extends through the Int shift
+        s += ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+        off += 2
+      }
+      DecodedAudioRow(m.doc_id, f.getSampleRate.toInt, c, frames, s)
     }
   }
 

@@ -3047,6 +3047,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeAudio: real WAV codec round-trip matches the closed-form fixture oracle") {
+    val ids = Seq(0L, 1L, 49L, 50L, 999L, 1000L, 1234L)
+    val docs = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticAudioMedia(spark, docs)
+    // payloads are REAL RIFF/WAVE containers: magic bytes "RIFF"
+    val magic = media.select($"payload").collect()
+      .map(_.getAs[Array[Byte]](0).take(4).map(_.toChar).mkString)
+    assert(magic.forall(_ === "RIFF"), s"not WAV containers: ${magic.toSeq}")
+    val got = Multimodal.decodeAudio(spark, media, batchSize = 2)
+      .collect().map(a => a.doc_id -> a).toMap
+    ids.foreach { id =>
+      val (c, n, base) = Multimodal.audioParams(id)
+      val a = got(id)
+      assert((a.sample_rate, a.channels, a.n_frames) === ((8000, c, n.toLong)),
+        s"format for $id")
+      // sum over frames i < n, channels ch < c of (base + 3i + ch)
+      val want = c.toLong * n * base + 3L * c * (n - 1) * n / 2 +
+        n.toLong * (c - 1) * c / 2
+      assert(a.sample_sum === want, s"sample_sum for $id")
+    }
+    // a passthrough cannot fake the sum: corrupting ONE payload byte in
+    // the data chunk changes the decoded sum
+    val bytes = Multimodal.renderWav(7L)
+    bytes(bytes.length - 2) = (bytes(bytes.length - 2) ^ 0x01).toByte
+    val corrupted = Seq(MediaRow(7L, "audio/wav", bytes)).toDF()
+    val cGot = Multimodal.decodeAudio(spark, corrupted).collect().head
+    val (c7, n7, b7) = Multimodal.audioParams(7L)
+    val clean = c7.toLong * n7 * b7 + 3L * c7 * (n7 - 1) * n7 / 2 +
+      n7.toLong * (c7 - 1) * c7 / 2
+    assert(cGot.sample_sum !== clean, "corrupted payload decoded to the clean sum")
+  }
+
   test("resizeImages: NN subsample of the decoded raster; output re-decodes") {
     val docs = Seq((5L, "a"), (13L, "b"), (200L, "c")).toDF("doc_id", "text")
     val media = Multimodal.syntheticImageMedia(spark, docs)
