@@ -88,6 +88,7 @@ object Bench {
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
+    "p11_pipeline",
     "m01_binary_meta", "m02_decode_image", "m03_frame_sample",
     "m04_resize_image", "m05_binaryfile_ingest", "m06_decode_audio"
   )
@@ -359,7 +360,11 @@ object Bench {
     // the two heavy streaming compositions run 3 probe+append cycles
     // against their growing index — same measurement class as the
     // incremental probes above (per-JVM slow mode dominates)
-    "st04_stream_passages", "st05_stream_minhash")
+    "st04_stream_passages", "st05_stream_minhash",
+    // the end-to-end composition embeds a full 16-band minhash pass —
+    // heavy enough to distort (and be distorted by) the cheap p-family
+    // batch it would otherwise share a JVM with
+    "p11_pipeline")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     def familyOf(n: String) = n.takeWhile(!_.isDigit)

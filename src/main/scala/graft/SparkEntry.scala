@@ -225,6 +225,46 @@ object SparkEntry {
     (3900001L, "sentinel passage window spanning stream micro batches here tail ending")
   )
 
+  /** Planted rows for p11 (the end-to-end pipeline composition): one
+    * row per stage phenomenon, so every stage provably drops (or keeps)
+    * at least one planted doc at any SF. Vocabularies are disjoint
+    * between families and from the generator's:
+    *  - 4200010 (≡0 mod 10 → benchmark split) plants the 8-gram the
+    *    contamination stage matches;
+    *  - 4200011 contains that exact 8-gram → decontaminated;
+    *  - 4200012 is HTML whose stripped canon survives to the end;
+    *  - 4200013/4200014 differ only in case/whitespace → canonical
+    *    exact-dedup keeps 4200013;
+    *  - 4200015/4200016 differ by one APPENDED token (3-shingle
+    *    jaccard 22/23 ≈ 0.956 — above the d02 recall-unsafe band) →
+    *    near-dedup keeps 4200015;
+    *  - 4200017 is too short → quality-filtered.
+    */
+  private val pipelinePlantedDocs: Seq[(Long, String, String)] = Seq(
+    (4200010L, "contamination sentinel gram alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima", "srcb"),
+    (4200011L, "unrelated leading prose alpha bravo charlie delta echo foxtrot golf hotel trailing filler tokens winter spring summer autumn sunrise sunset meadow river", "srcp"),
+    (4200012L, "<html><body><p>Markup exerciser keeps distinct informative tokens covering parsing boundary cases for the stripping canonical stage of the composed corpus pipeline today</p></body></html>", "srcp"),
+    (4200013L, "Canonical Dedup Exerciser keeps identical lowercase form across whitespace and case variations proving the exact duplicate removal stage operates on canonical text not raw bytes", "srcp"),
+    (4200014L, "CANONICAL  DEDUP  EXERCISER KEEPS IDENTICAL LOWERCASE FORM ACROSS WHITESPACE AND CASE VARIATIONS PROVING THE EXACT DUPLICATE REMOVAL STAGE OPERATES ON CANONICAL TEXT NOT RAW BYTES", "srcq"),
+    (4200015L, "near duplicate probe one alpha2 beta2 gamma2 delta2 epsilon2 zeta2 eta2 theta2 iota2 kappa2 lambda2 mu2 nu2 xi2 omicron2 pi2 rho2 sigma2 tau2 upsilon2", "srcp"),
+    (4200016L, "near duplicate probe one alpha2 beta2 gamma2 delta2 epsilon2 zeta2 eta2 theta2 iota2 kappa2 lambda2 mu2 nu2 xi2 omicron2 pi2 rho2 sigma2 tau2 upsilon2 phi2", "srcq"),
+    (4200017L, "tiny fragment", "srcp")
+  )
+
+  /** DuckDB VALUES clause for 3-column (doc_id, text, source) planted
+    * rows — same escaping rules as [[valuesSql]].
+    */
+  private def valuesSql3(rows: Seq[(Long, String, String)]): String =
+    rows
+      .map { case (id, text, src) =>
+        val lit = text
+          .split("\n", -1)
+          .map(l => s"'${l.replace("'", "''")}'")
+          .mkString(" || chr(10) || ")
+        s"($id, $lit, '$src')"
+      }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text, source)")
+
   private def valuesSql(rows: Seq[(Long, String)]): String =
     rows
       .map { case (id, text) =>
@@ -2229,6 +2269,128 @@ object SparkEntry {
       Some("""SELECT doc_id FROM documents
              |ORDER BY md5('samplek:' || CAST(doc_id AS VARCHAR) || 'eval'), doc_id
              |LIMIT 100""".stripMargin)
+    ),
+    // END-TO-END pipeline composition (round-10 verdict #3): the
+    // published curation shape — strip HTML → canonicalize → quality
+    // filter → canonical exact dedup → minhash near-dedup →
+    // decontaminate vs the benchmark split → per-registrable-domain cap
+    // → greedy pack — as ONE registry row. Every stage is individually
+    // green; this row proves the stages COMPOSE (column contracts,
+    // checkpoint/release discipline, determinism through seven
+    // handoffs — the bug class no per-operator oracle can see). The
+    // FULL oracle is the stages' own oracle templates chained as CTEs
+    // over `canon`; pipelinePlantedDocs guarantees each stage a
+    // planted drop/keep at any SF. Survivorship itself is the compared
+    // signal: a doc's presence plus its (domain, pack_bucket, pack_seq)
+    // witnesses every upstream decision.
+    Q(
+      "p11_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val tf = functions.TextFunctions
+        val all = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+          .unionByName(pipelinePlantedDocs.toDF("doc_id", "text", "source"))
+          .withColumn("canon", tf.canonicalizeForDedup(tf.stripHtml(col("text"))))
+        val corpus = all.filter(col("doc_id") % 10 =!= 0)
+        val benchC = all.filter(col("doc_id") % 10 === 0)
+        val quality = corpus.filter(
+          tf.qualityPredicate(
+            col("canon"), minTokens = 20,
+            minTypeTokenRatio = 0.55, maxRepeatedBigrams = 0.15))
+        // reused by the pair emitter AND the survivor anti-join — one
+        // checkpoint; its blocks stay in the result plan's lineage, so
+        // the driver's CacheUtil.release(result) frees them
+        val exact = operators.Dedup
+          .exactDedup(quality, "canon", "doc_id")
+          .localCheckpoint(true)
+        val victims = operators.Dedup
+          .minHashNearDups(
+            exact, "canon", "doc_id",
+            threshold = 0.4, numHashes = 32, bands = 16)
+          .select(col("id_b").as("doc_id"))
+          .distinct()
+        val nd = exact.join(victims, Seq("doc_id"), "left_anti")
+        val dc = operators.Decontaminate
+          .decontaminate(nd, "canon", "doc_id", benchC, "canon", n = 8)
+        val dom = dc.withColumn(
+          "domain",
+          functions.DomainFunctions.registrableDomain(
+            concat(lit("docs."), col("source"), lit(".io"))))
+        val capped = operators.Sampling
+          .capPerGroup(dom, "domain", "doc_id", maxN = 3)
+        operators.Packing
+          .packGreedy(
+            capped.withColumn("_w", length(col("canon"))),
+            "doc_id", "_w", budget = 2000L, nBuckets = 8)
+          .select(col("doc_id"), col("domain"), col("pack_bucket"), col("pack_seq"))
+      },
+      Some {
+        // each CTE is the corresponding stage's own oracle template
+        // (t09/t14, t08, d31, d02, d10, t17/p09, p05), chained over
+        // `canon` — generated, never hand-duplicated
+        val htmlChain = Seq(
+          "(?is)<script[^>]*>.*?</script>" -> " ",
+          "(?is)<style[^>]*>.*?</style>" -> " ",
+          "(?s)<!--.*?-->" -> " ",
+          "<[^>]+>" -> " ",
+          "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+          "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&",
+          " +" -> " "
+        ).foldLeft("text") { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        }
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text, source FROM documents
+           |  UNION ALL ${valuesSql3(pipelinePlantedDocs)}),
+           |c AS (
+           |  SELECT doc_id, source,
+           |         trim(regexp_replace(lower(nfc_normalize(trim($htmlChain))),
+           |                             '[ \\t\\n\\r\\f]+', ' ', 'g')) AS canon
+           |  FROM all_docs),
+           |m AS (SELECT doc_id, source, canon, split(canon, ' ') AS w
+           |      FROM c WHERE doc_id % 10 <> 0),
+           |q AS (SELECT doc_id, source, canon, w FROM m
+           |      WHERE len(w) >= 20
+           |        AND len(list_distinct(w))::DOUBLE / len(w) >= 0.55
+           |        AND (greatest(len(w) - 1, 1)::DOUBLE
+           |             - len(list_distinct(CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+           |                  ELSE list_transform(range(len(w) - 1), i -> w[i+1]||' '||w[i+2])
+           |               END))::DOUBLE) / greatest(len(w) - 1, 1)::DOUBLE <= 0.15),
+           |e AS (SELECT q.* FROM q
+           |      JOIN (SELECT canon, min(doc_id) AS keep FROM q GROUP BY canon) k
+           |        ON q.doc_id = k.keep),
+           |sh AS (SELECT doc_id,
+           |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+           |         END) AS s FROM e),
+           |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |       FROM sh a, sh b
+           |       WHERE a.doc_id < b.doc_id
+           |         AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4),
+           |nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT id_b FROM pr)),
+           |g8 AS (SELECT doc_id,
+           |         unnest(list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+           |              ELSE list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))
+           |         END)) AS gram FROM nd),
+           |bg AS (SELECT DISTINCT
+           |         unnest(list_distinct(CASE WHEN len(w) <= 8 THEN [array_to_string(w, ' ')]
+           |              ELSE list_transform(range(len(w) - 7), i -> array_to_string(w[i+1:i+8], ' '))
+           |         END)) AS gram
+           |       FROM (SELECT split(canon, ' ') AS w FROM c WHERE doc_id % 10 = 0)),
+           |dc AS (SELECT * FROM nd WHERE doc_id NOT IN (
+           |         SELECT DISTINCT doc_id FROM g8 WHERE gram IN (SELECT gram FROM bg))),
+           |dom AS (SELECT doc_id, source || '.io' AS domain, canon FROM dc),
+           |cap AS (SELECT doc_id, domain, canon FROM (
+           |          SELECT doc_id, domain, canon, row_number() OVER (
+           |              PARTITION BY domain
+           |              ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           |          FROM dom) WHERE rn <= 3)
+           |SELECT doc_id, domain,
+           |       CAST(doc_id % 8 AS BIGINT) AS pack_bucket,
+           |       CAST((sum(length(canon)) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           |             - length(canon)) // 2000 AS BIGINT) AS pack_seq
+           |FROM cap""".stripMargin
+      }
     ),
     // deterministic hash split (train side at 0.8): md5-prefix sampling
     // is engine-portable, so the oracle reproduces the exact membership
