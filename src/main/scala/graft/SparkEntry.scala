@@ -2515,11 +2515,12 @@ object SparkEntry {
         val q = mem.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val delta = batch.localCheckpoint(true)
+            // fold form: ONE line-fingerprint pass feeds both the probe
+            // and the append (gated == probe-then-append)
             val cleaned = operators.Lines
-              .dropDuplicatedLinesIncremental(delta, "text", "doc_id", idx)
+              .dropDuplicatedLinesIncrementalFold(delta, "text", "doc_id", idx)
             collected += cleaned.collect()
               .map(r => (r.getLong(0), r.getString(1)))
-            operators.Lines.appendToLineIndex(delta, "text", "doc_id", idx)
             graft.CacheUtil.release(cleaned)
             graft.CacheUtil.release(delta)
             ()
@@ -2649,11 +2650,12 @@ object SparkEntry {
         val q = mem.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val delta = batch.localCheckpoint(true)
+            // fold form: ONE window-fingerprint pass feeds both the
+            // profile and the append (gated == probe-then-append)
             val prof = operators.Passages
-              .passageDupFractionIncremental(delta, "text", "doc_id", idx)
+              .passageDupFractionIncrementalFold(delta, "text", "doc_id", idx)
             collected ++= prof.collect().map(r =>
               (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-            operators.Passages.appendToPassageIndex(delta, "text", "doc_id", idx)
             graft.CacheUtil.release(prof)
             graft.CacheUtil.release(delta)
             ()
@@ -2732,11 +2734,12 @@ object SparkEntry {
         val q = mem.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val delta = batch.localCheckpoint(true)
+            // fold form: banding, admission scan, and shingle sets are
+            // computed once for probe AND append (gated == separate)
             val pairs = operators.Dedup
-              .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
+              .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx)
             collected ++= pairs.select("id_a", "id_b", "jaccard").collect()
               .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-            operators.Dedup.appendToMinHashIndex(delta, "text", "doc_id", idx)
             graft.CacheUtil.release(pairs)
             graft.CacheUtil.release(delta)
             ()

@@ -840,8 +840,21 @@ object Dedup {
       textCol: String,
       idCol: String,
       idx: MinHashIndex
+  ): DataFrame =
+    minHashCandidatesFromAdmitted(admittedBands(delta, textCol, idCol, idx), idx)
+
+  /** The delta's band rows admitted into the index's remaining bucket
+    * slots — the frame BOTH the probe and the append consume, exposed
+    * so [[minHashNearDupsIncrementalFold]] computes it once.
+    * Checkpointed; the caller releases it (directly, or via a result
+    * plan that references it).
+    */
+  private def admittedBands(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: MinHashIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
     val bandedRaw =
       minHashBanded(delta, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
         .localCheckpoint(true)
@@ -849,6 +862,14 @@ object Dedup {
       bandedRaw, idx.bandTable, idx.maxBucket, Seq("_band", "_bucket"))
       .localCheckpoint(true)
     graft.CacheUtil.release(bandedRaw)
+    banded
+  }
+
+  private def minHashCandidatesFromAdmitted(
+      banded: DataFrame,
+      idx: MinHashIndex
+  ): DataFrame = {
+    val spark = banded.sparkSession
     val within = candidatePairsFromBanded(banded, idx.bands, idx.maxBucket)
     val corpus = spark.table(idx.bandTable)
     val cross = banded
@@ -885,15 +906,70 @@ object Dedup {
       threshold: Double,
       idx: MinHashIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
     val cands = minHashCandidatesIncremental(delta, textCol, idCol, idx)
-    val corpusSh = spark.table(idx.shingleTable)
-    val deltaSh = delta
+    val deltaSh = deltaShingles(delta, textCol, idCol, idx)
+    val out = verifyMinHashIncremental(cands, deltaSh, threshold, idx)
+    graft.CacheUtil.release(cands)
+    graft.CacheUtil.release(deltaSh)
+    out
+  }
+
+  /** Probe-then-append in ONE delta pass: emit near-dup pairs against
+    * the index as it stood, then fold the delta in — the per-batch body
+    * of the unbounded-ingest loop (st05, and any foreachBatch caller).
+    * Semantically identical to [[minHashNearDupsIncremental]] followed
+    * by [[appendToMinHashIndex]] (gated), but the banding, the
+    * admission scan over the corpus index, and the delta shingle sets
+    * are each computed ONCE instead of twice — at ingest scale those
+    * are the dominant per-batch costs.
+    */
+  def minHashNearDupsIncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      idx: MinHashIndex
+  ): DataFrame = {
+    val admitted = admittedBands(delta, textCol, idCol, idx)
+    val cands = minHashCandidatesFromAdmitted(admitted, idx)
+    val deltaSh = deltaShingles(delta, textCol, idCol, idx)
+    // materializes the pair set BEFORE the appends mutate the tables
+    val out = verifyMinHashIncremental(cands, deltaSh, threshold, idx)
+    writeBucketedTable(
+      admitted, idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
+      org.apache.spark.sql.SaveMode.Append)
+    writeBucketedTable(
+      deltaSh, idx.shingleTable, idx.buckets, Seq("_sid"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(cands) // also frees `admitted` in its lineage
+    graft.CacheUtil.release(deltaSh)
+    out
+  }
+
+  private def deltaShingles(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: MinHashIndex
+  ): DataFrame =
+    delta
       .select(
         col(idCol).as("_sid"),
         TextFunctions.shingleSet(col(textCol), idx.shingleSize).as("_sh")
       )
       .localCheckpoint(true)
+
+  /** Exact-Jaccard verification of incremental candidates: each side
+    * resolves against corpus-then-delta shingles. Returns a CHECKPOINTED
+    * frame; the caller releases `cands`/`deltaSh` afterwards.
+    */
+  private def verifyMinHashIncremental(
+      cands: DataFrame,
+      deltaSh: DataFrame,
+      threshold: Double,
+      idx: MinHashIndex
+  ): DataFrame = {
+    val corpusSh = cands.sparkSession.table(idx.shingleTable)
     val withA = cands
       .join(corpusSh.as("ca"), col("id_a") === col("ca._sid"), "left")
       .join(deltaSh.as("da"), col("id_a") === col("da._sid"), "left")
@@ -902,16 +978,13 @@ object Dedup {
         col("id_b"),
         coalesce(col("ca._sh"), col("da._sh")).as("_sh_a")
       )
-    val out = withA
+    withA
       .join(corpusSh.as("cb"), col("id_b") === col("cb._sid"), "left")
       .join(deltaSh.as("db"), col("id_b") === col("db._sid"), "left")
       .withColumn("jaccard", jaccard(col("_sh_a"), coalesce(col("cb._sh"), col("db._sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
-    graft.CacheUtil.release(cands)
-    graft.CacheUtil.release(deltaSh)
-    out
   }
 
   // -------------------------------------------------------------- SimHash

@@ -228,9 +228,53 @@ object Lines {
       minDocs: Int = 2
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
+    cleanedAgainstCounts(delta, textCol, idCol, idx, minDocs, deltaCounts)
+  }
+
+  /** Probe-then-append in ONE delta pass: clean the delta against the
+    * catalogue as it stands, then fold the delta's line counts in — the
+    * per-batch body of the unbounded-ingest loop (st02, and any
+    * foreachBatch caller). Semantically identical to
+    * [[dropDuplicatedLinesIncremental]] followed by
+    * [[appendToLineIndex]] (gated), but the delta's line
+    * fingerprint/doc-count pass runs ONCE: the same counts frame feeds
+    * the hot-line probe and the append.
+    */
+  def dropDuplicatedLinesIncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: LineIndex,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
+      .localCheckpoint(true)
+    val lazyOut =
+      cleanedAgainstCounts(delta, textCol, idCol, idx, minDocs, deltaCounts)
+    // materializes the cleaned text BEFORE the append mutates the table
+    val out = lazyOut.localCheckpoint(true)
+    Dedup.writeBucketedTable(
+      deltaCounts, idx.fpTable, idx.buckets, Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append)
+    // release ONLY the internal checkpoint: lazyOut's plan also contains
+    // the CALLER's delta blocks (lineFps and the re-admission join read
+    // `delta` directly), which are the caller's to free
+    graft.CacheUtil.release(deltaCounts)
+    out
+  }
+
+  private def cleanedAgainstCounts(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: LineIndex,
+      minDocs: Int,
+      deltaCounts: DataFrame
+  ): DataFrame = {
     val spark = delta.sparkSession
     val lines = lineFps(delta, textCol, idCol, idx.hash64, idx.delimiter)
-    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
     // appends leave multiple rows per fp; summing on the bucket key
     // plans as a bucketed scan + partial agg with no Exchange
     val corpusCounts = spark

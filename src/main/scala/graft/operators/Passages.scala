@@ -293,11 +293,55 @@ object Passages {
       idCol: String,
       idx: PassageIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
     val deltaFp = windowFps(delta, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
       .groupBy(col(idCol), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
       .localCheckpoint(true)
+    profileFromDeltaFp(delta, textCol, idCol, idx, deltaFp)
+  }
+
+  /** Probe-then-append in ONE delta pass: profile the delta against the
+    * index as it stands, then fold the delta's fingerprints in — the
+    * per-batch body of the unbounded-ingest loop (st04, and any
+    * foreachBatch caller). Semantically identical to
+    * [[passageDupFractionIncremental]] followed by
+    * [[appendToPassageIndex]] (gated), but the window fingerprinting —
+    * |tokens| rows per doc, the dominant delta-side cost — runs ONCE
+    * instead of twice: the same per-(doc, fp) count frame feeds the
+    * profile and the append.
+    */
+  def passageDupFractionIncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex
+  ): DataFrame = {
+    val deltaFp = windowFps(delta, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+      .localCheckpoint(true)
+    val lazyOut = profileFromDeltaFp(delta, textCol, idCol, idx, deltaFp)
+    // materializes the profile BEFORE the append mutates the table
+    val out = lazyOut.localCheckpoint(true)
+    Dedup.writeBucketedTable(
+      deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ")),
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+    graft.CacheUtil.release(lazyOut) // frees deltaFp + totals in its lineage
+    out
+  }
+
+  private def profileFromDeltaFp(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex,
+      deltaFp: DataFrame
+  ): DataFrame = {
+    val spark = delta.sparkSession
     val deltaFps = deltaFp
       .groupBy(col("_fp"))
       .agg(count(lit(1)).as("_ndocs"))

@@ -508,6 +508,98 @@ class OperatorsSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("fold probe-then-append == separate probe + append (minhash, passages, lines)") {
+    // the fold forms compute the banding / window fingerprints ONCE for
+    // probe AND append; this gates that they are observationally
+    // identical to the separate calls: same per-batch emissions, and an
+    // index state a THIRD delta probes identically
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9100001L, "fold parity twin alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3 iota3 kappa3"),
+        (9100002L, "fold parity twin alpha3 beta3 gamma3 delta3 epsilon3 zeta3 eta3 theta3 iota3 kappa3")
+      ).toDF("doc_id", "text"))
+    val chunks = (0 to 1).map(k => docs.filter($"doc_id" % 2 === k).localCheckpoint(true))
+    val probe3 = docs.filter($"doc_id" % 3 === 0)
+    try {
+      // ---- minhash
+      val idxSep = Dedup.writeMinHashIndex(docs.limit(0), "text", "doc_id", "foldpar_sep", bands = 8, buckets = 4)
+      val idxFold = Dedup.writeMinHashIndex(docs.limit(0), "text", "doc_id", "foldpar_fold", bands = 8, buckets = 4)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = {
+        val s = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.CacheUtil.release(df)
+        s
+      }
+      chunks.foreach { c =>
+        val sep = pairSet(Dedup.minHashNearDupsIncremental(c, "text", "doc_id", 0.4, idxSep))
+        Dedup.appendToMinHashIndex(c, "text", "doc_id", idxSep)
+        val fold = pairSet(Dedup.minHashNearDupsIncrementalFold(c, "text", "doc_id", 0.4, idxFold))
+        assert(fold === sep, "minhash fold emissions diverged from probe+append")
+      }
+      // identical post-state: a third probe reads both indexes the same
+      val s3 = pairSet(Dedup.minHashNearDupsIncremental(probe3, "text", "doc_id", 0.4, idxSep))
+      val f3 = pairSet(Dedup.minHashNearDupsIncremental(probe3, "text", "doc_id", 0.4, idxFold))
+      assert(f3 === s3, "minhash index state diverged after fold appends")
+      assert(s3.nonEmpty, "fold parity fixture emitted no pairs — gate vacuous")
+
+      // ---- passages
+      val pSep = Passages.writePassageIndex(docs.limit(0), "text", "doc_id", "foldpar_psep", windowTokens = 8, buckets = 4)
+      val pFold = Passages.writePassageIndex(docs.limit(0), "text", "doc_id", "foldpar_pfold", windowTokens = 8, buckets = 4)
+      def profMap(df: org.apache.spark.sql.DataFrame) = {
+        val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        graft.CacheUtil.release(df)
+        m
+      }
+      chunks.foreach { c =>
+        val sep = profMap(Passages.passageDupFractionIncremental(c, "text", "doc_id", pSep))
+        Passages.appendToPassageIndex(c, "text", "doc_id", pSep)
+        val fold = profMap(Passages.passageDupFractionIncrementalFold(c, "text", "doc_id", pFold))
+        assert(fold === sep, "passage fold profile diverged from probe+append")
+      }
+      val ps3 = profMap(Passages.passageDupFractionIncremental(probe3, "text", "doc_id", pSep))
+      val pf3 = profMap(Passages.passageDupFractionIncremental(probe3, "text", "doc_id", pFold))
+      assert(pf3 === ps3, "passage index state diverged after fold appends")
+      assert(ps3.values.exists(_._2 > 0), "no dup windows in the third probe — gate vacuous")
+
+      // ---- lines (multi-line docs needed: reuse the planted twins with a
+      // shared banner line so the catalogue goes hot across batches)
+      val lineDocs = Seq(
+        (9200000L, "shared banner line\nunique zero"),
+        (9200001L, "shared banner line\nunique one"),
+        (9200002L, "solo content\nunique two")
+      ).toDF("doc_id", "text")
+      val lineChunks = (0 to 1).map(k => lineDocs.filter($"doc_id" % 2 === k).localCheckpoint(true))
+      val lSep = Lines.writeLineIndex(lineDocs.limit(0), "text", "doc_id", "foldpar_lsep", buckets = 4)
+      val lFold = Lines.writeLineIndex(lineDocs.limit(0), "text", "doc_id", "foldpar_lfold", buckets = 4)
+      // NOTE: no release here — the separate probe is LAZY and its plan
+      // contains the caller's chunk checkpoint, which the append (and
+      // later legs) must still execute
+      def cleanMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      try {
+        lineChunks.foreach { c =>
+          val sep = cleanMap(Lines.dropDuplicatedLinesIncremental(c, "text", "doc_id", lSep))
+          Lines.appendToLineIndex(c, "text", "doc_id", lSep)
+          val fold = cleanMap(Lines.dropDuplicatedLinesIncrementalFold(c, "text", "doc_id", lFold))
+          assert(fold === sep, "line fold cleaning diverged from probe+append")
+        }
+        // post-state: a third delta reusing the banner is cleaned by both
+        val d3 = Seq((9200004L, "shared banner line\nunique three")).toDF("doc_id", "text")
+        val s3l = cleanMap(Lines.dropDuplicatedLinesIncremental(d3, "text", "doc_id", lSep))
+        val f3l = cleanMap(Lines.dropDuplicatedLinesIncremental(d3, "text", "doc_id", lFold))
+        assert(f3l === s3l, "line catalogue state diverged after fold appends")
+        assert(s3l(9200004L) === Some("unique three"), "banner not hot — gate vacuous")
+        lineChunks.foreach(graft.CacheUtil.release)
+      } finally Seq("foldpar_lsep_fps", "foldpar_lfold_fps")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    } finally {
+      Seq("foldpar_sep_bands", "foldpar_sep_shingles", "foldpar_fold_bands",
+        "foldpar_fold_shingles", "foldpar_psep_fps", "foldpar_pfold_fps")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      chunks.foreach(graft.CacheUtil.release)
+    }
+  }
+
   test("write-time bucket cap plans as WindowGroupLimit, not a full hot-bucket sort") {
     // the cap is `row_number() <= k` over the bucket keys; Spark 4's
     // WindowGroupLimit rewrite turns that into per-partition top-k
