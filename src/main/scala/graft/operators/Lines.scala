@@ -240,6 +240,16 @@ object Lines {
     * [[appendToLineIndex]] (gated), but the delta's line
     * fingerprint/doc-count pass runs ONCE: the same counts frame feeds
     * the hot-line probe and the append.
+    *
+    * Cost note (measured at sf0.1): unlike the minhash/passage folds —
+    * whose probes checkpoint internally either way, so folding strictly
+    * saves work — this fold must ADD a checkpoint of the cleaned text
+    * to pin the probe-before-append ordering. Isolated A/B at sf0.1
+    * read both forms at 3.9-4.3 s (within the box noise floor): the
+    * saved fpDocCounts pass and the added text materialization roughly
+    * cancel at this scale. At ingest scale the fold still reads the
+    * delta text once instead of twice, which dominates when the corpus
+    * scan, not the block write, is the bottleneck.
     */
   def dropDuplicatedLinesIncrementalFold(
       delta: DataFrame,
