@@ -357,6 +357,10 @@ object Bench {
     "d08_incremental_dedup", "d09_incremental_simhash",
     "d13_incremental_lsh", "d18_incremental_passages",
     "d22_incremental_simhash128",
+    // d21 shares the 128-bit simhash cost class and read 1.78× its
+    // isolated time in the round-11 d-batch (2.26 isolated vs 4.03
+    // in-batch, same code) — residual neighbor state, so solo it
+    "d21_simhash128",
     // the two heavy streaming compositions run 3 probe+append cycles
     // against their growing index — same measurement class as the
     // incremental probes above (per-JVM slow mode dominates)
