@@ -145,6 +145,43 @@ object Dedup {
   ): DataFrame =
     exactDedupIncrementalImpl(delta, textCol, idCol, idx, materialize = false)
 
+  /** Probe-then-append in ONE delta pass — the exact-dedup member of
+    * the fold family: dedup the delta against the index as it stood,
+    * then fold the delta's fingerprints in. Gated identical to
+    * [[exactDedupIncremental]] followed by [[appendToExactDedupIndex]],
+    * but the delta text is fingerprinted ONCE (the separate calls scan
+    * and hash it twice).
+    */
+  def exactDedupIncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: ExactDedupIndex
+  ): DataFrame = {
+    val spark = delta.sparkSession
+    val withFp = delta
+      .withColumn("_fp", exactFp(textCol, idx.hash64))
+      .localCheckpoint(true)
+    // materializes the membership probe BEFORE the append mutates the table
+    val unseen = withFp
+      .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
+      .localCheckpoint(true)
+    writeBucketedTable(
+      withFp.select(col("_fp")).distinct(),
+      idx.fpTable,
+      idx.buckets,
+      Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append
+    )
+    graft.CacheUtil.release(withFp)
+    // same NULL-text keeper contract as exactDedupIncrementalImpl
+    val keepers = unseen
+      .groupBy(col("_fp"), when(col("_fp").isNull, col(idCol)).as("_nullkey"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    unseen.drop("_fp").join(keepers, Seq(idCol), "left_semi")
+  }
+
   private def exactDedupIncrementalImpl(
       delta: DataFrame,
       textCol: String,
@@ -1486,12 +1523,45 @@ object Dedup {
       idCol: String,
       idx: SimHash128Index
   ): DataFrame = {
-    val spark = delta.sparkSession
     val chunkedRaw =
       simHashChunked128(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
     val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
       .localCheckpoint(true)
     graft.CacheUtil.release(chunkedRaw)
+    simHash128PairsFromAdmitted(chunked, idx)
+  }
+
+  /** Probe-then-append in ONE delta pass — the 128-bit twin of
+    * [[simHashNearDupsIncrementalFold]] (gated identical to the
+    * separate [[simHashNearDups128Incremental]] +
+    * [[appendToSimHash128Index]] calls).
+    */
+  def simHashNearDups128IncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHash128Index
+  ): DataFrame = {
+    val chunkedRaw =
+      simHashChunked128(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
+    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
+      .localCheckpoint(true)
+    graft.CacheUtil.release(chunkedRaw)
+    val lazyPairs = simHash128PairsFromAdmitted(chunked, idx)
+    // materializes the pair set BEFORE the append mutates the table
+    val out = lazyPairs.localCheckpoint(true)
+    writeBucketedTable(
+      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(lazyPairs)
+    out
+  }
+
+  private def simHash128PairsFromAdmitted(
+      chunked: DataFrame,
+      idx: SimHash128Index
+  ): DataFrame = {
+    val spark = chunked.sparkSession
     val within = simHash128PairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
     val corpus = spark.table(idx.chunkTable)
     val cross = chunked
@@ -1906,12 +1976,47 @@ object Dedup {
       idCol: String,
       idx: SimHashIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
     val chunkedRaw =
       simHashChunked(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
     val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
       .localCheckpoint(true)
     graft.CacheUtil.release(chunkedRaw)
+    simHashPairsFromAdmitted(chunked, idx)
+  }
+
+  /** Probe-then-append in ONE delta pass: emit near-dup pairs against
+    * the index as it stood, then fold the delta in — the per-batch body
+    * of the unbounded-ingest loop. Semantically identical to
+    * [[simHashNearDupsIncremental]] followed by [[appendToSimHashIndex]]
+    * (gated), but the delta chunking and the admission scan over the
+    * corpus index run ONCE instead of twice.
+    */
+  def simHashNearDupsIncrementalFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashIndex
+  ): DataFrame = {
+    val chunkedRaw =
+      simHashChunked(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
+    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
+      .localCheckpoint(true)
+    graft.CacheUtil.release(chunkedRaw)
+    val lazyPairs = simHashPairsFromAdmitted(chunked, idx)
+    // materializes the pair set BEFORE the append mutates the table
+    val out = lazyPairs.localCheckpoint(true)
+    writeBucketedTable(
+      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(lazyPairs) // frees `chunked` + internal members
+    out
+  }
+
+  private def simHashPairsFromAdmitted(
+      chunked: DataFrame,
+      idx: SimHashIndex
+  ): DataFrame = {
+    val spark = chunked.sparkSession
     val within = simHashPairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
     val corpus = spark.table(idx.chunkTable)
     val cross = chunked

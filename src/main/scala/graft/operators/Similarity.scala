@@ -879,7 +879,47 @@ object Similarity {
       threshold: Double,
       idx: LshIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
+    val banded = lshAdmittedBands(delta, vecCol, idCol, idx)
+    val deltaV = lshNormalizedDelta(delta, vecCol, idCol)
+    lshPairsFromAdmitted(banded, deltaV, threshold, idx)
+  }
+
+  /** Probe-then-append in ONE delta pass — the vector twin of
+    * [[graft.operators.Dedup.minHashNearDupsIncrementalFold]]: emit
+    * near-dup pairs against the index as it stood, then fold the delta
+    * in. Gated identical to [[lshNearDupsIncremental]] followed by
+    * [[appendToLshIndex]], but the hyperplane banding, the admission
+    * scan over the corpus index, and the vector normalization each run
+    * ONCE instead of twice.
+    */
+  def lshNearDupsIncrementalFold(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      idx: LshIndex
+  ): DataFrame = {
+    val banded = lshAdmittedBands(delta, vecCol, idCol, idx)
+    val deltaV = lshNormalizedDelta(delta, vecCol, idCol)
+    val lazyPairs = lshPairsFromAdmitted(banded, deltaV, threshold, idx)
+    // materializes the pair set BEFORE the appends mutate the tables
+    val out = lazyPairs.localCheckpoint(true)
+    Dedup.writeBucketedTable(
+      banded, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
+      org.apache.spark.sql.SaveMode.Append)
+    Dedup.writeBucketedTable(
+      deltaV, idx.vecTable, idx.buckets, Seq("_vid"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(lazyPairs) // frees banded + deltaV in its lineage
+    out
+  }
+
+  private def lshAdmittedBands(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: LshIndex
+  ): DataFrame = {
     val bandedRaw =
       lshBanded(delta, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables)
         .localCheckpoint(true)
@@ -887,6 +927,25 @@ object Similarity {
       bandedRaw, idx.bandTable, idx.maxBucket, Seq("_tbl", "_sig"))
       .localCheckpoint(true)
     graft.CacheUtil.release(bandedRaw)
+    banded
+  }
+
+  private def lshNormalizedDelta(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String
+  ): DataFrame =
+    delta
+      .select(col(idCol).as("_vid"), VectorFunctions.l2Normalize(col(vecCol)).as("_nv"))
+      .localCheckpoint(true)
+
+  private def lshPairsFromAdmitted(
+      banded: DataFrame,
+      deltaV: DataFrame,
+      threshold: Double,
+      idx: LshIndex
+  ): DataFrame = {
+    val spark = banded.sparkSession
     val within = lshCandidatesFromBanded(banded, idx.nTables, idx.maxBucket)
     val corpus = spark.table(idx.bandTable)
     val cross = banded
@@ -904,9 +963,6 @@ object Similarity {
       )
     val cands = cross.unionByName(within)
     val corpusV = spark.table(idx.vecTable)
-    val deltaV = delta
-      .select(col(idCol).as("_vid"), VectorFunctions.l2Normalize(col(vecCol)).as("_nv"))
-      .localCheckpoint(true)
     val withA = cands
       .join(corpusV.as("ca"), col("id_a") === col("ca._vid"), "left")
       .join(deltaV.as("da"), col("id_a") === col("da._vid"), "left")

@@ -600,6 +600,103 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("fold probe-then-append == separate probe + append (simhash64/128, vector-LSH, exact)") {
+    // completes the fold family gate: same contract as the
+    // minhash/passages/lines leg — equal per-batch emissions, and a
+    // third delta probes the post-append index identically
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9300000L, "exact fold twin carries identical bytes across the chunk split"),
+        (9300001L, "exact fold twin carries identical bytes across the chunk split")
+      ).toDF("doc_id", "text"))
+    val chunks = (0 to 1).map(k => docs.filter($"doc_id" % 2 === k).localCheckpoint(true))
+    val probe3 = docs.filter($"doc_id" % 3 === 0)
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    // odd offset flips parity, so every echoed twin spans the %2 split
+    val vdocs = emb.unionByName(
+      emb.limit(3).select(($"vec_id" + 1000001L).as("vec_id"), $"embedding"))
+    val vchunks = (0 to 1).map(k => vdocs.filter($"vec_id" % 2 === k).localCheckpoint(true))
+    def pairs2(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheUtil.release(df)
+      s
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(df)
+      s
+    }
+    try {
+      // ---- simhash64
+      val hSep = Dedup.writeSimHashIndex(docs.limit(0), "text", "doc_id", "foldpar_hsep", maxHamming = 3, buckets = 4)
+      val hFold = Dedup.writeSimHashIndex(docs.limit(0), "text", "doc_id", "foldpar_hfold", maxHamming = 3, buckets = 4)
+      chunks.foreach { c =>
+        val sep = pairs2(Dedup.simHashNearDupsIncremental(c, "text", "doc_id", hSep))
+        Dedup.appendToSimHashIndex(c, "text", "doc_id", hSep)
+        val fold = pairs2(Dedup.simHashNearDupsIncrementalFold(c, "text", "doc_id", hFold))
+        assert(fold === sep, "simhash64 fold emissions diverged")
+      }
+      val h3s = pairs2(Dedup.simHashNearDupsIncremental(probe3, "text", "doc_id", hSep))
+      val h3f = pairs2(Dedup.simHashNearDupsIncremental(probe3, "text", "doc_id", hFold))
+      assert(h3f === h3s, "simhash64 index state diverged after fold appends")
+      assert(h3s.nonEmpty, "simhash64 fold gate emitted no pairs — vacuous")
+
+      // ---- simhash128
+      val wSep = Dedup.writeSimHash128Index(docs.limit(0), "text", "doc_id", "foldpar_wsep", maxHamming = 8, buckets = 4)
+      val wFold = Dedup.writeSimHash128Index(docs.limit(0), "text", "doc_id", "foldpar_wfold", maxHamming = 8, buckets = 4)
+      chunks.foreach { c =>
+        val sep = pairs2(Dedup.simHashNearDups128Incremental(c, "text", "doc_id", wSep))
+        Dedup.appendToSimHash128Index(c, "text", "doc_id", wSep)
+        val fold = pairs2(Dedup.simHashNearDups128IncrementalFold(c, "text", "doc_id", wFold))
+        assert(fold === sep, "simhash128 fold emissions diverged")
+      }
+      val w3s = pairs2(Dedup.simHashNearDups128Incremental(probe3, "text", "doc_id", wSep))
+      val w3f = pairs2(Dedup.simHashNearDups128Incremental(probe3, "text", "doc_id", wFold))
+      assert(w3f === w3s, "simhash128 index state diverged after fold appends")
+      assert(w3s.nonEmpty, "simhash128 fold gate emitted no pairs — vacuous")
+
+      // ---- vector LSH
+      val lSep = Similarity.writeLshIndex(vdocs.limit(0), "embedding", "vec_id", "foldpar_vsep", nPlanes = 3, nTables = 8, buckets = 4)
+      val lFold = Similarity.writeLshIndex(vdocs.limit(0), "embedding", "vec_id", "foldpar_vfold", nPlanes = 3, nTables = 8, buckets = 4)
+      vchunks.foreach { c =>
+        val sep = pairs2(Similarity.lshNearDupsIncremental(c, "embedding", "vec_id", 0.9, lSep))
+        Similarity.appendToLshIndex(c, "embedding", "vec_id", lSep)
+        val fold = pairs2(Similarity.lshNearDupsIncrementalFold(c, "embedding", "vec_id", 0.9, lFold))
+        assert(fold === sep, "LSH fold emissions diverged")
+      }
+      val vprobe = vdocs.filter($"vec_id" % 3 === 0)
+      val v3s = pairs2(Similarity.lshNearDupsIncremental(vprobe, "embedding", "vec_id", 0.9, lSep))
+      val v3f = pairs2(Similarity.lshNearDupsIncremental(vprobe, "embedding", "vec_id", 0.9, lFold))
+      assert(v3f === v3s, "LSH index state diverged after fold appends")
+      assert(v3s.nonEmpty, "LSH fold gate emitted no pairs — vacuous")
+
+      // ---- exact
+      val eSep = Dedup.writeExactDedupIndex(docs.limit(0), "text", "foldpar_esep", buckets = 4)
+      val eFold = Dedup.writeExactDedupIndex(docs.limit(0), "text", "foldpar_efold", buckets = 4)
+      chunks.foreach { c =>
+        val sep = ids(Dedup.exactDedupIncremental(c, "text", "doc_id", eSep))
+        Dedup.appendToExactDedupIndex(c, "text", eSep)
+        val fold = ids(Dedup.exactDedupIncrementalFold(c, "text", "doc_id", eFold))
+        assert(fold === sep, "exact fold survivors diverged")
+      }
+      val e3s = ids(Dedup.exactDedupIncremental(probe3, "text", "doc_id", eSep))
+      val e3f = ids(Dedup.exactDedupIncremental(probe3, "text", "doc_id", eFold))
+      assert(e3f === e3s, "exact index state diverged after fold appends")
+      // the chunk-1 twin must have been dropped against chunk-0's append
+      assert(!e3s.contains(9300000L) || !e3s.contains(9300001L))
+    } finally {
+      Seq("foldpar_hsep_chunks", "foldpar_hfold_chunks",
+        "foldpar_wsep_chunks128", "foldpar_wfold_chunks128",
+        "foldpar_vsep_bands", "foldpar_vsep_vecs",
+        "foldpar_vfold_bands", "foldpar_vfold_vecs",
+        "foldpar_esep_exactfps", "foldpar_efold_exactfps")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      (chunks ++ vchunks).foreach(graft.CacheUtil.release)
+    }
+  }
+
   test("write-time bucket cap plans as WindowGroupLimit, not a full hot-bucket sort") {
     // the cap is `row_number() <= k` over the bucket keys; Spark 4's
     // WindowGroupLimit rewrite turns that into per-partition top-k
