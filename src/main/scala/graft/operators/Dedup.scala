@@ -2165,16 +2165,56 @@ object Dedup {
       textCol: String,
       idCol: String,
       idx: SimHashComboIndex
+  ): DataFrame =
+    simHashComboPairsFromAdmitted(comboAdmittedKeys(delta, textCol, idCol, idx), idx)
+
+  /** Probe-then-append in ONE delta pass — the combination-keyed member
+    * of the fold family (gated identical to the separate
+    * [[simHashNearDupsIncrementalCombo]] + [[appendToSimHashComboIndex]]
+    * calls). The C(blocks, blocks−maxHamming)-row combination keying
+    * and the admission scan run ONCE instead of twice.
+    */
+  def simHashNearDupsIncrementalComboFold(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashComboIndex
   ): DataFrame = {
-    val spark = delta.sparkSession
+    val keyed = comboAdmittedKeys(delta, textCol, idCol, idx)
+    val lazyPairs = simHashComboPairsFromAdmitted(keyed, idx)
+    // materializes the pair set BEFORE the append mutates the table
+    val out = lazyPairs.localCheckpoint(true)
+    writeBucketedTable(
+      keyed, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(lazyPairs) // frees `keyed` + internal members
+    out
+  }
+
+  private def comboAdmittedKeys(
+      delta: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: SimHashComboIndex
+  ): DataFrame = {
     val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
     val (widths, offsets) = chunkLayout(idx.blocks)
-    val keyVal = (h: Column, c: Int) => comboVal(h, subsets(c), widths, offsets)
     val keyedRaw = simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets)
       .localCheckpoint(true)
     val keyed = admittedAgainstIndex(keyedRaw, idx.chunkTable, idx.maxBucket)
       .localCheckpoint(true)
     graft.CacheUtil.release(keyedRaw)
+    keyed
+  }
+
+  private def simHashComboPairsFromAdmitted(
+      keyed: DataFrame,
+      idx: SimHashComboIndex
+  ): DataFrame = {
+    val spark = keyed.sparkSession
+    val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
+    val (widths, offsets) = chunkLayout(idx.blocks)
+    val keyVal = (h: Column, c: Int) => comboVal(h, subsets(c), widths, offsets)
     val within =
       simHashPairsFromKeyed(keyed, idx.maxHamming, idx.maxBucket, subsets.length, keyVal)
     val corpus = spark.table(idx.chunkTable)

@@ -600,7 +600,7 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("fold probe-then-append == separate probe + append (simhash64/128, vector-LSH, exact)") {
+  test("fold probe-then-append == separate probe + append (simhash64/128, combo, vector-LSH, exact)") {
     // completes the fold family gate: same contract as the
     // minhash/passages/lines leg — equal per-batch emissions, and a
     // third delta probes the post-append index identically
@@ -657,6 +657,21 @@ class OperatorsSpec extends AnyFunSuite {
       assert(w3f === w3s, "simhash128 index state diverged after fold appends")
       assert(w3s.nonEmpty, "simhash128 fold gate emitted no pairs — vacuous")
 
+      // ---- combination-keyed simhash (identical twins sit at hamming 0,
+      // inside the h=3 radius)
+      val cSep = Dedup.writeSimHashComboIndex(docs.limit(0), "text", "doc_id", "foldpar_csep", maxHamming = 3, blocks = 6, buckets = 4)
+      val cFold = Dedup.writeSimHashComboIndex(docs.limit(0), "text", "doc_id", "foldpar_cfold", maxHamming = 3, blocks = 6, buckets = 4)
+      chunks.foreach { c =>
+        val sep = pairs2(Dedup.simHashNearDupsIncrementalCombo(c, "text", "doc_id", cSep))
+        Dedup.appendToSimHashComboIndex(c, "text", "doc_id", cSep)
+        val fold = pairs2(Dedup.simHashNearDupsIncrementalComboFold(c, "text", "doc_id", cFold))
+        assert(fold === sep, "combo fold emissions diverged")
+      }
+      val c3s = pairs2(Dedup.simHashNearDupsIncrementalCombo(probe3, "text", "doc_id", cSep))
+      val c3f = pairs2(Dedup.simHashNearDupsIncrementalCombo(probe3, "text", "doc_id", cFold))
+      assert(c3f === c3s, "combo index state diverged after fold appends")
+      assert(c3s.nonEmpty, "combo fold gate emitted no pairs — vacuous")
+
       // ---- vector LSH
       val lSep = Similarity.writeLshIndex(vdocs.limit(0), "embedding", "vec_id", "foldpar_vsep", nPlanes = 3, nTables = 8, buckets = 4)
       val lFold = Similarity.writeLshIndex(vdocs.limit(0), "embedding", "vec_id", "foldpar_vfold", nPlanes = 3, nTables = 8, buckets = 4)
@@ -688,6 +703,7 @@ class OperatorsSpec extends AnyFunSuite {
       assert(!e3s.contains(9300000L) || !e3s.contains(9300001L))
     } finally {
       Seq("foldpar_hsep_chunks", "foldpar_hfold_chunks",
+        "foldpar_csep_combo", "foldpar_cfold_combo",
         "foldpar_wsep_chunks128", "foldpar_wfold_chunks128",
         "foldpar_vsep_bands", "foldpar_vsep_vecs",
         "foldpar_vfold_bands", "foldpar_vfold_vecs",
