@@ -122,6 +122,14 @@ object DomainFunctionImpls {
     * rules instead of falling back to the implicit-* rule (round-10
     * verdict #2). A Unicode-form host still matches the U-label entry
     * directly; both spellings of one rule resolve identically.
+    *
+    * Honesty note: `java.net.IDN` implements IDNA2003 while the PSL
+    * assumes IDNA2008 — for the handful of deviation characters
+    * (ß → ss, final sigma, ZWJ/ZWNJ) the A-label twin of a rule could
+    * differ from the registry's. No current PSL rule contains a
+    * deviation character, so the twins are exact today; a rule that
+    * gains one would mis-index only its own A-label spelling (U-label
+    * matching is unaffected).
     */
   private[graft] lazy val rules: (java.util.HashSet[String], java.util.HashSet[String], java.util.HashSet[String]) = {
     val exact = new java.util.HashSet[String]()
