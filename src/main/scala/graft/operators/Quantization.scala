@@ -341,6 +341,41 @@ object Quantization {
       .parquet(s"$path/codebooks")
   }
 
+  /** Fold new vectors into a WRITTEN IVF-PQ index under the
+    * FROZEN-QUANTIZER contract (coarse centroids AND residual codebooks
+    * stay fixed — the production ingest shape; re-train via
+    * [[ivfPqBuild]]/[[ivfPqWrite]] when drift accumulates): assign the
+    * delta to its coarse lists, encode each residual with the stored
+    * codebooks — per-row compiled expressions, no shuffle — and append
+    * the codes to the partitioned layout. A search after the append
+    * equals a search over the union encoded with the same quantizers
+    * (gated).
+    */
+  def ivfPqAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    val frozen = ivfPqRead(spark, path, idCol)
+    val coarseLit = array(frozen.coarse.map(cv => array(cv.map(lit): _*)): _*)
+    val withRes = Similarity
+      .ivfAssign(delta, vecCol, frozen.coarse)
+      .withColumn(
+        "_res",
+        graft.functions.VectorFunctions
+          .vecSub(col(vecCol), element_at(coarseLit, col("_centroid") + 1))
+      )
+      .select(col(idCol), col("_centroid"), col("_res"))
+    pqEncode(withRes, "_res", frozen.cb)
+      .select(col(idCol), col("_centroid"), col("_pq"))
+      .write
+      .mode("append")
+      .partitionBy("_centroid")
+      .parquet(s"$path/codes")
+  }
+
   /** Load a written IVF-PQ index; centroids/codebooks return to the
     * driver (tiny), codes stay on disk as a partitioned table.
     */

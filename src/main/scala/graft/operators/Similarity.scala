@@ -254,16 +254,48 @@ object Similarity {
       .parquet(s"$path/centroids")
   }
 
-  /** Load a written IVF index; centroids come back to the driver (tiny). */
-  def ivfRead(spark: SparkSession, path: String, vecCol: String, idCol: String): IvfIndex = {
-    val cents = spark.read
-      .parquet(s"$path/centroids")
+  /** Fold new vectors into a WRITTEN IVF index under the FROZEN-QUANTIZER
+    * contract (the production ANN ingest shape: train the coarse
+    * quantizer once, append forever, re-train via
+    * [[ivfBuild]]/[[ivfWrite]] when drift accumulates): assign the delta
+    * against the stored centroids — a per-row argmin, no shuffle — and
+    * append to the partitioned inverted-list layout. Untouched lists
+    * gain no files, and a probe after the append equals a probe over
+    * the union assigned with the same centroids (gated). `delta` must
+    * carry the same columns the index was built from.
+    */
+  def ivfAppend(
+      spark: SparkSession,
+      delta: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    val cents = readCentroids(spark, s"$path/centroids")
+    ivfAssign(delta, vecCol, cents).write
+      .mode("append")
+      .partitionBy("_centroid")
+      .parquet(s"$path/lists")
+  }
+
+  private[operators] def readCentroids(
+      spark: SparkSession,
+      path: String
+  ): Array[Array[Double]] =
+    spark.read
+      .parquet(path)
       .collect()
       .map(r => r.getInt(r.fieldIndex("cid")) -> r.getSeq[Double](r.fieldIndex("cvec")).toArray)
       .sortBy(_._1)
       .map(_._2)
-    IvfIndex(spark.read.parquet(s"$path/lists"), cents, vecCol, idCol)
-  }
+
+  /** Load a written IVF index; centroids come back to the driver (tiny). */
+  def ivfRead(spark: SparkSession, path: String, vecCol: String, idCol: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/lists"),
+      readCentroids(spark, s"$path/centroids"),
+      vecCol,
+      idCol)
 
   /** Probe an IVF index: rank centroids against the query vector ON THE
     * DRIVER (the centroid table is driver-resident — zero Spark jobs),

@@ -1922,6 +1922,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(Similarity.semDedupPairsFromIndex(reread, threshold = 0.3)) === direct)
   }
 
+  test("ivfAppend / ivfPqAppend: frozen-quantizer appends == union under the same quantizers") {
+    // the ANN twin of the dedup-family ingest contract: the coarse
+    // quantizer (and PQ codebooks) are trained once and FROZEN; appends
+    // assign/encode new vectors against the stored quantizers, and a
+    // probe after the append must equal a probe over the union
+    // assigned/encoded with those same quantizers
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val qv = emb.filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+
+    // ---- IVF
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.ivfWrite(built, dir)
+    Similarity.ivfAppend(spark, delta, dir, "embedding", "vec_id")
+    val appended = Similarity.ivfRead(spark, dir, "embedding", "vec_id")
+    assert(appended.assigned.count() === emb.count(), "append lost or duplicated rows")
+    // delta rows landed in the lists the frozen centroids dictate
+    val gotAssign = appended.assigned.filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"_centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wantAssign = Similarity.ivfAssign(delta, "embedding", built.centroids)
+      .select($"vec_id", $"_centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotAssign === wantAssign, "appended list assignment diverged from frozen centroids")
+    def topIvf(ix: Similarity.IvfIndex) = {
+      val df = Similarity.ivfProbe(ix, qv, k = 5, nProbe = 2, excludeId = Some(1L))
+      val s = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      graft.CacheUtil.release(df)
+      s
+    }
+    val refIvf = Similarity.IvfIndex(
+      Similarity.ivfAssign(emb, "embedding", built.centroids),
+      built.centroids, "embedding", "vec_id")
+    assert(topIvf(appended) === topIvf(refIvf), "IVF probe diverged after append")
+
+    // ---- IVF-PQ
+    val pq = Quantization.ivfPqBuild(
+      corpus, "embedding", "vec_id", nCentroids = 4, refineIters = 1, m = 16, k = 16, iters = 1)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Quantization.ivfPqWrite(pq, dir2)
+    Quantization.ivfPqAppend(spark, delta, dir2, "embedding", "vec_id")
+    val loaded = Quantization.ivfPqRead(spark, dir2, "vec_id")
+    assert(loaded.encoded.count() === emb.count(), "PQ append lost or duplicated rows")
+    // reference: the union encoded with the SAME frozen coarse + codebooks
+    val coarseLit = array(pq.coarse.map(cv => array(cv.map(lit): _*)): _*)
+    val withRes = Similarity.ivfAssign(emb, "embedding", pq.coarse)
+      .withColumn("_res", graft.functions.VectorFunctions
+        .vecSub($"embedding", element_at(coarseLit, $"_centroid" + 1)))
+      .select($"vec_id", $"_centroid", $"_res")
+    val refPq = Quantization.IvfPqIndex(
+      Quantization.pqEncode(withRes, "_res", pq.cb)
+        .select($"vec_id", $"_centroid", $"_pq"),
+      pq.coarse, pq.cb, "vec_id")
+    def topPq(ix: Quantization.IvfPqIndex) = {
+      val df = Quantization.ivfPqSearch(ix, qv, 5, nProbe = 2, excludeId = Some(1L))
+      val s = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      graft.CacheUtil.release(df)
+      s
+    }
+    assert(topPq(loaded) === topPq(refPq), "IVF-PQ search diverged after append")
+    graft.CacheUtil.release(built.assigned)
+    graft.CacheUtil.release(pq.encoded)
+  }
+
   test("capPerGroup == single-window reference; layout-independent; caps honored") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     import org.apache.spark.sql.expressions.Window
