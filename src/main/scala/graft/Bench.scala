@@ -136,10 +136,13 @@ object Bench {
             .map(_.group(1).toDouble)
         } else None
       fromFile.getOrElse {
+        val why =
+          if (f.isFile) s"${f.getPath} exists but has no parseable calib_ref_sec"
+          else s"${f.getPath} not found"
         System.err.println(
-          "[bench] WARNING: dev/calib_ref.json not found; falling back to " +
-            "the committed quiet-box reference 0.22 — set " +
-            "SPARK_GRAFT_CALIB_REF for this box if it is not the repo box")
+          s"[bench] WARNING: $why; falling back to the committed " +
+            "quiet-box reference 0.22 — set SPARK_GRAFT_CALIB_REF for " +
+            "this box if it is not the repo box")
         0.22
       }
     }

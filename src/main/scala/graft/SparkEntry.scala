@@ -240,7 +240,7 @@ object SparkEntry {
     *    near-dedup keeps 4200015;
     *  - 4200017 is too short → quality-filtered.
     */
-  private val pipelinePlantedDocs: Seq[(Long, String, String)] = Seq(
+  private[graft] val pipelinePlantedDocs: Seq[(Long, String, String)] = Seq(
     (4200010L, "contamination sentinel gram alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima", "srcb"),
     (4200011L, "unrelated leading prose alpha bravo charlie delta echo foxtrot golf hotel trailing filler tokens winter spring summer autumn sunrise sunset meadow river", "srcp"),
     (4200012L, "<html><body><p>Markup exerciser keeps distinct informative tokens covering parsing boundary cases for the stripping canonical stage of the composed corpus pipeline today</p></body></html>", "srcp"),
@@ -264,6 +264,17 @@ object SparkEntry {
         s"($id, $lit, '$src')"
       }
       .mkString("SELECT * FROM (VALUES ", ", ", ") v(doc_id, text, source)")
+
+  /** The [[functions.TextFunctions.htmlStripSteps]] chain as nested
+    * DuckDB regexp_replace calls over `inner` — ONE source for the t09
+    * and p11 oracles (a replacement's quotes are SQL-escaped here; the
+    * caller wraps the result in trim(...) to mirror stripHtml).
+    */
+  private def htmlStripSql(inner: String): String =
+    functions.TextFunctions.htmlStripSteps.foldLeft(inner) {
+      case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '${rep.replace("'", "''")}', 'g')"
+    }
 
   private def valuesSql(rows: Seq[(Long, String)]): String =
     rows
@@ -1072,20 +1083,10 @@ object SparkEntry {
           )
       },
       Some {
-        // the same replace chain as TextFunctions.stripHtml, generated
-        // rather than hand-nested (nine nesting levels invite paren bugs)
-        val steps = Seq(
-          "(?is)<script[^>]*>.*?</script>" -> " ",
-          "(?is)<style[^>]*>.*?</style>" -> " ",
-          "(?s)<!--.*?-->" -> " ",
-          "<[^>]+>" -> " ",
-          "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-          "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&",
-          " +" -> " "
-        )
-        val expr = steps.foldLeft("text") { case (acc, (pat, rep)) =>
-          s"regexp_replace($acc, '$pat', '$rep', 'g')"
-        }
+        // the stripHtml chain, generated from the SHARED step list
+        // (hand-nesting nine levels invites paren bugs; hand-copying
+        // the steps forked the chains once)
+        val expr = htmlStripSql("text")
         s"""WITH all_docs AS (
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
@@ -2328,17 +2329,7 @@ object SparkEntry {
         // each CTE is the corresponding stage's own oracle template
         // (t09/t14, t08, d31, d02, d10, t17/p09, p05), chained over
         // `canon` — generated, never hand-duplicated
-        val htmlChain = Seq(
-          "(?is)<script[^>]*>.*?</script>" -> " ",
-          "(?is)<style[^>]*>.*?</style>" -> " ",
-          "(?s)<!--.*?-->" -> " ",
-          "<[^>]+>" -> " ",
-          "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-          "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&",
-          " +" -> " "
-        ).foldLeft("text") { case (acc, (pat, rep)) =>
-          s"regexp_replace($acc, '$pat', '$rep', 'g')"
-        }
+        val htmlChain = htmlStripSql("text")
         s"""WITH all_docs AS (
            |  SELECT doc_id, text, source FROM documents
            |  UNION ALL ${valuesSql3(pipelinePlantedDocs)}),
@@ -2586,7 +2577,13 @@ object SparkEntry {
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         import s.implicits._
         val docs = documents(s, d)
-        val bench = docs.filter(col("doc_id") % 10 === 0)
+        // the benchmark gram set is STATIC for the whole stream — build
+        // and checkpoint it once; each micro-batch only probes it
+        // (rebuilding per batch would re-scan and re-aggregate the
+        // benchmark three times inside a timed query)
+        val grams = operators.Decontaminate
+          .benchmarkGrams(docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+          .localCheckpoint(true)
         val corpus = docs.filter(col("doc_id") % 10 =!= 0)
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()
         val chunks = (0 to 2).map(k => corpus.filter(_._1 % 3 == k))
@@ -2596,7 +2593,7 @@ object SparkEntry {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val delta = batch.localCheckpoint(true)
             val out = operators.Decontaminate
-              .decontaminate(delta, "text", "doc_id", bench, "text", n = 8)
+              .decontaminateAgainstGrams(delta, "text", "doc_id", grams, n = 8)
             kept ++= out.select("doc_id").collect().map(_.getLong(0))
             graft.CacheUtil.release(out)
             graft.CacheUtil.release(delta)
@@ -2609,6 +2606,7 @@ object SparkEntry {
             q.processAllAvailable()
           }
         } finally q.stop()
+        graft.CacheUtil.release(grams)
         kept.toSeq.toDF("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, split(text, ' ') w FROM documents),

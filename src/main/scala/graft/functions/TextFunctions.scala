@@ -200,24 +200,30 @@ object TextFunctions {
     * scoring, main-content detection) is a different, model-shaped
     * problem.
     */
-  def stripHtml(text: Column): Column = {
-    // one pass per block tag: a combined <(script|style)>.*?</(script|
-    // style)> alternation lets a dangling <script> be "closed" by the
-    // next </style> and swallow the prose in between (RE2 has no
-    // backreferences to pin the closer to the opener)
-    val noBlocks = Seq("script", "style").foldLeft(text) { (acc, tag) =>
-      regexp_replace(acc, s"(?is)<$tag[^>]*>.*?</$tag>", " ")
-    }
-    val noTags =
-      regexp_replace(regexp_replace(noBlocks, "(?s)<!--.*?-->", " "), "<[^>]+>", " ")
-    // &amp; decodes LAST: doing it earlier would turn &amp;lt; into &lt;
-    // and then double-decode it to <
-    val decoded = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
-    trim(regexp_replace(decoded, " +", " "))
-  }
+  /** The HTML-strip replace chain, shared VERBATIM with the t09 and p11
+    * oracle SQL (SparkEntry generates both by folding over this Seq —
+    * hand-duplicating it forked the chains once, round-11 review):
+    * one pass per block tag (a combined script|style alternation would
+    * let a dangling <script> be "closed" by the next </style> — RE2 has
+    * no backreferences to pin the closer to the opener); comments;
+    * tags; entities with &amp; decoded LAST (earlier would turn
+    * &amp;lt; into &lt; and then double-decode it to <); then a
+    * space-run collapse. [[stripHtml]] applies the chain and trims.
+    */
+  val htmlStripSteps: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&",
+    " +" -> " "
+  )
+
+  def stripHtml(text: Column): Column =
+    trim(htmlStripSteps.foldLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    })
 
   /** MD5 document fingerprint (engine-portable exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(text)

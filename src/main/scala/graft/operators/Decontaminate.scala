@@ -55,8 +55,29 @@ object Decontaminate {
       broadcastBench: Boolean = true
   ): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
+    contaminationReportAgainstGrams(
+      corpus, textCol, idCol, benchmarkGrams(bench, benchTextCol, n),
+      n, minMatches, broadcastBench)
+  }
+
+  /** [[contaminationReport]] against a PRE-BUILT benchmark gram frame
+    * ([[benchmarkGrams]], persisted or checkpointed by the caller) —
+    * the per-batch body of a streaming decontamination loop (st03): the
+    * benchmark changes far less often than the corpus, so rebuilding
+    * its gram set per delta would re-scan and re-aggregate static data
+    * every batch.
+    */
+  def contaminationReportAgainstGrams(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      grams: DataFrame,
+      n: Int,
+      minMatches: Int = 1,
+      broadcastBench: Boolean = true
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
     require(minMatches > 0, s"minMatches must be positive, got $minMatches")
-    val grams = benchmarkGrams(bench, benchTextCol, n)
     // escape hatch for a benchmark too large for executor memory
     // (broadcastBench = false → shuffle hash/sort-merge on the gram):
     // with it the corpus gram stream shuffles, so prefer splitting the
@@ -95,9 +116,26 @@ object Decontaminate {
       minMatches: Int = 1,
       broadcastBench: Boolean = true,
       maxBroadcastIds: Long = 10_000_000L
+  ): DataFrame =
+    decontaminateAgainstGrams(
+      corpus, textCol, idCol, benchmarkGrams(bench, benchTextCol, n),
+      n, minMatches, broadcastBench, maxBroadcastIds)
+
+  /** [[decontaminate]] against a PRE-BUILT benchmark gram frame — see
+    * [[contaminationReportAgainstGrams]] for when to prefer it.
+    */
+  def decontaminateAgainstGrams(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      grams: DataFrame,
+      n: Int,
+      minMatches: Int = 1,
+      broadcastBench: Boolean = true,
+      maxBroadcastIds: Long = 10_000_000L
   ): DataFrame = {
-    val bad = contaminationReport(
-      corpus, textCol, idCol, bench, benchTextCol, n, minMatches, broadcastBench)
+    val bad = contaminationReportAgainstGrams(
+      corpus, textCol, idCol, grams, n, minMatches, broadcastBench)
       .select(col(idCol))
       .localCheckpoint(true)
     val hinted = if (bad.count() <= maxBroadcastIds) broadcast(bad) else bad

@@ -209,8 +209,9 @@ object Multimodal {
     * iterator shape a real vectorized decoder (or Arrow/pandas bridge)
     * consumes. STUB: features are deterministic byte statistics standing
     * in for pixel/sample features. DEPRECATED alias since round 9 —
-    * [[decodeImages]] runs the real JRE codec; this remains for
-    * non-image payloads (audio/video codecs are still absent).
+    * [[decodeImages]] runs the real PNG codec and [[decodeAudio]]
+    * (round 11) the real WAV codec; this remains for VIDEO payloads
+    * only (no video codec ships with the JRE).
     */
   def decodeStub(
       spark: SparkSession,

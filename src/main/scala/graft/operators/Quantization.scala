@@ -358,17 +358,20 @@ object Quantization {
       vecCol: String,
       idCol: String
   ): Unit = {
-    val frozen = ivfPqRead(spark, path, idCol)
-    val coarseLit = array(frozen.coarse.map(cv => array(cv.map(lit): _*)): _*)
+    // quantizers only — opening the codes table here would add a
+    // per-append listing/footer pass over a directory that grows with
+    // every prior append, for data the append never reads
+    val (coarse, cb) = ivfPqReadQuantizers(spark, path)
+    val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
     val withRes = Similarity
-      .ivfAssign(delta, vecCol, frozen.coarse)
+      .ivfAssign(delta, vecCol, coarse)
       .withColumn(
         "_res",
         graft.functions.VectorFunctions
           .vecSub(col(vecCol), element_at(coarseLit, col("_centroid") + 1))
       )
       .select(col(idCol), col("_centroid"), col("_res"))
-    pqEncode(withRes, "_res", frozen.cb)
+    pqEncode(withRes, "_res", cb)
       .select(col(idCol), col("_centroid"), col("_pq"))
       .write
       .mode("append")
@@ -376,16 +379,14 @@ object Quantization {
       .parquet(s"$path/codes")
   }
 
-  /** Load a written IVF-PQ index; centroids/codebooks return to the
-    * driver (tiny), codes stay on disk as a partitioned table.
+  /** Driver-side quantizers of a written IVF-PQ index (coarse centroids
+    * + PQ codebooks) WITHOUT opening the codes table.
     */
-  def ivfPqRead(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): IvfPqIndex = {
-    val coarse = spark.read
-      .parquet(s"$path/coarse")
-      .collect()
-      .map(r => r.getInt(r.fieldIndex("cid")) -> r.getSeq[Double](r.fieldIndex("cvec")).toArray)
-      .sortBy(_._1)
-      .map(_._2)
+  def ivfPqReadQuantizers(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (Array[Array[Double]], PQCodebooks) = {
+    val coarse = Similarity.readCentroids(spark, s"$path/coarse")
     val cbRows = spark.read
       .parquet(s"$path/codebooks")
       .collect()
@@ -398,12 +399,15 @@ object Quantization {
     val cents = Array.ofDim[Array[Double]](m, k)
     cbRows.foreach { case (sub, code, cv) => cents(sub)(code) = cv }
     val subDim = cents(0)(0).length
-    IvfPqIndex(
-      spark.read.parquet(s"$path/codes"),
-      coarse,
-      PQCodebooks(m, k, m * subDim, cents),
-      idCol
-    )
+    (coarse, PQCodebooks(m, k, m * subDim, cents))
+  }
+
+  /** Load a written IVF-PQ index; centroids/codebooks return to the
+    * driver (tiny), codes stay on disk as a partitioned table.
+    */
+  def ivfPqRead(spark: org.apache.spark.sql.SparkSession, path: String, idCol: String): IvfPqIndex = {
+    val (coarse, cb) = ivfPqReadQuantizers(spark, path)
+    IvfPqIndex(spark.read.parquet(s"$path/codes"), coarse, cb, idCol)
   }
 
   /** Re-ranked IVF-PQ search (the IVFADC+R refinement, Jégou et al. §V):

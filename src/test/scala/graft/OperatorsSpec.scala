@@ -225,6 +225,41 @@ class OperatorsSpec extends AnyFunSuite {
         "without mid-band pairs or demote d02/d08 to rows-only")
   }
 
+  test("p11 full-oracle guard: canon-space pairs of the pipeline's minhash stage stay out of [0.4, 0.9)") {
+    // p11's minhash near-dedup runs over CANONICALIZED text (strip HTML
+    // → lower → ws-collapse), a space the raw-text d02/d08 guard above
+    // cannot see: lowercasing/collapsing can merge shingles and shift a
+    // pair's jaccard. The oracle's exact-jaccard pair CTE is recall-safe
+    // only while every canon-space pair ≥ 0.4 sits at ≥ 0.9 — this leg
+    // checks EXACTLY the frame the p11 stage emits pairs from (quality
+    // survivors of the canonicalized %10≠0 corpus ∪ planted rows, after
+    // canonical exact dedup), at the sf0.01 fixture the driver compares.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val tf = graft.functions.TextFunctions
+    val all = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+      .unionByName(SparkEntry.pipelinePlantedDocs.toDF("doc_id", "text", "source"))
+      .withColumn("canon", tf.canonicalizeForDedup(tf.stripHtml($"text")))
+      .filter($"doc_id" % 10 =!= 0)
+      .filter(tf.qualityPredicate($"canon",
+        minTokens = 20, minTypeTokenRatio = 0.55, maxRepeatedBigrams = 0.15))
+    val exact = Dedup.exactDedup(all, "canon", "doc_id").localCheckpoint(true)
+    val inBand = Dedup
+      .jaccardPairsBrute(exact, "canon", "doc_id", threshold = 0.4)
+      .filter($"jacc" < 0.9)
+      .agg(count(lit(1)).as("n"), min($"jacc").as("lo"), max($"jacc").as("hi"))
+      .collect()(0)
+    graft.CacheUtil.release(exact)
+    val n = inBand.getLong(0)
+    val range =
+      if (n == 0) "" else f" in [${inBand.getDouble(1)}%.3f, ${inBand.getDouble(2)}%.3f]"
+    assert(
+      n === 0L,
+      s"canon-space fixture has $n pair(s) with jaccard$range ⊂ [0.4, 0.9) — " +
+        "p11's exact-jaccard oracle is no longer recall-safe; regenerate " +
+        "without mid-band pairs or demote p11 to rows-only")
+  }
+
   test("incremental dedup against a persisted index == batch on the union (gate)") {
     // the daily-pipeline contract: pairs(corpus) ∪ incremental(delta, idx)
     // must equal batch(corpus ∪ delta) — no missed cross pairs, no
