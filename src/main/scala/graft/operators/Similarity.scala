@@ -477,6 +477,88 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup for daily deltas — the semantic member of the incremental
+    * dedup family, under the same contracts as the rest of it: FROZEN
+    * coarse centroids (the index's), capped clusters with
+    * FIRST-SEEN-WINS admission (lowest ids keep their slots; under the
+    * monotone-id daily-crawl contract stored ids precede delta ids, so
+    * the capped members of corpus ∪ delta are exactly stored-capped
+    * plus delta rows admitted into the remaining slots), and emission =
+    * every within-cluster pair ≥ `threshold` touching the delta:
+    * (admitted delta × capped stored members) ∪ (admitted delta ×
+    * admitted delta). Fold the delta in afterwards with [[ivfAppend]]
+    * (lists stay uncapped on disk — ANN completeness; the cap is a
+    * pairing concern, applied by slicing the lowest ids at probe time,
+    * so a later probe over the grown lists still sees the capped-batch
+    * member set). Gated: emission == capped-batch pairs on the union
+    * restricted to delta-touching, incl. over-cap clusters.
+    */
+  def semDedupPairsIncremental(
+      delta: DataFrame,
+      index: IvfIndex,
+      threshold: Double,
+      maxCluster: Int = 10000
+  ): DataFrame = {
+    require(maxCluster > 1, "maxCluster must allow at least one pair")
+    import org.apache.spark.sql.expressions.Window
+    // stored members, capped at the maxCluster LOWEST ids per cluster
+    // (array_sort on (id, vec) structs is a pure id sort — ids unique);
+    // singletons are KEPT: a lone stored member pairs with arrivals
+    val stored = index.assigned
+      .select(
+        col(index.idCol).as("_id"),
+        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
+        col("_centroid")
+      )
+      .groupBy(col("_centroid"))
+      .agg(collect_list(struct(col("_id"), col("_nv"))).as("_ms"))
+      .select(
+        col("_centroid"),
+        explode(slice(array_sort(col("_ms")), 1, maxCluster)).as("_m"))
+      .select(col("_centroid"), col("_m._id").as("_id"), col("_m._nv").as("_nv"))
+      .localCheckpoint(true)
+    // stored is already capped, so its per-cluster count IS the number
+    // of occupied slots
+    val slots = stored.groupBy(col("_centroid")).agg(count(lit(1)).as("_nstored"))
+    val w = Window.partitionBy(col("_centroid")).orderBy(col("_id"))
+    val admitted = ivfAssign(
+      delta.select(col(index.idCol), col(index.vecCol)),
+      index.vecCol, index.centroids)
+      .select(
+        col(index.idCol).as("_id"),
+        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
+        col("_centroid"))
+      .withColumn("_rk", row_number().over(w))
+      .join(slots, Seq("_centroid"), "left")
+      .filter(col("_rk") <= lit(maxCluster) - coalesce(col("_nstored"), lit(0L)))
+      .select(col("_centroid"), col("_id"), col("_nv"))
+      .localCheckpoint(true)
+    val cross = admitted
+      .as("d")
+      .join(
+        stored.as("c"),
+        col("d._centroid") === col("c._centroid") && col("d._id") =!= col("c._id"))
+      .select(
+        least(col("d._id"), col("c._id")).as("id_a"),
+        greatest(col("d._id"), col("c._id")).as("id_b"),
+        VectorFunctions.dot(col("d._nv"), col("c._nv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val within = admitted
+      .as("a")
+      .join(
+        admitted.as("b"),
+        col("a._centroid") === col("b._centroid") && col("a._id") < col("b._id"))
+      .select(
+        col("a._id").as("id_a"),
+        col("b._id").as("id_b"),
+        VectorFunctions.dot(col("a._nv"), col("b._nv")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val out = cross.unionByName(within).localCheckpoint(true)
+    graft.CacheUtil.release(stored)
+    graft.CacheUtil.release(admitted)
+    out
+  }
+
   /** Convenience form: build the cluster index (deterministic strided
     * init + Lloyd refinement) and emit pairs. Use
     * [[semDedupPairsFromIndex]] to reuse an index across thresholds.

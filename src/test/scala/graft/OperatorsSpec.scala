@@ -1957,6 +1957,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(Similarity.semDedupPairsFromIndex(reread, threshold = 0.3)) === direct)
   }
 
+  test("semDedup incremental: delta probe == capped batch on the union (frozen centroids), over-cap gated") {
+    import org.apache.spark.sql.DataFrame
+    def pairSet(df: DataFrame) = {
+      val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheUtil.release(df)
+      s
+    }
+    // ---- fixture leg: real embeddings, cap not binding — emission must
+    // equal ALL delta-touching within-cluster pairs of the union under
+    // the corpus-trained (frozen) centroids
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 4)
+    val inc = pairSet(Similarity.semDedupPairsIncremental(delta, built, threshold = 0.3))
+    val unionIdx = Similarity.IvfIndex(
+      Similarity.ivfAssign(emb, "embedding", built.centroids),
+      built.centroids, "embedding", "vec_id")
+    val batch = pairSet(Similarity.semDedupPairsFromIndex(unionIdx, threshold = 0.3))
+      .filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc === batch, "semDedup incremental != batch delta-touching pairs")
+    assert(inc.nonEmpty, "semDedup incremental gate emitted no pairs — vacuous")
+    graft.CacheUtil.release(built.assigned)
+
+    // ---- over-cap leg: ONE cluster, monotone ids (corpus 1-5 precede
+    // delta 10-12), near-identical vectors so every pair verifies
+    def vecs(ids: Seq[Long]) = ids.map(i =>
+      (i, Array(1.0f, 0.01f * i, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val oc = Similarity.ivfBuild(vecs(1L to 5L), "embedding", "vec_id", nCentroids = 1)
+    val od = vecs(Seq(10L, 11L, 12L))
+    // cap 5: all slots taken by stored ids 1-5 → nothing admitted
+    assert(pairSet(Similarity.semDedupPairsIncremental(od, oc, 0.9, maxCluster = 5)).isEmpty,
+      "saturated cluster admitted delta members")
+    // cap 7: ids 10, 11 admitted into the two free slots; 12 capped out.
+    // capped-batch members = {1..5, 10, 11} → delta-touching pairs =
+    // (1..5 × 10, 11) + (10, 11)
+    val got = pairSet(Similarity.semDedupPairsIncremental(od, oc, 0.9, maxCluster = 7))
+    val want = ((1L to 5L).flatMap(c => Seq((c, 10L), (c, 11L))) :+ ((10L, 11L))).toSet
+    assert(got === want, s"over-cap admission diverged: got $got")
+    graft.CacheUtil.release(oc.assigned)
+  }
+
   test("ivfAppend / ivfPqAppend: frozen-quantizer appends == union under the same quantizers") {
     // the ANN twin of the dedup-family ingest contract: the coarse
     // quantizer (and PQ codebooks) are trained once and FROZEN; appends
