@@ -84,7 +84,7 @@ object Bench {
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
     "st05_stream_minhash",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
-    "s06_semdedup",
+    "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
@@ -95,9 +95,10 @@ object Bench {
 
   /** Forms timed only at the small fixture: d04/d06/d12 embed the
     * labeled brute O(n²) oracle (>120 s each at sf0.1), and the
-    * d25-d29 + s07 audits re-run their base emitter (d03/d21/d14/d22
-    * for the simhash audits, d07 for the vector-LSH audit, s02/s03 for
-    * the ANN top-k audit) plus verification joins — timing them at the
+    * d25-d29 + s07/s09 audits re-run their base emitter (d03/d21/d14/
+    * d22 for the simhash audits, d07 for the vector-LSH audit, s02/s03
+    * for the ANN top-k audit, s08 for the incremental-SemDeDup audit)
+    * plus verification joins — timing them at the
     * target SF would double the heavy d-family's bench cost to measure
     * work already timed under the base keys (every base emitter is
     * still timed at full SF under its own key). The audit-specific
@@ -109,7 +110,8 @@ object Bench {
     Seq(
       "d04_jaccard_pairs", "d06_dup_clusters", "d12_near_dedup",
       "d25_simhash_audit", "d26_simhash128_audit", "d27_combo_audit",
-      "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit")
+      "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit",
+      "s09_semdedup_audit")
 
   private val smallSuffix = "@sf0.01"
 

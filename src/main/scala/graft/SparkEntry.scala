@@ -2927,6 +2927,73 @@ object SparkEntry {
       },
       None
     ),
+    // SemDeDup for daily deltas (the semantic member of the incremental
+    // family): corpus = the base embeddings, delta = the near-colinear
+    // twins (+100000 — monotone over every corpus id, the daily-crawl
+    // contract), coarse centroids FROZEN at index-build time. Emitted
+    // pairs = the twin graph restricted to twins that land in their
+    // base's cluster (the SemDeDup boundary-loss contract). Centroid
+    // means are float-sum-order dependent → rows-only; the OperatorsSpec
+    // gates prove incremental == capped batch on the union including
+    // over-cap clusters, and s09 audits this exact output shape.
+    Q(
+      "s08_semdedup_incremental",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val twins = emb.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) =>
+              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
+          ).as("embedding")
+        )
+        val index = operators.Similarity
+          .ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 2)
+        operators.Similarity
+          .semDedupPairsIncremental(twins, index, threshold = 0.9)
+          .select(col("id_a"), col("id_b"))
+      },
+      None
+    ),
+    // incremental-SemDeDup audit (s08's emitter): standard pair
+    // invariants with the cosine recomputed bit-for-bit from
+    // re-normalized vectors through an independent join (the dot over
+    // identical floats in identical index order is orientation-invariant,
+    // so the canonical id_a/id_b order can't perturb it), plus the
+    // incremental-family check that no corpus×corpus pair re-emits
+    Q(
+      "s09_semdedup_audit",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val twins = emb.select(
+          (col("vec_id") + 100000L).as("vec_id"),
+          transform(
+            col("embedding"),
+            (x, i) =>
+              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
+          ).as("embedding")
+        )
+        val index = operators.Similarity
+          .ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 2)
+        val pairs = operators.Similarity
+          .semDedupPairsIncremental(twins, index, threshold = 0.9)
+        val perDoc = emb
+          .unionByName(twins)
+          .select(
+            col("vec_id").as("_cid"),
+            (col("vec_id") >= 100000L).as("_isdelta"),
+            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))
+        operators.Dedup.pairInvariants(
+          pairs,
+          perDoc,
+          graft.functions.VectorFunctions.dot(col("fa._nv"), col("fb._nv")) =!=
+            col("cosine") || col("cosine") < lit(0.9),
+          extraViolations =
+            Seq("corpus_only_pair" -> (!col("fa._isdelta") && !col("fb._isdelta"))))
+      },
+      Some(auditOracle("corpus_only_pair" -> 0L))
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

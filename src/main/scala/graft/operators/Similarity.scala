@@ -500,11 +500,72 @@ object Similarity {
       maxCluster: Int = 10000
   ): DataFrame = {
     require(maxCluster > 1, "maxCluster must allow at least one pair")
-    import org.apache.spark.sql.expressions.Window
-    // stored members, capped at the maxCluster LOWEST ids per cluster
-    // (array_sort on (id, vec) structs is a pure id sort — ids unique);
-    // singletons are KEPT: a lone stored member pairs with arrivals
-    val stored = index.assigned
+    val stored = semDedupCappedStored(index, maxCluster)
+    val probe = ivfAssign(
+      delta.select(col(index.idCol), col(index.vecCol)),
+      index.vecCol, index.centroids)
+      .select(
+        col(index.idCol).as("_id"),
+        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
+        col("_centroid"))
+    val admitted = semDedupAdmit(probe, stored, maxCluster)
+    val out =
+      semDedupPairsTouchingDelta(admitted, stored, threshold).localCheckpoint(true)
+    graft.CacheUtil.release(stored)
+    graft.CacheUtil.release(admitted)
+    out
+  }
+
+  /** Probe-then-append in ONE delta pass against a WRITTEN IVF index
+    * (the [[ivfWrite]] layout) — the semantic member of the fold family
+    * ([[graft.operators.Dedup.minHashNearDupsIncrementalFold]] et al.):
+    * emit every threshold-passing within-cluster pair touching the
+    * delta against the lists as they stood, then fold the delta in.
+    * Gated observationally identical to [[semDedupPairsIncremental]]
+    * over [[ivfRead]] followed by [[ivfAppend]], but the per-row
+    * centroid argmin runs ONCE (checkpointed) and feeds both the probe
+    * and the appended list rows. Like [[ivfAppend]], `delta` must carry
+    * the same columns the index was built from, and the lists stay
+    * uncapped on disk (ANN completeness — the cluster cap is a pairing
+    * concern applied at probe time).
+    */
+  def semDedupPairsIncrementalFold(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      maxCluster: Int = 10000
+  ): DataFrame = {
+    require(maxCluster > 1, "maxCluster must allow at least one pair")
+    val cents = readCentroids(spark, s"$path/centroids")
+    // the ONE delta-side assignment pass: reused by the probe and the fold
+    val assigned = ivfAssign(delta, vecCol, cents).localCheckpoint(true)
+    val index = IvfIndex(spark.read.parquet(s"$path/lists"), cents, vecCol, idCol)
+    val stored = semDedupCappedStored(index, maxCluster)
+    val probe = assigned.select(
+      col(idCol).as("_id"),
+      VectorFunctions.l2Normalize(col(vecCol)).as("_nv"),
+      col("_centroid"))
+    val admitted = semDedupAdmit(probe, stored, maxCluster)
+    // materializes the pair set BEFORE the append mutates the lists
+    val out =
+      semDedupPairsTouchingDelta(admitted, stored, threshold).localCheckpoint(true)
+    assigned.write.mode("append").partitionBy("_centroid").parquet(s"$path/lists")
+    graft.CacheUtil.release(stored)
+    graft.CacheUtil.release(admitted)
+    graft.CacheUtil.release(assigned)
+    out
+  }
+
+  /** Stored members of every cluster, capped at the `maxCluster` LOWEST
+    * ids (array_sort on (id, vec) structs is a pure id sort — ids
+    * unique); singletons are KEPT: a lone stored member pairs with
+    * arrivals. Checkpointed — callers release.
+    */
+  private def semDedupCappedStored(index: IvfIndex, maxCluster: Int): DataFrame =
+    index.assigned
       .select(
         col(index.idCol).as("_id"),
         VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
@@ -517,22 +578,37 @@ object Similarity {
         explode(slice(array_sort(col("_ms")), 1, maxCluster)).as("_m"))
       .select(col("_centroid"), col("_m._id").as("_id"), col("_m._nv").as("_nv"))
       .localCheckpoint(true)
-    // stored is already capped, so its per-cluster count IS the number
-    // of occupied slots
+
+  /** First-seen-wins admission of assigned delta rows (`_centroid`,
+    * `_id`, `_nv`) into each cluster's remaining slots. `stored` must
+    * already be capped, so its per-cluster count IS the number of
+    * occupied slots. Checkpointed — callers release.
+    */
+  private def semDedupAdmit(
+      probe: DataFrame,
+      stored: DataFrame,
+      maxCluster: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val slots = stored.groupBy(col("_centroid")).agg(count(lit(1)).as("_nstored"))
     val w = Window.partitionBy(col("_centroid")).orderBy(col("_id"))
-    val admitted = ivfAssign(
-      delta.select(col(index.idCol), col(index.vecCol)),
-      index.vecCol, index.centroids)
-      .select(
-        col(index.idCol).as("_id"),
-        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
-        col("_centroid"))
+    probe
       .withColumn("_rk", row_number().over(w))
       .join(slots, Seq("_centroid"), "left")
       .filter(col("_rk") <= lit(maxCluster) - coalesce(col("_nstored"), lit(0L)))
       .select(col("_centroid"), col("_id"), col("_nv"))
       .localCheckpoint(true)
+  }
+
+  /** Every within-cluster pair ≥ `threshold` touching the delta:
+    * (admitted × capped stored) ∪ (admitted × admitted). Lazy — callers
+    * materialize.
+    */
+  private def semDedupPairsTouchingDelta(
+      admitted: DataFrame,
+      stored: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     val cross = admitted
       .as("d")
       .join(
@@ -553,10 +629,7 @@ object Similarity {
         col("b._id").as("id_b"),
         VectorFunctions.dot(col("a._nv"), col("b._nv")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    val out = cross.unionByName(within).localCheckpoint(true)
-    graft.CacheUtil.release(stored)
-    graft.CacheUtil.release(admitted)
-    out
+    cross.unionByName(within)
   }
 
   /** Convenience form: build the cluster index (deterministic strided

@@ -2067,6 +2067,57 @@ class OperatorsSpec extends AnyFunSuite {
     graft.CacheUtil.release(pq.encoded)
   }
 
+  test("semDedup fold probe-then-append == separate probe + ivfAppend") {
+    // the semantic member of the fold family: same contract as the other
+    // eight — equal per-batch emissions, and a third delta probes the
+    // post-append index identically. Echo twins of three base vectors at
+    // two id offsets with opposite parities, so every batch carries
+    // near-dup mass against the stored lists AND against the other
+    // batch's appended rows.
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val base3 = emb.filter($"vec_id" < 3)
+    def echo(offset: Long) =
+      base3.select(($"vec_id" + offset).as("vec_id"), $"embedding")
+    val deltas = echo(1000001L).unionByName(echo(1000010L))
+    val chunks = (0 to 1).map(k => deltas.filter($"vec_id" % 2 === k).localCheckpoint(true))
+    val built = Similarity.ivfBuild(emb, "embedding", "vec_id", nCentroids = 4)
+    val dirSep = java.nio.file.Files.createTempDirectory("semfold_sep").toString
+    val dirFold = java.nio.file.Files.createTempDirectory("semfold_fold").toString
+    Similarity.ivfWrite(built, dirSep)
+    Similarity.ivfWrite(built, dirFold)
+    graft.CacheUtil.release(built.assigned)
+    def pairs3(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.CacheUtil.release(df)
+      s
+    }
+    chunks.foreach { c =>
+      val sep = pairs3(Similarity.semDedupPairsIncremental(
+        c, Similarity.ivfRead(spark, dirSep, "embedding", "vec_id"), threshold = 0.9))
+      Similarity.ivfAppend(spark, c, dirSep, "embedding", "vec_id")
+      val fold = pairs3(Similarity.semDedupPairsIncrementalFold(
+        spark, c, dirFold, "embedding", "vec_id", threshold = 0.9))
+      assert(fold === sep, "semDedup fold emissions diverged from probe+append")
+      assert(fold.nonEmpty, "semDedup fold batch emitted no pairs — gate vacuous")
+    }
+    // the caller's delta blocks must survive the fold (it releases only
+    // its internal checkpoints)
+    chunks.foreach(c => assert(c.count() > 0))
+    // identical post-state: a third delta probes both indexes the same
+    val probe3 = echo(2000001L)
+    val s3 = pairs3(Similarity.semDedupPairsIncremental(
+      probe3, Similarity.ivfRead(spark, dirSep, "embedding", "vec_id"), threshold = 0.9))
+    val f3 = pairs3(Similarity.semDedupPairsIncremental(
+      probe3, Similarity.ivfRead(spark, dirFold, "embedding", "vec_id"), threshold = 0.9))
+    assert(f3 === s3, "IVF list state diverged after fold appends")
+    // non-vacuous: the third echo must pair against BOTH earlier echo
+    // generations (the appended rows), not just the original corpus
+    assert(s3.exists { case (a, b, _) => b >= 2000001L && a >= 1000001L && a < 2000001L },
+      "third probe saw no appended rows — gate vacuous")
+    chunks.foreach(graft.CacheUtil.release)
+  }
+
   test("capPerGroup == single-window reference; layout-independent; caps honored") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     import org.apache.spark.sql.expressions.Window
