@@ -379,6 +379,14 @@ object Quantization {
       .parquet(s"$path/codes")
   }
 
+  /** Compact the codes table of a written IVF-PQ index after many
+    * [[ivfPqAppend]]s — same rename-aside swap and crash-recovery
+    * contract as [[graft.operators.Similarity.ivfCompact]]; searches are
+    * result-identical before and after (gated). Quantizers untouched.
+    */
+  def ivfPqCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Similarity.compactPartitionedDir(spark, s"$path/codes", "_centroid")
+
   /** Driver-side quantizers of a written IVF-PQ index (coarse centroids
     * + PQ codebooks) WITHOUT opening the codes table.
     */

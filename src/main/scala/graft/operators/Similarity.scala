@@ -278,6 +278,66 @@ object Similarity {
       .parquet(s"$path/lists")
   }
 
+  /** Compact the inverted lists of a written IVF index after many
+    * [[ivfAppend]]s / [[semDedupPairsIncrementalFold]]s — the ANN twin
+    * of [[graft.operators.Dedup.compactBucketedIndexTable]]. Every
+    * append adds a file set to each touched `_centroid=` directory, so a
+    * year of daily deltas leaves ~365 small files per hot list — correct
+    * but increasingly listing- and footer-heavy to open. This rewrites
+    * the lists with one task (→ one file) per centroid and swaps the
+    * directory in via rename-aside, recoverable at every crash point
+    * (worst case the canonical dir is absent for ONE rename, with both
+    * `_compact_old` and `_compact_tmp` intact and the idempotent-retry
+    * branch restoring automatically). Probes and folds are
+    * result-identical before and after (gated). Centroids are untouched.
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    compactPartitionedDir(spark, s"$path/lists", "_centroid")
+
+  /** Shared rename-aside compactor for the `_centroid`-partitioned
+    * parquet layouts ([[ivfWrite]] lists, `ivfPqWrite` codes). Uses the
+    * Hadoop FileSystem of the target path, so it works on any scheme
+    * whose rename is atomic-enough for a single directory move (local
+    * FS, HDFS); object-store deployments should front this with their
+    * own commit protocol.
+    */
+  private[operators] def compactPartitionedDir(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      partCol: String
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(dir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir + "_compact_tmp")
+    val old = new Path(dir + "_compact_old")
+    // idempotent retry: clear leftovers from a previously failed attempt
+    // (keep `old` only as long as the canonical dir still exists — if a
+    // prior crash left ONLY `old`, restore it instead of dropping it)
+    if (fs.exists(target)) {
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, target), s"recovery rename $old -> $target failed")
+      fs.delete(tmp, true)
+    } else {
+      throw new IllegalStateException(s"no index data at $dir (nor $old)")
+    }
+    // one task per partition value → one file per directory; the source
+    // dir is only read, never written, until the swap below
+    spark.read
+      .parquet(dir)
+      .repartition(col(partCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(tmp.toString)
+    require(fs.rename(target, old), s"swap rename $target -> $old failed")
+    require(fs.rename(tmp, target), s"swap rename $tmp -> $target failed")
+    fs.delete(old, true)
+    ()
+  }
+
   private[operators] def readCentroids(
       spark: SparkSession,
       path: String

@@ -2118,6 +2118,88 @@ class OperatorsSpec extends AnyFunSuite {
     chunks.foreach(graft.CacheUtil.release)
   }
 
+  test("ivfCompact / ivfPqCompact: probe parity, file shrink, layout preserved, crash recovery") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val deltas = (1 to 2).map(k => emb.filter($"vec_id" % 3 === 0 && $"vec_id" % 2 === (k % 2)))
+    val qv = emb.filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    def dataFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    def partDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("_centroid=")).toSet
+
+    // ---- IVF
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    Similarity.ivfWrite(built, dir)
+    graft.CacheUtil.release(built.assigned)
+    deltas.foreach(d => Similarity.ivfAppend(spark, d, dir, "embedding", "vec_id"))
+    def topIvf() = {
+      val df = Similarity.ivfProbe(
+        Similarity.ivfRead(spark, dir, "embedding", "vec_id"),
+        qv, k = 5, nProbe = 2, excludeId = Some(1L))
+      val s = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      graft.CacheUtil.release(df)
+      s
+    }
+    val lists = s"$dir/lists"
+    val beforeTop = topIvf()
+    val beforeFiles = dataFiles(lists).size
+    val beforeDirs = partDirs(lists)
+    Similarity.ivfCompact(spark, dir)
+    assert(topIvf() === beforeTop, "IVF probe diverged after compaction")
+    assert(dataFiles(lists).size < beforeFiles,
+      s"compaction did not shrink the file count (${dataFiles(lists).size} vs $beforeFiles)")
+    assert(partDirs(lists) === beforeDirs, "compaction changed the list layout")
+
+    // crash recovery A — mid-swap: canonical dir renamed aside, tmp
+    // present; a retry must restore from `old` and complete
+    val listsF = new java.io.File(lists)
+    val oldF = new java.io.File(lists + "_compact_old")
+    val tmpF = new java.io.File(lists + "_compact_tmp")
+    assert(listsF.renameTo(oldF))
+    assert(tmpF.mkdir())
+    Similarity.ivfCompact(spark, dir)
+    assert(topIvf() === beforeTop, "IVF probe diverged after mid-swap recovery")
+    assert(!oldF.exists() && !tmpF.exists(), "recovery left swap leftovers")
+
+    // crash recovery B — stale leftovers next to an intact canonical
+    // dir are cleared, not merged
+    assert(oldF.mkdir() && tmpF.mkdir())
+    Similarity.ivfCompact(spark, dir)
+    assert(topIvf() === beforeTop, "IVF probe diverged after stale-leftover cleanup")
+    assert(!oldF.exists() && !tmpF.exists())
+
+    // ---- IVF-PQ
+    val pq = Quantization.ivfPqBuild(
+      corpus, "embedding", "vec_id", nCentroids = 4, refineIters = 1, m = 16, k = 16, iters = 1)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_compact").toString
+    Quantization.ivfPqWrite(pq, dir2)
+    graft.CacheUtil.release(pq.encoded)
+    deltas.foreach(d => Quantization.ivfPqAppend(spark, d, dir2, "embedding", "vec_id"))
+    def topPq() = {
+      val df = Quantization.ivfPqSearch(
+        Quantization.ivfPqRead(spark, dir2, "vec_id"), qv, 5, nProbe = 2, excludeId = Some(1L))
+      val s = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      graft.CacheUtil.release(df)
+      s
+    }
+    val codes = s"$dir2/codes"
+    val beforePq = topPq()
+    val beforePqFiles = dataFiles(codes).size
+    Quantization.ivfPqCompact(spark, dir2)
+    assert(topPq() === beforePq, "IVF-PQ search diverged after compaction")
+    assert(dataFiles(codes).size < beforePqFiles, "PQ compaction did not shrink files")
+  }
+
   test("capPerGroup == single-window reference; layout-independent; caps honored") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     import org.apache.spark.sql.expressions.Window
