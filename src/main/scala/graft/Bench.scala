@@ -82,7 +82,7 @@ object Bench {
     "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
-    "st05_stream_minhash",
+    "st05_stream_minhash", "st06_stream_semdedup",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
@@ -366,10 +366,10 @@ object Bench {
     // isolated time in the round-11 d-batch (2.26 isolated vs 4.03
     // in-batch, same code) — residual neighbor state, so solo it
     "d21_simhash128",
-    // the two heavy streaming compositions run 3 probe+append cycles
+    // the heavy streaming compositions run 3 probe+append cycles
     // against their growing index — same measurement class as the
     // incremental probes above (per-JVM slow mode dominates)
-    "st04_stream_passages", "st05_stream_minhash",
+    "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
     // the end-to-end composition embeds a full 16-band minhash pass —
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with

@@ -212,6 +212,23 @@ object SparkEntry {
     (3500002L, "planted sentinel duplicate regarding bucketed shuffle free spark joins forever")
   )
 
+  /** Near-colinear echo of every embedding at `vec_id + offset` (scaled
+    * + nudged every 7th axis): cosine vs its base ~0.999 — far above
+    * the fixture's natural ≤~0.5 — and echoes of the SAME base at two
+    * offsets are identical, so echo-echo pairs sit at cosine ~1.0. The
+    * planted-twin fixture shared by the semantic dedup rows (s06, s08,
+    * s09, st06).
+    */
+  private def nudgedEchoes(emb: DataFrame, offset: Long): DataFrame =
+    emb.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(
+        col("embedding"),
+        (x, i) =>
+          x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
+      ).as("embedding")
+    )
+
   /** Planted pair for the st04 streaming passage profile: ONE shared
     * 8-token window spanning the doc_id % 3 micro-batch split (ids 0
     * and 1 mod 3), vocabulary disjoint from the generator's and from
@@ -2768,6 +2785,84 @@ object SparkEntry {
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
     ),
+    // streaming semantic dedup against a GROWING written IVF index — the
+    // semantic member of the foreachBatch composition family (st02-st05):
+    // three deterministic micro-batches of echo embeddings (TWO echo
+    // generations per base at different %3 phases — 1e5 % 3 = 2,
+    // 2e5 % 3 = 1 — so a base's echoes always land in different
+    // batches) are each semantically deduped against the inverted lists
+    // as they stood (frozen corpus-trained centroids) and folded in via
+    // semDedupPairsIncrementalFold. The registry output is the
+    // structural audit of the union of per-batch emissions (FULL
+    // oracle): pair invariants with the cosine recomputed bit-for-bit
+    // through an independent join, no corpus×corpus pair, and — the
+    // growing-index phenomenon no single batch shows — no missing
+    // cross-batch echo pair (echoes of one base are identical vectors,
+    // so every base must contribute its (b+1e5, b+2e5) pair, findable
+    // only through the appended lists). StreamingSpec additionally
+    // gates stream == frozen-centroid batch over everything seen.
+    Q(
+      "st06_stream_semdedup",
+      (s, d) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import s.implicits._
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val echoes =
+          nudgedEchoes(emb, 100000L).unionByName(nudgedEchoes(emb, 200000L))
+        val feed = echoes.as[(Long, Array[Float])].collect()
+        val chunks = (0 to 2).map(k => feed.filter(_._1 % 3 == k))
+        val built = operators.Similarity
+          .ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 2)
+        val dir = java.nio.file.Files.createTempDirectory("st06_ivf").toString
+        operators.Similarity.ivfWrite(built, dir)
+        val collected = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+        val mem = MemoryStream[(Long, Array[Float])]
+        val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = batch.localCheckpoint(true)
+            val pairs = operators.Similarity.semDedupPairsIncrementalFold(
+              s, delta, dir, "embedding", "vec_id", threshold = 0.9)
+            collected ++= pairs.collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            graft.CacheUtil.release(pairs)
+            graft.CacheUtil.release(delta)
+            ()
+          }
+          .start()
+        try {
+          chunks.foreach { c =>
+            mem.addData(c.toIndexedSeq)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val pairsDf = collected.toSeq.toDF("id_a", "id_b", "cosine")
+        val perDoc = emb
+          .unionByName(echoes)
+          .select(
+            col("vec_id").as("_cid"),
+            (col("vec_id") >= 100000L).as("_isdelta"),
+            graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))
+        val inv = operators.Dedup
+          .pairInvariants(
+            pairsDf,
+            perDoc,
+            graft.functions.VectorFunctions.dot(col("fa._nv"), col("fb._nv")) =!=
+              col("cosine") || col("cosine") < lit(0.9),
+            extraViolations =
+              Seq("corpus_only_pair" -> (!col("fa._isdelta") && !col("fb._isdelta"))))
+          .withColumn("_k", lit(1))
+        val missing = emb
+          .select(
+            (col("vec_id") + 100000L).as("id_a"),
+            (col("vec_id") + 200000L).as("id_b"))
+          .join(pairsDf, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("echo_missing"))
+          .withColumn("_k", lit(1))
+        inv.join(missing, "_k").drop("_k")
+      },
+      Some(auditOracle("corpus_only_pair" -> 0L, "echo_missing" -> 0L))
+    ),
     // ---- similarity search (north-star) --------------------------------
     // brute-force cosine top-k of one query vector; output ids+rank only
     // (ranks stable: adjacent-cosine gaps ~1e-3 at sf0.01)
@@ -2911,17 +3006,9 @@ object SparkEntry {
       "s06_semdedup",
       (s, d) => {
         val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val twins = emb.select(
-          (col("vec_id") + 100000L).as("vec_id"),
-          transform(
-            col("embedding"),
-            (x, i) =>
-              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
-          ).as("embedding")
-        )
         operators.Similarity
           .semDedupPairs(
-            emb.unionByName(twins), "embedding", "vec_id",
+            emb.unionByName(nudgedEchoes(emb, 100000L)), "embedding", "vec_id",
             nClusters = 8, threshold = 0.9)
           .select(col("id_a"), col("id_b"))
       },
@@ -2940,18 +3027,11 @@ object SparkEntry {
       "s08_semdedup_incremental",
       (s, d) => {
         val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val twins = emb.select(
-          (col("vec_id") + 100000L).as("vec_id"),
-          transform(
-            col("embedding"),
-            (x, i) =>
-              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
-          ).as("embedding")
-        )
         val index = operators.Similarity
           .ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 2)
         operators.Similarity
-          .semDedupPairsIncremental(twins, index, threshold = 0.9)
+          .semDedupPairsIncremental(
+            nudgedEchoes(emb, 100000L), index, threshold = 0.9)
           .select(col("id_a"), col("id_b"))
       },
       None
@@ -2966,14 +3046,7 @@ object SparkEntry {
       "s09_semdedup_audit",
       (s, d) => {
         val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val twins = emb.select(
-          (col("vec_id") + 100000L).as("vec_id"),
-          transform(
-            col("embedding"),
-            (x, i) =>
-              x * lit(1.001f) + when(i % 7 === 0, lit(0.01f)).otherwise(lit(0.0f))
-          ).as("embedding")
-        )
+        val twins = nudgedEchoes(emb, 100000L)
         val index = operators.Similarity
           .ivfBuild(emb, "embedding", "vec_id", nCentroids = 8, refineIters = 2)
         val pairs = operators.Similarity

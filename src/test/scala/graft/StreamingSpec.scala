@@ -357,6 +357,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch + written IVF index: growing semantic dedup == frozen-centroid batch over everything seen") {
+    // the semantic member of the growing-index ingest family: each
+    // micro-batch of embeddings is semantically deduped against the
+    // WRITTEN IVF lists as they stood (frozen corpus-trained centroids)
+    // and folded in via semDedupPairsIncrementalFold. The union of
+    // per-batch emissions must equal the batch within-cluster pair set
+    // over corpus ∪ stream under the same centroids, restricted to
+    // stream-touching pairs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    // two echo generations per base with DIFFERENT %3 phases (1e5 % 3 =
+    // 2, 2e5 % 3 = 1), so a base's echoes always land in different
+    // micro-batches and the later one can only pair against the earlier
+    // through the APPENDED lists — the growing-index phenomenon
+    def echo(offset: Long) =
+      emb.select(($"vec_id" + offset).as("vec_id"), $"embedding")
+    val stream = echo(100000L).unionByName(echo(200000L))
+      .as[(Long, Array[Float])].collect()
+    val chunks = (0 to 2).map(k => stream.filter(_._1 % 3 == k))
+    val built = Similarity.ivfBuild(emb, "embedding", "vec_id", nCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("stream_sem_idx").toString
+    Similarity.ivfWrite(built, dir)
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint(true)
+        val pairs = Similarity.semDedupPairsIncrementalFold(
+          spark, delta, dir, "embedding", "vec_id", threshold = 0.9)
+        got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        graft.CacheUtil.release(pairs)
+        graft.CacheUtil.release(delta)
+        ()
+      }
+      .start()
+    try {
+      chunks.foreach { c =>
+        mem.addData(c.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val all = emb.unionByName(echo(100000L)).unionByName(echo(200000L))
+    val ref = Similarity.IvfIndex(
+      Similarity.ivfAssign(all, "embedding", built.centroids),
+      built.centroids, "embedding", "vec_id")
+    val batchPairs = Similarity.semDedupPairsFromIndex(ref, threshold = 0.9)
+    val want = batchPairs
+      .filter($"id_b" >= 100000L) // pairs touching the stream (echo ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.CacheUtil.release(batchPairs)
+    graft.CacheUtil.release(built.assigned)
+    assert(got.toSet === want, s"streamed ${got.size} vs batch ${want.size}")
+    // the cross-batch echo-echo pairs must be present (identical vectors
+    // always share a cluster, so every base contributes one)
+    assert(got.exists { case (a, b, _) => a >= 100000L && a < 200000L && b >= 200000L },
+      "no cross-batch echo pair — growing-index leg vacuous")
+  }
+
   test("streaming 128-bit simhash pairs == batch simHashNearDups128 across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dedup
