@@ -508,21 +508,7 @@ object Similarity {
       maxCluster: Int = 10000
   ): DataFrame = {
     require(maxCluster > 1, "maxCluster must allow at least one pair")
-    val members = index.assigned
-      .select(
-        col(index.idCol).as("_id"),
-        VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
-        col("_centroid")
-      )
-      .groupBy(col("_centroid"))
-      .agg(collect_list(struct(col("_id"), col("_nv"))).as("_ms"))
-      .filter(size(col("_ms")) > 1)
-      .select(
-        col("_centroid"),
-        explode(slice(array_sort(col("_ms")), 1, maxCluster)).as("_m")
-      )
-      .select(col("_centroid"), col("_m._id").as("_id"), col("_m._nv").as("_nv"))
-      .localCheckpoint(true)
+    val members = semDedupCappedStored(index, maxCluster)
     members
       .as("a")
       .join(
@@ -619,25 +605,44 @@ object Similarity {
     out
   }
 
-  /** Stored members of every cluster, capped at the `maxCluster` LOWEST
-    * ids (array_sort on (id, vec) structs is a pure id sort — ids
-    * unique); singletons are KEPT: a lone stored member pairs with
-    * arrivals. Checkpointed — callers release.
+  /** Normalized members of every cluster, capped at the `maxCluster`
+    * LOWEST ids — the same rank-filter window as
+    * [[graft.operators.Dedup.capBucketMembership]] (`row_number ≤ k`
+    * over the cluster key, which Spark 4 executes as a per-partition
+    * WindowGroupLimit top-k, plan-gated) instead of a
+    * groupBy+collect_list+slice: a hot 10k-member cluster never
+    * materializes its members (id, vector) array in one aggregation
+    * buffer, and the normalized vectors ride the sort as payload, never
+    * as a sort key. Singleton clusters are KEPT (the self-equi-join
+    * emits nothing for them; incremental probes pair arrivals against
+    * them). Checkpointed — callers release.
     */
-  private def semDedupCappedStored(index: IvfIndex, maxCluster: Int): DataFrame =
+  private def semDedupCappedStored(
+      index: IvfIndex,
+      maxCluster: Int
+  ): DataFrame =
+    semDedupCappedStoredLazy(index, maxCluster).localCheckpoint(true)
+
+  /** The un-materialized plan behind [[semDedupCappedStored]], exposed
+    * for the WindowGroupLimit plan gate (the public forms checkpoint
+    * eagerly, hiding the window from the returned plan).
+    */
+  private[graft] def semDedupCappedStoredLazy(
+      index: IvfIndex,
+      maxCluster: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_centroid")).orderBy(col("_id"))
     index.assigned
       .select(
         col(index.idCol).as("_id"),
         VectorFunctions.l2Normalize(col(index.vecCol)).as("_nv"),
         col("_centroid")
       )
-      .groupBy(col("_centroid"))
-      .agg(collect_list(struct(col("_id"), col("_nv"))).as("_ms"))
-      .select(
-        col("_centroid"),
-        explode(slice(array_sort(col("_ms")), 1, maxCluster)).as("_m"))
-      .select(col("_centroid"), col("_m._id").as("_id"), col("_m._nv").as("_nv"))
-      .localCheckpoint(true)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxCluster)
+      .drop("_rk")
+  }
 
   /** First-seen-wins admission of assigned delta rows (`_centroid`,
     * `_id`, `_nv`) into each cluster's remaining slots. `stored` must

@@ -771,6 +771,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === want, "capBucketMembership did not keep the 3 lowest ids per bucket")
   }
 
+  test("semDedup cluster cap plans as WindowGroupLimit and keeps the lowest ids") {
+    // same contract as the bucket-cap gate above, for the semantic
+    // family: the cluster cap is row_number ≤ k over _centroid — a hot
+    // 10k-member cluster must plan as per-partition top-k, never as a
+    // collect_list aggregation buffer or a full cluster sort
+    val vecs = (1L to 60L).map(i => (i, Array(1.0f, (i % 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.IvfIndex(
+      Similarity.ivfAssign(vecs, "embedding", Array(Array(1.0, 0.0), Array(1.0, 3.0))),
+      Array(Array(1.0, 0.0), Array(1.0, 3.0)), "embedding", "vec_id")
+    val lazyCap = Similarity.semDedupCappedStoredLazy(idx, maxCluster = 5)
+    val plan = lazyCap.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"semDedup cap no longer plans as WindowGroupLimit:\n${plan.take(3000)}")
+    val got = lazyCap.collect()
+      .groupBy(_.getInt(2))
+      .map { case (c, rs) => c -> rs.map(_.getLong(0)).sorted.toSeq }
+    got.foreach { case (c, ids) =>
+      assert(ids.size <= 5, s"cluster $c over cap: $ids")
+    }
+    // the kept ids are the LOWEST of each cluster: recompute assignment
+    val assign = Similarity.ivfAssign(vecs, "embedding",
+        Array(Array(1.0, 0.0), Array(1.0, 3.0)))
+      .select($"vec_id", $"_centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val want = assign.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).sorted.take(5).toSeq }
+    assert(got === want, "semDedup cap did not keep the 5 lowest ids per cluster")
+  }
+
   test("bucket admission reads the corpus index bucketed, semi-filtered by a broadcast delta bucket set") {
     // the round-10 admission step adds a second corpus scan per probe
     // (bucket-key counts). This gates ITS plan shape — the main probe
