@@ -346,21 +346,9 @@ object Dedup {
       bands: Int,
       maxBucket: Int
   ): DataFrame = {
-    val members = banded
-      .groupBy(col("_band"), col("_bucket"))
-      .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
-      .filter(size(col("_ms")) > 1)
-      .select(
-        col("_band"),
-        col("_bucket"),
-        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
-      )
-      .select(
-        col("_band"),
-        col("_bucket"),
-        col("_m._id").as("_id"),
-        col("_m._lower").as("_lower")
-      )
+    val members = cappedMultiMembers(
+      banded.select(col("_band"), col("_bucket"), col("_id"), col("_lower")),
+      maxBucket, Seq("_band", "_bucket"))
       .localCheckpoint(true)
     members
       .as("a")
@@ -706,6 +694,33 @@ object Dedup {
       .withColumn("_brank", row_number().over(w))
       .filter(col("_brank") <= maxBucket)
       .select(keys.map(col) ++ fields.map(col): _*)
+  }
+
+  /** Capped MULTI-member bucket membership for the batch pair emitters:
+    * buckets keep their `maxBucket` LOWEST ids and singleton buckets are
+    * dropped (pair emission ignores them, and most buckets are
+    * singletons — dropping them before the localCheckpoint shrinks the
+    * pinned blocks). Same rank-filter shape as [[capBucketMembership]],
+    * with the bucket count as a second window over the same keys: ONE
+    * Exchange + Sort serves both, rows spill through the window buffer
+    * if a bucket is huge, and a hot bucket never materializes its whole
+    * member array in a collect_list aggregation buffer before the slice
+    * (the round-10 write-time-cap rationale, applied to the emit path).
+    * Carried columns (hashes, signatures) ride as payload — never as a
+    * sort key. Returns the input columns unchanged; callers checkpoint.
+    */
+  private[operators] def cappedMultiMembers(
+      membership: DataFrame,
+      maxBucket: Int,
+      keys: Seq[String]
+  ): DataFrame = {
+    val sorted = Window.partitionBy(keys.map(col): _*).orderBy(col("_id"))
+    val whole = Window.partitionBy(keys.map(col): _*)
+    membership
+      .withColumn("_brank", row_number().over(sorted))
+      .withColumn("_bn", count(lit(1)).over(whole))
+      .filter(col("_bn") > 1 && col("_brank") <= maxBucket)
+      .drop("_brank", "_bn")
   }
 
   /** The (_chunk, _val)-keyed form used by the three simhash families. */
@@ -1139,21 +1154,9 @@ object Dedup {
     // corpus NEEDS this cap — and should prefer small radii, where
     // pigeonhole blocking keys are wide. [[hotSimHashBuckets]] audits
     // what the cap truncates.
-    val members = chunked
-      .groupBy(col("_chunk"), col("_val"))
-      .agg(collect_list(struct(col("_id"), col("_simhash"))).as("_ms"))
-      .filter(size(col("_ms")) > 1)
-      .select(
-        col("_chunk"),
-        col("_val"),
-        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
-      )
-      .select(
-        col("_chunk"),
-        col("_val"),
-        col("_m._id").as("_id"),
-        col("_m._simhash").as("_simhash")
-      )
+    val members = cappedMultiMembers(
+      chunked.select(col("_chunk"), col("_val"), col("_id"), col("_simhash")),
+      maxBucket, Seq("_chunk", "_val"))
       .localCheckpoint(true)
     members
       .as("a")
@@ -1366,22 +1369,10 @@ object Dedup {
       maxHamming: Int,
       maxBucket: Int
   ): DataFrame = {
-    val members = chunked
-      .groupBy(col("_chunk"), col("_val"))
-      .agg(collect_list(struct(col("_id"), col("_sh0"), col("_sh1"))).as("_ms"))
-      .filter(size(col("_ms")) > 1)
-      .select(
-        col("_chunk"),
-        col("_val"),
-        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
-      )
-      .select(
-        col("_chunk"),
-        col("_val"),
-        col("_m._id").as("_id"),
-        col("_m._sh0").as("_sh0"),
-        col("_m._sh1").as("_sh1")
-      )
+    val members = cappedMultiMembers(
+      chunked.select(
+        col("_chunk"), col("_val"), col("_id"), col("_sh0"), col("_sh1")),
+      maxBucket, Seq("_chunk", "_val"))
       .localCheckpoint(true)
     members
       .as("a")

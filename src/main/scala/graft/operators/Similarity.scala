@@ -904,21 +904,9 @@ object Similarity {
       nTables: Int,
       maxBucket: Int
   ): DataFrame = {
-    val members = banded
-      .groupBy(col("_tbl"), col("_sig"))
-      .agg(collect_list(struct(col("_id"), col("_lower"))).as("_ms"))
-      .filter(size(col("_ms")) > 1)
-      .select(
-        col("_tbl"),
-        col("_sig"),
-        explode(slice(array_sort(col("_ms")), 1, maxBucket)).as("_m")
-      )
-      .select(
-        col("_tbl"),
-        col("_sig"),
-        col("_m._id").as("_id"),
-        col("_m._lower").as("_lower")
-      )
+    val members = Dedup.cappedMultiMembers(
+      banded.select(col("_tbl"), col("_sig"), col("_id"), col("_lower")),
+      maxBucket, Seq("_tbl", "_sig"))
       .localCheckpoint(true)
     members
       .as("a")
