@@ -111,7 +111,8 @@ object Bench {
       "d04_jaccard_pairs", "d06_dup_clusters", "d12_near_dedup",
       "d25_simhash_audit", "d26_simhash128_audit", "d27_combo_audit",
       "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit",
-      "s09_semdedup_audit")
+      "s09_semdedup_audit", "d32_incremental_simhash_audit",
+      "d33_incremental_lsh_audit", "s10_pq_audit", "s11_ivfpq_audit")
 
   private val smallSuffix = "@sf0.01"
 
@@ -128,7 +129,17 @@ object Bench {
     * orchestrated run outside the repo root is visibly degraded.
     */
   private def calibRef: Double =
-    sys.env.get("SPARK_GRAFT_CALIB_REF").map(_.toDouble).getOrElse {
+    sys.env.get("SPARK_GRAFT_CALIB_REF").flatMap { s =>
+      // a malformed override (empty string, stray unit suffix) must not
+      // kill the run with NumberFormatException while the file-parse
+      // path degrades gracefully — same loud-warning fallback for both
+      val parsed = scala.util.Try(s.toDouble).toOption
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_CALIB_REF='$s' is not a number; " +
+            "ignoring the override and using dev/calib_ref.json / 0.22")
+      parsed
+    }.getOrElse {
       val f = new java.io.File("dev/calib_ref.json")
       val fromFile =
         if (f.isFile) {
@@ -370,6 +381,7 @@ object Bench {
     // against their growing index — same measurement class as the
     // incremental probes above (per-JVM slow mode dominates)
     "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
+    "st07_stream_restart",
     // the end-to-end composition embeds a full 16-band minhash pass —
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with

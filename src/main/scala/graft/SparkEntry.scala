@@ -44,6 +44,15 @@ object SparkEntry {
       .map { case (n, v) => s"CAST($v AS BIGINT) AS $n" }
       .mkString("SELECT ", ", ", "")
 
+  /** Expected all-zero row of [[operators.Quantization.adcTopKAudit]]
+    * (the quantized-ranker audit column set — s10/s11).
+    */
+  private val adcAuditOracle: String =
+    Seq("missing_rows", "bad_ids", "bad_rank_set",
+      "adc_mismatch", "adc_disorder", "above_best")
+      .map(n => s"CAST(0 AS BIGINT) AS $n")
+      .mkString("SELECT ", ", ", "")
+
   // ------------------------------------------------------------------
   // Reference-parity surface (SURVEY.md §2.B) on the TPC-H-ish fixtures
   // ------------------------------------------------------------------
@@ -284,13 +293,15 @@ object SparkEntry {
 
   /** The [[functions.TextFunctions.htmlStripSteps]] chain as nested
     * DuckDB regexp_replace calls over `inner` — ONE source for the t09
-    * and p11 oracles (a replacement's quotes are SQL-escaped here; the
+    * and p11 oracles (BOTH the pattern's and the replacement's quotes
+    * are SQL-escaped here — a future step whose regex contains a quote,
+    * e.g. an &apos;-class entity, must not generate broken SQL; the
     * caller wraps the result in trim(...) to mirror stripHtml).
     */
   private def htmlStripSql(inner: String): String =
     functions.TextFunctions.htmlStripSteps.foldLeft(inner) {
       case (acc, (pat, rep)) =>
-        s"regexp_replace($acc, '$pat', '${rep.replace("'", "''")}', 'g')"
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', '${rep.replace("'", "''")}', 'g')"
     }
 
   private def valuesSql(rows: Seq[(Long, String)]): String =
@@ -1665,6 +1676,66 @@ object SparkEntry {
       },
       Some(auditOracle())
     ),
+    // incremental simhash64 audit (d09's emitter) — the d28 template at
+    // 64 bits: standard pair invariants with the hamming recomputed
+    // bit-for-bit from per-doc fingerprints through an independent join,
+    // plus the incremental-family leg (no corpus×corpus pair may
+    // re-emit). Closes the last 64-bit rows-only family without a
+    // structural oracle twin.
+    Q(
+      "d32_incremental_simhash_audit",
+      (s, d) => {
+        val docs = documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+        val delta = docs.filter(col("doc_id") % 3 === 0)
+        val idx = operators.Dedup.writeSimHashIndex(
+          corpus, "text", "doc_id", "d32_idx", maxHamming = 10, buckets = 8)
+        val pairs = operators.Dedup
+          .simHashNearDupsIncremental(delta, "text", "doc_id", idx)
+        val perDoc = docs.select(
+          col("doc_id").as("_cid"),
+          (col("doc_id") % 3 === 0).as("_isdelta"),
+          graft.functions.HashExpressions.simhash64(col("text")).as("_fp"))
+        operators.Dedup.pairInvariants(
+          pairs,
+          perDoc,
+          bit_count(col("fa._fp").bitwiseXOR(col("fb._fp"))) =!= col("hamming") ||
+            col("hamming") > lit(10),
+          extraViolations =
+            Seq("corpus_only_pair" -> (!col("fa._isdelta") && !col("fb._isdelta"))))
+      },
+      Some(auditOracle("corpus_only_pair" -> 0L))
+    ),
+    // incremental vector-LSH audit (d13's emitter) — d29's bit-for-bit
+    // cosine recompute (same IEEE dot over the same stored-normalized
+    // floats in the same (a, b) order) plus the incremental-family
+    // no-corpus-only-pair leg. With this and d32 every rows-only
+    // incremental family has an oracle-backed structural twin.
+    Q(
+      "d33_incremental_lsh_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+        val delta = emb.filter(col("vec_id") % 3 === 0)
+        val idx = operators.Similarity.writeLshIndex(
+          corpus, "embedding", "vec_id", "d33_idx",
+          nPlanes = 3, nTables = 12, buckets = 8)
+        val pairs = operators.Similarity
+          .lshNearDupsIncremental(delta, "embedding", "vec_id", 0.3, idx)
+        val perDoc = emb.select(
+          col("vec_id").as("_cid"),
+          (col("vec_id") % 3 === 0).as("_isdelta"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))
+        operators.Dedup.pairInvariants(
+          pairs,
+          perDoc,
+          graft.functions.VectorFunctions.dot(col("fa._nv"), col("fb._nv")) =!=
+            col("cosine") || col("cosine") <= lit(0.3),
+          extraViolations =
+            Seq("corpus_only_pair" -> (!col("fa._isdelta") && !col("fb._isdelta"))))
+      },
+      Some(auditOracle("corpus_only_pair" -> 0L))
+    ),
     // exact substring (passage) dedup, Lee et al. ACL'22 ExactSubstr
     // re-expressed as sliding-window fingerprints: the corpus-wide
     // duplicated-passage catalogue. md5 is engine-identical, so unlike
@@ -2089,6 +2160,7 @@ object SparkEntry {
           nPlanes = 3, nTables = 12, buckets = 8)
         operators.Similarity
           .lshNearDupsIncremental(delta, "embedding", "vec_id", 0.3, idx)
+          .select(col("id_a"), col("id_b"))
       },
       None
     ),
@@ -2863,6 +2935,113 @@ object SparkEntry {
       },
       Some(auditOracle("corpus_only_pair" -> 0L, "echo_missing" -> 0L))
     ),
+    // CHECKPOINT-RESTART probe-then-append dedup — st05's composition
+    // run against a REAL file source with a REAL checkpointLocation,
+    // with the query KILLED between micro-batches 2 and 3 and a brand
+    // new StreamingQuery resumed from the same offset log. This is the
+    // failure mode an unbounded-corpus ingest pipeline actually lives
+    // with (executor loss, deploys, spot preemption): the growing
+    // minhash index and the source offset log advance independently,
+    // and exactly-once emission must survive their interplay. The
+    // reference's whole value proposition is the same boundary —
+    // surviving node/session death (/root/reference/R/rscl.R:98-104
+    // reconnects and re-attaches state).
+    //
+    // Restart proof lives IN the entry body: micro-batch row counts are
+    // recorded across BOTH query incarnations and must account for
+    // every source row exactly once (2 batches before the stop, exactly
+    // 1 after, Σ = |corpus|); a replayed or skipped batch fails the
+    // require(). A duplicate EMISSION across the restart would also
+    // surface in the FULL oracle (the collected buffer is not deduped —
+    // a re-emitted pair becomes a duplicate row and breaks the hash
+    // match). Oracle = d02's exact-jaccard SQL verbatim, the same
+    // union-of-emissions contract as st05.
+    Q(
+      "st07_stream_restart",
+      (s, d) => {
+        import s.implicits._
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Dedup.writeMinHashIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st07_idx", bands = 16, buckets = 8)
+        val root = java.nio.file.Files.createTempDirectory("st07").toFile
+        val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+        val ckpt = new java.io.File(root, "ckpt").toString
+        // one parquet file per chunk, moved into the watched dir so the
+        // file source sees exactly one new file per arrival
+        def arrive(k: Int): Unit = {
+          val stage = new java.io.File(root, s"stage$k")
+          s.createDataset(chunks(k).toIndexedSeq).toDF("doc_id", "text")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(
+            part.toPath, new java.io.File(srcDir, f"chunk$k%02d.parquet").toPath)
+        }
+        val collected = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+        val batchRows = scala.collection.mutable.Buffer[Long]()
+        // a fresh StreamingQuery each call — same source dir, same
+        // checkpoint, same foreachBatch closure; the second incarnation
+        // must resume from the offset log, not from file zero
+        def startQuery() = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = batch.localCheckpoint(true)
+            batchRows += delta.count()
+            val pairs = operators.Dedup
+              .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx)
+            collected ++= pairs.select("id_a", "id_b", "jaccard").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            graft.CacheUtil.release(pairs)
+            graft.CacheUtil.release(delta)
+            ()
+          }
+          .start()
+        // incarnation 1: two files, two micro-batches, then the query
+        // is STOPPED (the simulated crash/deploy boundary)
+        arrive(0); arrive(1)
+        val q1 = startQuery()
+        try q1.processAllAvailable() finally q1.stop()
+        val batchesBeforeRestart = batchRows.size
+        // the third file arrives while NO query is running
+        arrive(2)
+        // incarnation 2: a NEW query from the SAME checkpoint
+        val q2 = startQuery()
+        try q2.processAllAvailable() finally q2.stop()
+        require(batchesBeforeRestart == 2,
+          s"expected 2 micro-batches before the restart, saw $batchesBeforeRestart")
+        require(batchRows.size == 3,
+          s"restarted query must process exactly the 1 unseen file " +
+            s"(total batches ${batchRows.size})")
+        require(batchRows(2) == chunks(2).length,
+          s"post-restart batch read ${batchRows(2)} rows, " +
+            s"expected ${chunks(2).length} (offset log replayed or skipped)")
+        require(batchRows.sum == all.length,
+          s"rows processed across both incarnations ${batchRows.sum} != " +
+            s"corpus ${all.length} (a row was replayed or lost)")
+        collected.toSeq.toDF("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
     // ---- similarity search (north-star) --------------------------------
     // brute-force cosine top-k of one query vector; output ids+rank only
     // (ranks stable: adjacent-cosine gaps ~1e-3 at sf0.01)
@@ -2994,6 +3173,59 @@ object SparkEntry {
              |UNION ALL
              |SELECT 'ivf', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
              |       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)
+    ),
+    // ADC top-k audit of the PQ emitter (s04's search path) — the s07
+    // template for quantized rankers: ADC emitters rank by approximate
+    // distance by design (the exact-cosine disorder check does not
+    // apply), so the audited invariants are the rank-set shape, id
+    // validity, the emitted ADC recomputed bit-for-bit from the
+    // neighbor's stored codes through an independent join (same kernel
+    // + LUT), ADC monotonicity with rank, and no neighbor's EXACT
+    // cosine beating the corpus brute best. Closes the s04 straggler:
+    // every rows-only ANN family now has an oracle-backed audit twin.
+    Q(
+      "s10_pq_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val cb = operators.Quantization
+          .pqTrain(emb, "embedding", "vec_id", m = 16, k = 32, iters = 2)
+        val enc = operators.Quantization.pqEncode(emb, "embedding", cb)
+        val qv = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val res = operators.Quantization.pqSearchEncoded(
+          enc, "vec_id", qv, cb, k = 5, excludeId = Some(0L), emitScore = true)
+        val lut = operators.Quantization.adcLut(qv, cb)
+        operators.Quantization.adcTopKAudit(
+          res, enc,
+          operators.Quantization.adcScore(col("enc._pq"), lut),
+          emb, "embedding", "vec_id", queryId = 0L, k = 5)
+      },
+      Some(adcAuditOracle)
+    ),
+    // ADC top-k audit of the IVF-PQ emitter (s05's search path): same
+    // invariants as s10 with the recomputed score built per coarse list
+    // (the probe's per-centroid residual LUTs) — the recompute exercises
+    // the full centroid-dispatch path through an independent join.
+    Q(
+      "s11_ivfpq_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val idx = operators.Quantization.ivfPqBuild(
+          emb, "embedding", "vec_id",
+          nCentroids = 16, refineIters = 1, m = 16, k = 32)
+        val qv = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val res = operators.Quantization.ivfPqSearch(
+          idx, qv, topK = 5, nProbe = 4, excludeId = Some(0L), emitScore = true)
+        operators.Quantization.adcTopKAudit(
+          res, idx.encoded,
+          operators.Quantization.ivfPqScoreColumn(
+            idx, qv, nProbe = 4, col("enc._centroid"), col("enc._pq")),
+          emb, "embedding", "vec_id", queryId = 0L, k = 5)
+      },
+      Some(adcAuditOracle)
     ),
     // SemDeDup: k-means cluster the embeddings, verify cosine within
     // clusters only. Planted near-colinear twins (scaled + nudged every

@@ -163,7 +163,10 @@ object Quantization {
 
   /** Top-k by ADC over a pre-encoded corpus: scan codes + TakeOrdered —
     * distributed, no shuffle beyond the final k-row merge. Ranks are
-    * deterministic (ADC asc, id asc). Output: (neighbor_id, rank).
+    * deterministic (ADC asc, id asc). Output: (neighbor_id, rank), plus
+    * the ADC score as `adc` when `emitScore` is set (the audit form —
+    * [[adcTopKAudit]] recomputes it through an independent join and
+    * checks it bit-for-bit, which only works if the emitter shows it).
     */
   def pqSearchEncoded(
       encoded: DataFrame,
@@ -171,7 +174,8 @@ object Quantization {
       query: Array[Double],
       cb: PQCodebooks,
       k: Int,
-      excludeId: Option[Long] = None
+      excludeId: Option[Long] = None,
+      emitScore: Boolean = false
   ): DataFrame = {
     val lut = adcLut(query, cb)
     val base = excludeId match {
@@ -183,7 +187,8 @@ object Quantization {
         .withColumn("_adc", adcScore(col("_pq"), lut))
         .orderBy(col("_adc").asc, col(idCol).asc)
         .limit(k),
-      idCol
+      idCol,
+      keep = if (emitScore) Seq("_adc" -> "adc") else Nil
     )
   }
 
@@ -278,7 +283,8 @@ object Quantization {
       query: Array[Double],
       topK: Int,
       nProbe: Int = 4,
-      excludeId: Option[Long] = None
+      excludeId: Option[Long] = None,
+      emitScore: Boolean = false
   ): DataFrame = {
     val probes = idx.coarse.zipWithIndex
       .map { case (cv, ci) => (Similarity.sqDistLocal(query, cv), ci) }
@@ -303,7 +309,111 @@ object Quantization {
         .withColumn("_adc", scoreCol)
         .orderBy(col("_adc").asc, col(idx.idCol).asc)
         .limit(topK),
-      idx.idCol
+      idx.idCol,
+      keep = if (emitScore) Seq("_adc" -> "adc") else Nil
+    )
+  }
+
+  /** The per-centroid residual-ADC score column [[ivfPqSearch]] ranks
+    * by, built over an arbitrary centroid/codes column pair — exposed so
+    * [[adcTopKAudit]] can recompute the emitted score through an
+    * INDEPENDENT join (same compiled kernel, same LUTs, different data
+    * path) and compare bit-for-bit.
+    */
+  def ivfPqScoreColumn(
+      idx: IvfPqIndex,
+      query: Array[Double],
+      nProbe: Int,
+      centroidCol: Column,
+      codesCol: Column
+  ): Column = {
+    val probes = idx.coarse.zipWithIndex
+      .map { case (cv, ci) => (Similarity.sqDistLocal(query, cv), ci) }
+      .sortBy(p => (p._1, p._2))
+      .take(nProbe)
+      .map(_._2)
+    probes.foldLeft(lit(Double.MaxValue)) { case (acc, ci) =>
+      val resid = query.zip(idx.coarse(ci)).map { case (q, c) => q - c }
+      when(centroidCol === ci, adcScore(codesCol, adcLut(resid, idx.cb)))
+        .otherwise(acc)
+    }
+  }
+
+  /** Structural audit of an ADC-ranked top-k result (the
+    * [[pqSearchEncoded]] / [[ivfPqSearch]] `emitScore` shape,
+    * `(neighbor_id, rank, adc)`) — the quantized twin of
+    * [[Similarity.topKAudit]]. ADC emitters rank by APPROXIMATE distance
+    * by design, so the exact-cosine `disorder` check does not apply;
+    * what IS invariant, codebook seeds notwithstanding:
+    *
+    *  - `missing_rows`: `k` minus rows returned — 0 when the candidate
+    *    pool covers k rows (true on the fixture);
+    *  - `bad_ids`: neighbors absent from the corpus or equal to the
+    *    query id — must be 0;
+    *  - `bad_rank_set`: 1 unless ranks are exactly {1..returned};
+    *  - `adc_mismatch`: emitted `adc` != the score recomputed from the
+    *    neighbor's stored codes through an independent join (`recomputed`
+    *    references the `enc` alias) — same kernel + LUT over the same
+    *    codes must agree bit-for-bit; must be 0;
+    *  - `adc_disorder`: adjacent ranks whose emitted ADC DECREASES with
+    *    rank (ADC ranking is ascending) — must be 0;
+    *  - `above_best`: neighbors whose EXACT cosine (recomputed from raw
+    *    vectors) exceeds the corpus brute best — impossible, must be 0.
+    *
+    * Scale shape: one broadcast 1-row query, one broadcast scalar brute
+    * best, a k-row window — nothing driver-side beyond the k rows.
+    */
+  def adcTopKAudit(
+      res: DataFrame,
+      encoded: DataFrame,
+      recomputed: Column,
+      raw: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vf = graft.functions.VectorFunctions
+    val q = raw
+      .filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qv"), lit(1).as("_k1"))
+    val bruteBest = raw
+      .filter(col(idCol) =!= queryId)
+      .withColumn("_k1", lit(1))
+      .join(broadcast(q), "_k1")
+      .agg(max(vf.cosine(col(vecCol), col("_qv"))).as("_best"))
+      .select(col("_best"), lit(1).as("_k1"))
+    val scored = res
+      .withColumn("_k1", lit(1))
+      .join(
+        encoded.as("enc"),
+        col("neighbor_id") === col(s"enc.$idCol"),
+        "left")
+      .join(
+        raw.select(col(idCol).as("_rid"), col(vecCol).as("_rv")),
+        col("neighbor_id") === col("_rid"),
+        "left")
+      .join(broadcast(q), "_k1")
+      .join(broadcast(bruteBest), "_k1")
+      .withColumn("_re", recomputed)
+      .withColumn("_cos", vf.cosine(col("_rv"), col("_qv")))
+      .withColumn("_prevadc", lag(col("adc"), 1).over(Window.orderBy(col("rank"))))
+    scored.agg(
+      (lit(k.toLong) - count(lit(1))).as("missing_rows"),
+      coalesce(
+        sum(when(col("_rid").isNull || col("neighbor_id") === queryId, 1L)),
+        lit(0L)).as("bad_ids"),
+      when(
+        countDistinct(col("rank")) === count(lit(1)) &&
+          min(col("rank")) === 1 && max(col("rank")) === count(lit(1)),
+        0L).otherwise(1L).as("bad_rank_set"),
+      coalesce(sum(when(col("adc") =!= col("_re"), 1L)), lit(0L))
+        .as("adc_mismatch"),
+      coalesce(sum(when(col("adc") < col("_prevadc"), 1L)), lit(0L))
+        .as("adc_disorder"),
+      coalesce(sum(when(col("_cos") > col("_best"), 1L)), lit(0L))
+        .as("above_best")
     )
   }
 
@@ -361,6 +471,7 @@ object Quantization {
     // quantizers only — opening the codes table here would add a
     // per-append listing/footer pass over a directory that grows with
     // every prior append, for data the append never reads
+    Similarity.failIfCompacting(spark, s"$path/codes")
     val (coarse, cb) = ivfPqReadQuantizers(spark, path)
     val coarseLit = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
     val withRes = Similarity

@@ -20,11 +20,17 @@ object Similarity {
     * every bench log; a constant partitionBy key gets optimizer-folded
     * back to the empty spec.)
     */
-  private[operators] def rankLimited(scored: DataFrame, idCol: String): DataFrame =
+  private[operators] def rankLimited(
+      scored: DataFrame,
+      idCol: String,
+      keep: Seq[(String, String)] = Nil
+  ): DataFrame =
     scored
       .coalesce(1)
       .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-      .select(col(idCol).as("neighbor_id"), col("rank"))
+      .select(
+        col(idCol).as("neighbor_id") +: col("rank") +:
+          keep.map { case (c, a) => col(c).as(a) }: _*)
 
   /** Exact top-k neighbors of one query id by cosine. The query vector is
     * a 1-row broadcast; ranking is (cosine desc, id asc) so results are
@@ -271,6 +277,7 @@ object Similarity {
       vecCol: String,
       idCol: String
   ): Unit = {
+    failIfCompacting(spark, s"$path/lists")
     val cents = readCentroids(spark, s"$path/centroids")
     ivfAssign(delta, vecCol, cents).write
       .mode("append")
@@ -300,6 +307,23 @@ object Similarity {
     * whose rename is atomic-enough for a single directory move (local
     * FS, HDFS); object-store deployments should front this with their
     * own commit protocol.
+    *
+    * SINGLE-WRITER CONTRACT: compaction must not run concurrently with
+    * an append ([[ivfAppend]], [[Quantization.ivfPqAppend]],
+    * [[semDedupPairsIncrementalFold]]) against the same index — an
+    * append that lands between the snapshot read and the swap renames
+    * would be silently DISCARDED by the rename(target→old) +
+    * delete(old), and a probe racing the swap sees a window where the
+    * canonical dir is absent. The compactor takes an advisory
+    * `<dir>_compact_lock` sentinel for its duration and the append
+    * entry points fail fast when it is present ([[failIfCompacting]]).
+    * The sentinel is a fail-fast guard against honest concurrent use on
+    * one filesystem, not a distributed mutex — deployments with
+    * multiple drivers must serialize compaction externally. A JVM that
+    * dies mid-compaction leaves the sentinel behind; the next compact
+    * call reclaims it (its leftover-recovery already handles every
+    * crash state), while appends keep failing fast until then — the
+    * safe direction.
     */
   private[operators] def compactPartitionedDir(
       spark: org.apache.spark.sql.SparkSession,
@@ -311,31 +335,66 @@ object Similarity {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "_compact_tmp")
     val old = new Path(dir + "_compact_old")
-    // idempotent retry: clear leftovers from a previously failed attempt
-    // (keep `old` only as long as the canonical dir still exists — if a
-    // prior crash left ONLY `old`, restore it instead of dropping it)
-    if (fs.exists(target)) {
+    val lock = compactLockPath(dir)
+    // take (or reclaim, see scaladoc) the advisory single-writer lock
+    fs.delete(lock, false)
+    val out = fs.create(lock, false)
+    out.write(
+      s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
+        .getBytes("UTF-8"))
+    out.close()
+    try {
+      // idempotent retry: clear leftovers from a previously failed attempt
+      // (keep `old` only as long as the canonical dir still exists — if a
+      // prior crash left ONLY `old`, restore it instead of dropping it)
+      if (fs.exists(target)) {
+        fs.delete(old, true)
+        fs.delete(tmp, true)
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, target), s"recovery rename $old -> $target failed")
+        fs.delete(tmp, true)
+      } else {
+        throw new IllegalStateException(s"no index data at $dir (nor $old)")
+      }
+      // one task per partition value → one file per directory; the source
+      // dir is only read, never written, until the swap below
+      spark.read
+        .parquet(dir)
+        .repartition(col(partCol))
+        .write
+        .mode("overwrite")
+        .partitionBy(partCol)
+        .parquet(tmp.toString)
+      require(fs.rename(target, old), s"swap rename $target -> $old failed")
+      require(fs.rename(tmp, target), s"swap rename $tmp -> $target failed")
       fs.delete(old, true)
-      fs.delete(tmp, true)
-    } else if (fs.exists(old)) {
-      require(fs.rename(old, target), s"recovery rename $old -> $target failed")
-      fs.delete(tmp, true)
-    } else {
-      throw new IllegalStateException(s"no index data at $dir (nor $old)")
+      ()
+    } finally {
+      fs.delete(lock, false)
+      ()
     }
-    // one task per partition value → one file per directory; the source
-    // dir is only read, never written, until the swap below
-    spark.read
-      .parquet(dir)
-      .repartition(col(partCol))
-      .write
-      .mode("overwrite")
-      .partitionBy(partCol)
-      .parquet(tmp.toString)
-    require(fs.rename(target, old), s"swap rename $target -> $old failed")
-    require(fs.rename(tmp, target), s"swap rename $tmp -> $target failed")
-    fs.delete(old, true)
-    ()
+  }
+
+  private[operators] def compactLockPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir + "_compact_lock")
+
+  /** Fail fast if a compaction of `dir` is in flight (or died holding
+    * the sentinel): an append that proceeded would be silently dropped
+    * by the compactor's swap. See the single-writer contract on
+    * [[compactPartitionedDir]].
+    */
+  private[operators] def failIfCompacting(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): Unit = {
+    val lock = compactLockPath(dir)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lock))
+      throw new IllegalStateException(
+        s"a compaction of $dir is in progress (sentinel $lock present) — " +
+          "appending now would be silently discarded by the compaction swap; " +
+          "retry after it finishes, or delete the sentinel if the compactor " +
+          "is known dead")
   }
 
   private[operators] def readCentroids(
@@ -574,6 +633,17 @@ object Similarity {
     * the same columns the index was built from, and the lists stay
     * uncapped on disk (ANN completeness — the cluster cap is a pairing
     * concern applied at probe time).
+    *
+    * CONTRACT (required when a cluster can exceed `maxCluster`): delta
+    * ids must be GREATER than every stored id — the daily-crawl
+    * monotone-id contract shared by the whole incremental family
+    * ([[graft.operators.Dedup.admittedAgainstIndexKeyed]] documents the
+    * same rule). First-seen-wins admission fills a cluster's remaining
+    * slots with the lowest delta ids; a delta id that undercuts a
+    * stored id cannot retroactively evict the stored member, so the
+    * capped member set would diverge from the capped batch over the
+    * union with no runtime signal. Under-cap clusters are unaffected.
+    * The over-cap ScalaTest leg asserts the precondition explicitly.
     */
   def semDedupPairsIncrementalFold(
       spark: org.apache.spark.sql.SparkSession,
@@ -585,6 +655,7 @@ object Similarity {
       maxCluster: Int = 10000
   ): DataFrame = {
     require(maxCluster > 1, "maxCluster must allow at least one pair")
+    failIfCompacting(spark, s"$path/lists")
     val cents = readCentroids(spark, s"$path/centroids")
     // the ONE delta-side assignment pass: reused by the probe and the fold
     val assigned = ivfAssign(delta, vecCol, cents).localCheckpoint(true)
@@ -1216,6 +1287,10 @@ object Similarity {
       .join(deltaV.as("db"), col("id_b") === col("db._vid"), "left")
       .withColumn("cos", VectorFunctions.dot(col("_va"), coalesce(col("cb._nv"), col("db._nv"))))
       .filter(col("cos") > threshold)
-      .select(col("id_a"), col("id_b"))
+      // cosine emitted for the same reason the batch emitter shows it
+      // (round-9): the structural audit recomputes it through an
+      // independent join and checks it bit-for-bit — the same IEEE dot
+      // over the same stored-normalized floats in the same (a, b) order
+      .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
   }
 }

@@ -199,65 +199,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
-  test("d02/d08 full-oracle guard: sf0.01 fixture has no pair in the LSH recall-unsafe jaccard band [0.4, 0.9)") {
-    // The d02/d08 exact-set DuckDB oracles are sound only because every
-    // fixture pair above the 0.4 threshold actually sits at jaccard
-    // ≥ 0.9, where 16×2 banding misses with p ≈ 3e-12. A generator
-    // change introducing mid-band pairs (e.g. j ≈ 0.45 → ~3% per-pair
-    // miss) would turn those oracles into rare flakes; this guard makes
-    // such a regen fail HERE, loudly, at the cause (round-9 advice).
-    // Runs at sf0.01 — the fixture the driver's oracle compare uses.
-    val dir = "/root/testdata/sf0.01"
-    assume(new java.io.File(dir).exists(), s"$dir not present")
-    val docs = Tables.documents(spark, dir)
-    val inBand = Dedup
-      .jaccardPairsBrute(docs, "text", "doc_id", threshold = 0.4)
-      .filter($"jacc" < 0.9)
-      .agg(count(lit(1)).as("n"), min($"jacc").as("lo"), max($"jacc").as("hi"))
-      .collect()(0)
-    val n = inBand.getLong(0)
-    val range =
-      if (n == 0) "" else f" in [${inBand.getDouble(1)}%.3f, ${inBand.getDouble(2)}%.3f]"
-    assert(
-      n === 0L,
-      s"fixture regen introduced $n pair(s) with jaccard$range ⊂ [0.4, 0.9) — " +
-        "the d02/d08 FULL oracles are no longer recall-safe; either regenerate " +
-        "without mid-band pairs or demote d02/d08 to rows-only")
+  test("d02/d08 full-oracle guard: fixture LSH miss budget stays negligible at every oracle-compared SF") {
+    // The d02/d08 exact-set DuckDB oracles are sound only while the
+    // 16×2 banding's chance of missing ANY over-threshold fixture pair
+    // is negligible. The real invariant is the expected number of
+    // missed pairs, Σ_pairs (1 − j^rows)^bands — not "no pair below
+    // 0.9": a single j = 0.889 pair contributes ~2e-11 (harmless, and
+    // present at sf0.001), while one j = 0.45 pair contributes ~0.5
+    // (a coin-flip flake). Asserting the sum < 1e-6 bounds the oracle
+    // hash-mismatch probability below 1e-6 at ANY fixture shape.
+    // Runs at EVERY SF a DuckDB oracle compare can run at (round-11
+    // advice: a guard pinned to one fixture would let an SF switch
+    // bypass it) — sf0.01 is the driver's compare fixture, sf0.001 the
+    // dev-loop one; sf0.1 is bench-only (never oracle-compared, and
+    // brute all-pairs there is a minutes-class job that belongs in
+    // d04's tiers, not a unit test).
+    for (dir <- OperatorsSpec.oracleComparedSfDirs) {
+      assume(new java.io.File(dir).exists(), s"$dir not present")
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.jaccardPairsBrute(docs, "text", "doc_id", threshold = 0.4)
+      OperatorsSpec.assertLshMissBudget(
+        pairs, bands = 16, rows = 2, what = s"fixture $dir (d02/d08 oracles)")
+    }
   }
 
-  test("p11 full-oracle guard: canon-space pairs of the pipeline's minhash stage stay out of [0.4, 0.9)") {
+  test("p11 full-oracle guard: canon-space LSH miss budget stays negligible at every oracle-compared SF") {
     // p11's minhash near-dedup runs over CANONICALIZED text (strip HTML
     // → lower → ws-collapse), a space the raw-text d02/d08 guard above
     // cannot see: lowercasing/collapsing can merge shingles and shift a
     // pair's jaccard. The oracle's exact-jaccard pair CTE is recall-safe
-    // only while every canon-space pair ≥ 0.4 sits at ≥ 0.9 — this leg
-    // checks EXACTLY the frame the p11 stage emits pairs from (quality
-    // survivors of the canonicalized %10≠0 corpus ∪ planted rows, after
-    // canonical exact dedup), at the sf0.01 fixture the driver compares.
-    val dir = "/root/testdata/sf0.01"
-    assume(new java.io.File(dir).exists(), s"$dir not present")
-    val tf = graft.functions.TextFunctions
-    val all = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
-      .unionByName(SparkEntry.pipelinePlantedDocs.toDF("doc_id", "text", "source"))
-      .withColumn("canon", tf.canonicalizeForDedup(tf.stripHtml($"text")))
-      .filter($"doc_id" % 10 =!= 0)
-      .filter(tf.qualityPredicate($"canon",
-        minTokens = 20, minTypeTokenRatio = 0.55, maxRepeatedBigrams = 0.15))
-    val exact = Dedup.exactDedup(all, "canon", "doc_id").localCheckpoint(true)
-    val inBand = Dedup
-      .jaccardPairsBrute(exact, "canon", "doc_id", threshold = 0.4)
-      .filter($"jacc" < 0.9)
-      .agg(count(lit(1)).as("n"), min($"jacc").as("lo"), max($"jacc").as("hi"))
-      .collect()(0)
-    graft.CacheUtil.release(exact)
-    val n = inBand.getLong(0)
-    val range =
-      if (n == 0) "" else f" in [${inBand.getDouble(1)}%.3f, ${inBand.getDouble(2)}%.3f]"
-    assert(
-      n === 0L,
-      s"canon-space fixture has $n pair(s) with jaccard$range ⊂ [0.4, 0.9) — " +
-        "p11's exact-jaccard oracle is no longer recall-safe; regenerate " +
-        "without mid-band pairs or demote p11 to rows-only")
+    // only while the stage's 16×2 banding is near-certain to emit every
+    // over-threshold canon-space pair — the same expected-missed-pairs
+    // bound as the d02/d08 guard above, computed over EXACTLY the frame
+    // the p11 stage emits pairs from (quality survivors of the
+    // canonicalized %10≠0 corpus ∪ planted rows, after canonical exact
+    // dedup), at EVERY oracle-compared SF (round-11 advice — see the
+    // d02/d08 guard above for the tier rationale).
+    for (dir <- OperatorsSpec.oracleComparedSfDirs) {
+      assume(new java.io.File(dir).exists(), s"$dir not present")
+      val tf = graft.functions.TextFunctions
+      val all = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+        .unionByName(SparkEntry.pipelinePlantedDocs.toDF("doc_id", "text", "source"))
+        .withColumn("canon", tf.canonicalizeForDedup(tf.stripHtml($"text")))
+        .filter($"doc_id" % 10 =!= 0)
+        .filter(tf.qualityPredicate($"canon",
+          minTokens = 20, minTypeTokenRatio = 0.55, maxRepeatedBigrams = 0.15))
+      val exact = Dedup.exactDedup(all, "canon", "doc_id").localCheckpoint(true)
+      val pairs = Dedup.jaccardPairsBrute(exact, "canon", "doc_id", threshold = 0.4)
+      try OperatorsSpec.assertLshMissBudget(
+        pairs, bands = 16, rows = 2, what = s"canon-space fixture $dir (p11 oracle)")
+      finally graft.CacheUtil.release(exact)
+    }
   }
 
   test("incremental dedup against a persisted index == batch on the union (gate)") {
@@ -1442,6 +1434,111 @@ class OperatorsSpec extends AnyFunSuite {
     assert(b.getAs[Long]("above_best") === 0L)
   }
 
+  test("adcTopKAudit counts every violation class (the s10/s11 audit rows are not vacuously zero)") {
+    import graft.operators.Quantization
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // the query
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.5f, 0.8f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0.2f, 0f)),
+      (4L, Array(0.2f, 0.3f, 0.9f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Quantization.pqTrain(emb, "embedding", "vec_id", m = 2, k = 4, iters = 2)
+    val enc = Quantization.pqEncode(emb, "embedding", cb)
+    val qv = Array(1.0, 0.0, 0.0, 0.0)
+    val recompute =
+      Quantization.adcScore(col("enc._pq"), Quantization.adcLut(qv, cb))
+    def audit(res: org.apache.spark.sql.DataFrame, k: Int) =
+      Quantization
+        .adcTopKAudit(res, enc, recompute, emb, "embedding", "vec_id", 0L, k)
+        .collect()(0)
+    val good = Quantization
+      .pqSearchEncoded(enc, "vec_id", qv, cb, k = 4, excludeId = Some(0L), emitScore = true)
+    val g = audit(good, 4)
+    for (c <- Seq("missing_rows", "bad_ids", "bad_rank_set",
+        "adc_mismatch", "adc_disorder", "above_best"))
+      assert(g.getAs[Long](c) === 0L, c)
+    // planted violations, one frame per class so each count is exact
+    // (a single mangled frame couples the counters — e.g. a perturbed
+    // score can also flip the disorder check). above_best stays 0 BY
+    // CONSTRUCTION: a real corpus member's exact cosine cannot exceed
+    // the corpus max — which is exactly why it is a safe oracle
+    // invariant.
+    val rows = good.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .sortBy(_._2)
+    assert(rows.length === 4, "fixture search returned fewer than k rows")
+    def df(rs: Seq[(Long, Int, Double)]) = rs.toDF("neighbor_id", "rank", "adc")
+    assert(audit(df(rows.dropRight(1)), 4).getAs[Long]("missing_rows") === 1L)
+    val unknown = audit(df(rows.updated(0, (99L, rows(0)._2, rows(0)._3))), 4)
+    assert(unknown.getAs[Long]("bad_ids") === 1L)
+    // the unknown id's recompute is NULL through the left join → the
+    // mismatch predicate is NULL, not true: bad_ids owns that failure
+    assert(unknown.getAs[Long]("adc_mismatch") === 0L)
+    assert(audit(df(rows.updated(1, rows(1).copy(_2 = rows(0)._2))), 4)
+      .getAs[Long]("bad_rank_set") === 1L)
+    assert(audit(df(rows.updated(3, rows(3).copy(_3 = rows(3)._3 + 0.5))), 4)
+      .getAs[Long]("adc_mismatch") === 1L)
+    // swap the first two SCORES only: rank 2 now carries a lower ADC
+    // than rank 1 (one disorder), and both scores disagree with their
+    // rows' recomputed values (two mismatches) — orthogonal counters
+    val swapped = df(Seq(
+      rows(0).copy(_3 = rows(1)._3), rows(1).copy(_3 = rows(0)._3),
+      rows(2), rows(3)))
+    val dis = audit(swapped, 4)
+    assert(dis.getAs[Long]("adc_disorder") === 1L)
+    assert(dis.getAs[Long]("adc_mismatch") === 2L)
+    assert(g.getAs[Long]("above_best") === 0L)
+  }
+
+  test("compaction single-writer lock: appends fail fast under the sentinel; compact reclaims a dead compactor's lock") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+
+    // ---- IVF layout: ivfAppend + the semantic fold both guard
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lock").toString
+    Similarity.ivfWrite(built, dir)
+    graft.CacheUtil.release(built.assigned)
+    val lock = new java.io.File(s"$dir/lists_compact_lock")
+    assert(lock.createNewFile(), "could not plant the sentinel")
+    val e1 = intercept[IllegalStateException] {
+      Similarity.ivfAppend(spark, delta, dir, "embedding", "vec_id")
+    }
+    assert(e1.getMessage.contains("compaction"))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.semDedupPairsIncrementalFold(
+        spark, delta, dir, "embedding", "vec_id", threshold = 0.9)
+    }
+    assert(e2.getMessage.contains("compaction"))
+    // a dead compactor's sentinel: the next compact reclaims it (its
+    // leftover recovery handles every crash state), finishes, and
+    // removes it — appends work again
+    Similarity.ivfCompact(spark, dir)
+    assert(!lock.exists(), "compaction did not release the sentinel")
+    Similarity.ivfAppend(spark, delta, dir, "embedding", "vec_id")
+
+    // ---- IVF-PQ layout: same guard on the codes dir
+    val pq = Quantization.ivfPqBuild(
+      corpus, "embedding", "vec_id", nCentroids = 2, refineIters = 1,
+      m = 2, k = 4, iters = 1)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_lock").toString
+    Quantization.ivfPqWrite(pq, dir2)
+    graft.CacheUtil.release(pq.encoded)
+    val lock2 = new java.io.File(s"$dir2/codes_compact_lock")
+    assert(lock2.createNewFile())
+    val e3 = intercept[IllegalStateException] {
+      Quantization.ivfPqAppend(spark, delta, dir2, "embedding", "vec_id")
+    }
+    assert(e3.getMessage.contains("compaction"))
+    Quantization.ivfPqCompact(spark, dir2)
+    assert(!lock2.exists())
+    Quantization.ivfPqAppend(spark, delta, dir2, "embedding", "vec_id")
+  }
+
   test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
     // line dedup: a NULL-text doc produces no line rows, so it must come
     // back NULL (byte-identical), not coerced to '' like a doc whose
@@ -2015,8 +2112,18 @@ class OperatorsSpec extends AnyFunSuite {
     // delta 10-12), near-identical vectors so every pair verifies
     def vecs(ids: Seq[Long]) = ids.map(i =>
       (i, Array(1.0f, 0.01f * i, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val oc = Similarity.ivfBuild(vecs(1L to 5L), "embedding", "vec_id", nCentroids = 1)
-    val od = vecs(Seq(10L, 11L, 12L))
+    val storedIds = (1L to 5L)
+    val deltaIds = Seq(10L, 11L, 12L)
+    // the monotone-id precondition the cap contract depends on (see
+    // semDedupPairsIncrementalFold scaladoc): every delta id must
+    // exceed every stored id of a touched cluster — here there is one
+    // cluster, so the global comparison IS the per-cluster one. A
+    // fixture edit that interleaves ids would silently test a
+    // different (unsupported) regime; fail loudly instead.
+    assert(deltaIds.min > storedIds.max,
+      "over-cap fixture violates the monotone-id contract the cap admission requires")
+    val oc = Similarity.ivfBuild(vecs(storedIds), "embedding", "vec_id", nCentroids = 1)
+    val od = vecs(deltaIds)
     // cap 5: all slots taken by stored ids 1-5 → nothing admitted
     assert(pairSet(Similarity.semDedupPairsIncremental(od, oc, 0.9, maxCluster = 5)).isEmpty,
       "saturated cluster admitted delta members")
@@ -3689,5 +3796,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(u === Set((1, "A"), (2, "B")))
     val t = Ops.topK(Seq(3, 1, 2).toDF("k"), 2, col("k").desc).collect().map(_.getInt(0))
     assert(t === Array(3, 2))
+  }
+}
+
+object OperatorsSpec extends org.scalatest.Assertions {
+  /** Every SF directory a DuckDB oracle compare can run at: the
+    * driver's Verify compare uses sf0.01, the dev loop sf0.001. The
+    * recall-band guards loop over BOTH so pointing Verify at either
+    * fixture stays guarded; sf0.1 is bench-only (never compared) and
+    * brute all-pairs there is a minutes-class job.
+    */
+  val oracleComparedSfDirs: Seq[String] =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  /** Assert the expected number of over-threshold pairs a
+    * (bands × rows) minhash banding would miss is below `budget`:
+    * Σ_pairs (1 − j^rows)^bands — the exact quantity an exact-set
+    * oracle's soundness rests on. Per-pair probabilities are the
+    * standard LSH S-curve; summing them is the expected missed-pair
+    * count (union bound on the miss probability). `pairs` must carry a
+    * `jacc` column of the true jaccard of every pair ≥ the operator's
+    * threshold (the [[graft.operators.Dedup.jaccardPairsBrute]] shape).
+    */
+  def assertLshMissBudget(
+      pairs: org.apache.spark.sql.DataFrame,
+      bands: Int,
+      rows: Int,
+      what: String,
+      budget: Double = 1e-6
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val agg = pairs
+      .agg(
+        coalesce(sum(pow(lit(1.0) - pow(col("jacc"), rows), bands)), lit(0.0))
+          .as("miss"),
+        count(lit(1)).as("n"),
+        min(col("jacc")).as("lo"))
+      .collect()(0)
+    val miss = agg.getDouble(0)
+    val detail =
+      if (agg.getLong(1) == 0) "no pairs ≥ threshold"
+      else f"${agg.getLong(1)} pair(s) ≥ threshold, lowest jaccard ${agg.getDouble(2)}%.3f"
+    assert(
+      miss < budget,
+      s"$what: expected missed pairs $miss ≥ $budget under ${bands}×$rows banding " +
+        s"($detail) — the exact-set oracle is no longer recall-safe; regenerate " +
+        "the fixture without mid-band pairs or demote the oracle to rows-only")
   }
 }
