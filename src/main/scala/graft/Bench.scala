@@ -82,7 +82,7 @@ object Bench {
     "d22_incremental_simhash128",
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
-    "st05_stream_minhash", "st06_stream_semdedup",
+    "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
