@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Advisory single-writer sentinel shared by BOTH persisted-index
+  * layouts — the `_centroid`-partitioned ANN dirs
+  * ([[Similarity.compactPartitionedDir]]) and the bucketed catalog
+  * tables ([[Dedup.compactBucketedIndexTable]]). A compactor holds the
+  * sentinel for its critical section; every append entry point fails
+  * fast while it is present, because an append landing between the
+  * compactor's snapshot read and its rename/metadata swap would be
+  * silently DISCARDED by the swap.
+  *
+  * Acquisition is create-exclusive (`FileSystem.create(path,
+  * overwrite=false)`): a second compactor never steals a LIVE
+  * compactor's sentinel. A pre-existing sentinel is reclaimed only
+  * when its recorded holder is provably not running here — the pid it
+  * carries is not alive on this machine, is this very JVM (a leftover
+  * from a failed attempt in-process: the failure path deliberately
+  * leaves the sentinel behind, see [[releaseIfCanonical]]), or the
+  * sentinel is unreadable/unparsable (pre-upgrade format — fail open
+  * to reclaim, matching the historical behavior those sentinels were
+  * written under). Liveness is [[ProcessHandle]]-based, so the check
+  * is meaningful only when compactors share a machine (or at least a
+  * pid namespace); like the rest of the contract this is a fail-fast
+  * guard against honest concurrent use on one filesystem, not a
+  * distributed mutex — multi-driver deployments must serialize
+  * compaction externally.
+  *
+  * Release is conditional: [[releaseIfCanonical]] deletes the sentinel
+  * only when the canonical index (dir or table) exists at exit. On a
+  * failure that left the canonical ABSENT — e.g. an exception between
+  * the two swap renames, when the data lives only under
+  * `_compact_old` — the sentinel stays behind, so appends keep failing
+  * fast (an append would otherwise recreate the canonical location via
+  * append-mode and the next compaction's target-exists recovery branch
+  * would then DELETE `_compact_old`, losing all pre-compaction rows).
+  * The next compact call reclaims the sentinel (dead-pid or same-pid
+  * rule above) and its leftover recovery restores the canonical
+  * layout. A failure that left the canonical intact (e.g. the rewrite
+  * job itself failed) releases the sentinel normally — appends are
+  * safe again immediately.
+  */
+private[graft] object CompactLock {
+
+  /** Sentinel path for a partitioned-dir layout (`<dir>_compact_lock`). */
+  def forDir(dir: String): Path = new Path(dir + "_compact_lock")
+
+  /** Sentinel path for a bucketed catalog table: a warehouse-sibling
+    * file next to the table's default location
+    * (`<warehouse>/<table>_compact_lock`). Keyed by the CANONICAL table
+    * name, so it is stable across the compactor's rename-aside swap
+    * (which moves the data directories, never this file) and visible to
+    * any session sharing the warehouse.
+    */
+  def forTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): Path =
+    new Path(
+      spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .toString + "_compact_lock")
+
+  /** Take the sentinel (create-exclusive; reclaim only per the
+    * staleness rules in the object scaladoc). Throws
+    * [[IllegalStateException]] when a LIVE foreign holder has it.
+    */
+  def acquire(fs: FileSystem, lock: Path): Unit = {
+    def create(): Unit = {
+      val out = fs.create(lock, false)
+      out.write(
+        s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
+          .getBytes("UTF-8"))
+      out.close()
+    }
+    try create()
+    catch {
+      case _: java.io.IOException =>
+        // sentinel already present (create-exclusive refused) — decide
+        // whether the recorded holder is provably not a live foreign
+        // compactor before reclaiming
+        val holder = holderPid(fs, lock)
+        val self = ProcessHandle.current().pid()
+        val liveForeign = holder.exists(p =>
+          p != self && ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+        if (liveForeign)
+          throw new IllegalStateException(
+            s"compaction sentinel $lock is held by live pid ${holder.get} — " +
+              "refusing to steal a running compactor's lock; wait for it to " +
+              "finish (or remove the sentinel once that process is gone)")
+        fs.delete(lock, false)
+        create()
+    }
+  }
+
+  /** Best-effort pid recorded in the sentinel (None when unreadable or
+    * unparsable — e.g. a pre-upgrade empty sentinel).
+    */
+  private def holderPid(fs: FileSystem, lock: Path): Option[Long] =
+    try {
+      val in = fs.open(lock)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "pid (\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    } catch { case _: Exception => None }
+
+  /** Release the sentinel iff the canonical index survived (see object
+    * scaladoc for why a canonical-absent failure must keep it).
+    */
+  def releaseIfCanonical(
+      fs: FileSystem,
+      lock: Path,
+      canonicalPresent: => Boolean
+  ): Unit =
+    if (canonicalPresent) { fs.delete(lock, false); () }
+
+  /** Fail fast when a compaction holds (or died holding) the sentinel:
+    * an append that proceeded would be silently dropped by the
+    * compactor's swap. Deliberately a pure existence check — a DEAD
+    * compactor's sentinel still blocks appends (the safe direction)
+    * until the next compact call reclaims it and recovers the layout.
+    */
+  def failIfHeld(fs: FileSystem, lock: Path, what: String): Unit =
+    if (fs.exists(lock))
+      throw new IllegalStateException(
+        s"a compaction of $what is in progress (sentinel $lock present) — " +
+          "appending now would be silently discarded by the compaction swap; " +
+          "retry after it finishes, or delete the sentinel if the compactor " +
+          "is known dead")
+}

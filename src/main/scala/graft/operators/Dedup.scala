@@ -598,6 +598,19 @@ object Dedup {
     * (MinHash band/shingle tables, SimHash chunk table). Overwrite clears
     * stale metadata AND files first (see [[dropStaleTable]]); Append
     * reuses the table's own bucket spec — Spark validates it matches.
+    *
+    * SINGLE-WRITER CONTRACT (the table-layout twin of
+    * [[Similarity.compactPartitionedDir]]'s): every Append-mode call —
+    * i.e. EVERY `appendTo*Index` entry point and every
+    * `*IncrementalFold` across the eight bucketed index families
+    * (exact, minhash band+shingle, simhash64/128/combo, vector-LSH
+    * band+vec, passages, lines) funnels through here — fails fast while
+    * a [[compactBucketedIndexTable]] of the same table holds the
+    * [[CompactLock]] sentinel, because an append landing between the
+    * compactor's snapshot read and its catalog rename swap would be
+    * silently discarded by the swap. Overwrite-mode writes are exempt:
+    * they are fresh builds (or the compactor's own tmp-table write),
+    * not appends into a table being rewritten.
     */
   private[operators] def writeBucketedTable(
       df: DataFrame,
@@ -608,6 +621,11 @@ object Dedup {
   ): Unit = {
     if (mode == org.apache.spark.sql.SaveMode.Overwrite)
       dropStaleTable(df.sparkSession, table)
+    else if (mode == org.apache.spark.sql.SaveMode.Append) {
+      val lock = CompactLock.forTable(df.sparkSession, table)
+      val fs = lock.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      CompactLock.failIfHeld(fs, lock, s"table $table")
+    }
     df.write
       .mode(mode)
       .format("parquet")
@@ -627,6 +645,17 @@ object Dedup {
     * that reads it), nothing is materialized driver- or block-side, and
     * the data streams through one bucketed write. Probes are
     * result-identical before and after (gated).
+    *
+    * SINGLE-WRITER CONTRACT: identical to
+    * [[Similarity.compactPartitionedDir]]'s — a [[writeBucketedTable]]
+    * Append landing between the `spark.table(table)` snapshot read and
+    * the catalog rename swap would be silently discarded, so this holds
+    * the [[CompactLock]] sentinel (warehouse-sibling file keyed by the
+    * canonical table name) for its duration and every Append-mode write
+    * fails fast under it. Acquisition never steals a live foreign
+    * compactor's sentinel; release keeps the sentinel when the
+    * canonical table is ABSENT at exit (mid-swap failure), so appends
+    * stay blocked until the next compact call reclaims and recovers.
     */
   def compactBucketedIndexTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -637,31 +666,39 @@ object Dedup {
   ): Unit = {
     val tmp = table + "_compact_tmp"
     val old = table + "_compact_old"
-    // idempotent retry: clear leftovers from a previously failed attempt
-    // (keep `old` only as long as the canonical name still exists — if a
-    // prior crash left ONLY `old`, restore it instead of dropping it)
-    if (spark.catalog.tableExists(table)) {
-      spark.sql(s"DROP TABLE IF EXISTS $old")
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    } else if (spark.catalog.tableExists(old)) {
-      spark.sql(s"ALTER TABLE $old RENAME TO $table")
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    }
-    writeBucketedTable(
-      transform(spark.table(table)),
-      tmp,
-      buckets,
-      keys,
-      org.apache.spark.sql.SaveMode.Overwrite
-    )
-    // swap via rename-aside, not DROP-then-RENAME: the session catalog
-    // has no atomic swap, but this ordering leaves the data recoverable
-    // at every crash point (worst case the canonical name is absent for
-    // ONE metadata op, with both `old` and `tmp` intact and the retry
-    // branch above restoring automatically)
-    spark.sql(s"ALTER TABLE $table RENAME TO $old")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    spark.sql(s"DROP TABLE $old")
+    val lock = CompactLock.forTable(spark, table)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactLock.acquire(fs, lock)
+    try {
+      // idempotent retry: clear leftovers from a previously failed attempt
+      // (keep `old` only as long as the canonical name still exists — if a
+      // prior crash left ONLY `old`, restore it instead of dropping it)
+      if (spark.catalog.tableExists(table)) {
+        spark.sql(s"DROP TABLE IF EXISTS $old")
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      } else if (spark.catalog.tableExists(old)) {
+        spark.sql(s"ALTER TABLE $old RENAME TO $table")
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      }
+      writeBucketedTable(
+        transform(spark.table(table)),
+        tmp,
+        buckets,
+        keys,
+        org.apache.spark.sql.SaveMode.Overwrite
+      )
+      // swap via rename-aside, not DROP-then-RENAME: the session catalog
+      // has no atomic swap, but this ordering leaves the data recoverable
+      // at every crash point (worst case the canonical name is absent for
+      // ONE metadata op, with both `old` and `tmp` intact and the retry
+      // branch above restoring automatically)
+      spark.sql(s"ALTER TABLE $table RENAME TO $old")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.sql(s"DROP TABLE $old")
+    } finally
+      // only when the canonical table survived: a mid-swap failure keeps
+      // the sentinel so appends fail fast until the next compact recovers
+      CompactLock.releaseIfCanonical(fs, lock, spark.catalog.tableExists(table))
   }
 
   /** Cap every (_chunk, _val) bucket of a pigeonhole membership table at

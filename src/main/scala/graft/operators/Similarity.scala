@@ -321,9 +321,15 @@ object Similarity {
     * one filesystem, not a distributed mutex — deployments with
     * multiple drivers must serialize compaction externally. A JVM that
     * dies mid-compaction leaves the sentinel behind; the next compact
-    * call reclaims it (its leftover-recovery already handles every
-    * crash state), while appends keep failing fast until then — the
-    * safe direction.
+    * call reclaims it ONLY once the holder pid is provably not a live
+    * foreign compactor ([[CompactLock.acquire]] — a live holder's
+    * sentinel is never stolen), and its leftover-recovery already
+    * handles every crash state; appends keep failing fast until then —
+    * the safe direction. On an in-process failure the sentinel is
+    * released only when the canonical dir survived
+    * ([[CompactLock.releaseIfCanonical]]): a mid-swap failure leaves it
+    * behind so appends cannot recreate the canonical dir and trick the
+    * next compact's recovery branch into deleting `_compact_old`.
     */
   private[operators] def compactPartitionedDir(
       spark: org.apache.spark.sql.SparkSession,
@@ -336,13 +342,8 @@ object Similarity {
     val tmp = new Path(dir + "_compact_tmp")
     val old = new Path(dir + "_compact_old")
     val lock = compactLockPath(dir)
-    // take (or reclaim, see scaladoc) the advisory single-writer lock
-    fs.delete(lock, false)
-    val out = fs.create(lock, false)
-    out.write(
-      s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
-        .getBytes("UTF-8"))
-    out.close()
+    // take (or reclaim per the staleness rules) the advisory lock
+    CompactLock.acquire(fs, lock)
     try {
       // idempotent retry: clear leftovers from a previously failed attempt
       // (keep `old` only as long as the canonical dir still exists — if a
@@ -369,14 +370,14 @@ object Similarity {
       require(fs.rename(tmp, target), s"swap rename $tmp -> $target failed")
       fs.delete(old, true)
       ()
-    } finally {
-      fs.delete(lock, false)
-      ()
-    }
+    } finally
+      // only when the canonical dir survived: a mid-swap failure keeps
+      // the sentinel so appends fail fast until the next compact recovers
+      CompactLock.releaseIfCanonical(fs, lock, fs.exists(target))
   }
 
   private[operators] def compactLockPath(dir: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(dir + "_compact_lock")
+    CompactLock.forDir(dir)
 
   /** Fail fast if a compaction of `dir` is in flight (or died holding
     * the sentinel): an append that proceeded would be silently dropped
@@ -389,12 +390,7 @@ object Similarity {
   ): Unit = {
     val lock = compactLockPath(dir)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(lock))
-      throw new IllegalStateException(
-        s"a compaction of $dir is in progress (sentinel $lock present) — " +
-          "appending now would be silently discarded by the compaction swap; " +
-          "retry after it finishes, or delete the sentinel if the compactor " +
-          "is known dead")
+    CompactLock.failIfHeld(fs, lock, dir)
   }
 
   private[operators] def readCentroids(

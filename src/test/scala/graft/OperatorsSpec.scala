@@ -1539,6 +1539,119 @@ class OperatorsSpec extends AnyFunSuite {
     Quantization.ivfPqAppend(spark, delta, dir2, "embedding", "vec_id")
   }
 
+  test("table-layout compaction lock: appends fail fast under the sentinel; compact reclaims a dead holder") {
+    // the bucketed-catalog twin of the dir-layout guard: every
+    // appendTo*Index / *IncrementalFold funnels through
+    // writeBucketedTable(Append), which fails fast under the sentinel
+    val corpus = Seq(Doc(1, "alpha"), Doc(2, "beta")).toDS.toDF
+    val delta = Seq(Doc(10, "alpha"), Doc(11, "fresh")).toDS.toDF
+    val idx = Dedup.writeExactDedupIndex(corpus, "text", "tbl_lock", buckets = 4)
+    val lockPath = graft.operators.CompactLock.forTable(spark, idx.fpTable)
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // plant a sentinel with a provably-dead pid (forked child that
+      // already exited) — the append must fail fast on pure existence
+      val deadPid = {
+        val p = new ProcessBuilder("true").start()
+        p.waitFor(); p.pid()
+      }
+      val out = fs.create(lockPath, false)
+      out.write(s"compaction started test pid $deadPid\n".getBytes("UTF-8"))
+      out.close()
+      val e1 = intercept[IllegalStateException] {
+        Dedup.appendToExactDedupIndex(delta, "text", idx)
+      }
+      assert(e1.getMessage.contains("compaction"))
+      val e2 = intercept[IllegalStateException] {
+        Dedup.exactDedupIncrementalFold(delta, "text", "doc_id", idx)
+      }
+      assert(e2.getMessage.contains("compaction"))
+      // a minhash-family append is guarded by the same central check
+      val mh = Dedup.writeMinHashIndex(
+        corpus, "text", "doc_id", "tbl_lock_mh", numHashes = 8, bands = 4)
+      val mhLock = graft.operators.CompactLock.forTable(spark, mh.bandTable)
+      assert(fs.create(mhLock, false) != null)
+      val e3 = intercept[IllegalStateException] {
+        Dedup.appendToMinHashIndex(delta, "text", "doc_id", mh)
+      }
+      assert(e3.getMessage.contains("compaction"))
+      fs.delete(mhLock, false)
+      // dead-holder reclaim: compact takes over the sentinel, finishes,
+      // releases — appends work again and the probe is unchanged
+      Dedup.compactExactDedupIndex(spark, idx)
+      assert(!fs.exists(lockPath), "compaction did not release the sentinel")
+      Dedup.appendToExactDedupIndex(delta, "text", idx)
+      val probed = Dedup.exactDedupIncremental(
+        Seq(Doc(20, "fresh"), Doc(21, "novel")).toDS.toDF, "text", "doc_id", idx)
+      val kept = probed.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(probed)
+      assert(kept === Set(21L), "index content wrong after reclaim + append")
+    } finally {
+      fs.delete(lockPath, false)
+      Seq(idx.fpTable, "tbl_lock_mh_bands", "tbl_lock_mh_shingles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("compaction lock staleness: a LIVE foreign holder is never stolen; failure with canonical absent keeps the sentinel") {
+    // ---- live foreign holder: acquire must refuse, not steal
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val corpus = emb.filter($"vec_id" % 3 =!= 0).limit(50)
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_live_lock").toString
+    Similarity.ivfWrite(built, dir)
+    graft.CacheUtil.release(built.assigned)
+    val holder = new ProcessBuilder("sleep", "120").start()
+    try {
+      val lock = new java.io.File(s"$dir/lists_compact_lock")
+      val w = new java.io.FileWriter(lock)
+      w.write(s"compaction started test pid ${holder.pid()}\n"); w.close()
+      val e = intercept[IllegalStateException] { Similarity.ivfCompact(spark, dir) }
+      assert(e.getMessage.contains("live pid"), s"wrong refusal: ${e.getMessage}")
+      assert(lock.exists(), "a live holder's sentinel was deleted")
+      // holder dies -> reclaimable
+      holder.destroyForcibly(); holder.waitFor()
+      Similarity.ivfCompact(spark, dir)
+      assert(!lock.exists(), "dead holder's sentinel not reclaimed+released")
+    } finally { holder.destroyForcibly(); () }
+
+    // ---- failure with canonical ABSENT leaves the sentinel behind
+    // (mid-swap class: here the no-data throw inside the locked section)
+    val empty = java.nio.file.Files.createTempDirectory("ivf_nodata").toString
+    val e2 = intercept[IllegalStateException] {
+      graft.operators.Similarity.ivfCompact(spark, s"$empty/idx")
+    }
+    assert(e2.getMessage.contains("no index data"))
+    val leftover = new java.io.File(s"$empty/idx/lists_compact_lock")
+    assert(leftover.exists(),
+      "canonical-absent failure must KEEP the sentinel (appends stay blocked)")
+    // and while it is held, appends fail fast even though the dir is gone
+    intercept[IllegalStateException] {
+      val lp = graft.operators.CompactLock.forDir(s"$empty/idx/lists")
+      graft.operators.CompactLock.failIfHeld(
+        lp.getFileSystem(spark.sparkContext.hadoopConfiguration), lp,
+        s"$empty/idx/lists")
+    }
+
+    // ---- failure with canonical INTACT releases the sentinel (table
+    // layout: a throwing transform fails before the swap)
+    val t = Dedup.writeExactDedupIndex(
+      Seq(Doc(1, "a")).toDS.toDF, "text", "lock_intact", buckets = 2)
+    try {
+      intercept[RuntimeException] {
+        Dedup.compactBucketedIndexTable(
+          spark, t.fpTable, 2, Seq("_fp"),
+          transform = _ => throw new RuntimeException("boom"))
+      }
+      val tl = graft.operators.CompactLock.forTable(spark, t.fpTable)
+      val tfs = tl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!tfs.exists(tl),
+        "canonical-intact failure must RELEASE the sentinel (appends are safe)")
+      Dedup.appendToExactDedupIndex(Seq(Doc(2, "b")).toDS.toDF, "text", t)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `${t.fpTable}`")
+  }
+
   test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
     // line dedup: a NULL-text doc produces no line rows, so it must come
     // back NULL (byte-identical), not coerced to '' like a doc whose
