@@ -2857,6 +2857,77 @@ object SparkEntry {
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
     ),
+    // st05's probe-then-append loop under an AT-LEAST-ONCE source —
+    // the mid-batch replay case st07's clean restart cannot reach: a
+    // crash after the fold's index append but before the sink/offset
+    // commit makes the engine re-run the whole micro-batch. Batch 1
+    // (the middle one: index and batch both non-empty) is deliberately
+    // run through the fold TWICE; the [[graft.operators.ReplaySafe]]
+    // contract requires the replay to append nothing (both index
+    // tables byte-stable, require()d) and emit nothing (require()d —
+    // and the FULL d02-template oracle over the union of emissions
+    // would hash-break on any re-emitted pair, the same non-vacuity
+    // argument as st07). StreamingSpec gates the same algebra per fold
+    // family (minhash, passages, lines, exact, simhash64/128,
+    // vector-LSH, semdedup).
+    Q(
+      "st08_stream_replay",
+      (s, d) => {
+        import s.implicits._
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Dedup.writeMinHashIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st08_idx", bands = 16, buckets = 8)
+        val collected = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+        try {
+          chunks.zipWithIndex.foreach { case (c, k) =>
+            val delta = c.toIndexedSeq.toDF("doc_id", "text").localCheckpoint(true)
+            val pairs = operators.Dedup
+              .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx)
+            collected ++= pairs.select("id_a", "id_b", "jaccard").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            graft.CacheUtil.release(pairs)
+            if (k == 1) {
+              // the at-least-once replay: same delta, fold again
+              val bandRows = s.table(idx.bandTable).count()
+              val shRows = s.table(idx.shingleTable).count()
+              val replay = operators.Dedup
+                .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx)
+              val reEmitted = replay.count()
+              graft.CacheUtil.release(replay)
+              require(reEmitted == 0L,
+                s"replayed batch re-emitted $reEmitted pairs")
+              require(s.table(idx.bandTable).count() == bandRows,
+                "replayed batch grew the band table")
+              require(s.table(idx.shingleTable).count() == shRows,
+                "replayed batch grew the shingle table")
+            }
+            graft.CacheUtil.release(delta)
+          }
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS `${idx.bandTable}`")
+          s.sql(s"DROP TABLE IF EXISTS `${idx.shingleTable}`")
+        }
+        collected.toSeq.toDF("id_a", "id_b", "jaccard")
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
     // streaming semantic dedup against a GROWING written IVF index — the
     // semantic member of the foreachBatch composition family (st02-st05):
     // three deterministic micro-batches of echo embeddings (TWO echo

@@ -151,6 +151,16 @@ object Dedup {
     * [[exactDedupIncremental]] followed by [[appendToExactDedupIndex]],
     * but the delta text is fingerprinted ONCE (the separate calls scan
     * and hash it twice).
+    *
+    * REPLAY-SAFE ([[ReplaySafe]]): the append writes only fingerprints
+    * the index does not already hold, and the emission is the anti-join
+    * survivors — so an at-least-once caller replaying a batch whose
+    * append committed appends nothing and emits nothing (the index is
+    * the ledger; fingerprint membership IS the probe semantics here, so
+    * no id bookkeeping is needed). One niche re-emission remains:
+    * NULL-text rows are contractually never duplicates and carry no
+    * fingerprint, so a replayed batch re-emits its NULL-text keepers —
+    * dedup by id at the sink if NULL-text rows matter.
     */
   def exactDedupIncrementalFold(
       delta: DataFrame,
@@ -166,8 +176,10 @@ object Dedup {
     val unseen = withFp
       .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
       .localCheckpoint(true)
+    // replay-safe append: only fingerprints the index lacks (NULL fps
+    // excluded — a NULL can never match the anti-join probe anyway)
     writeBucketedTable(
-      withFp.select(col("_fp")).distinct(),
+      unseen.select(col("_fp")).filter(col("_fp").isNotNull).distinct(),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
@@ -788,12 +800,16 @@ object Dedup {
       membership: DataFrame,
       table: String,
       maxBucket: Int,
-      keys: Seq[String]
+      keys: Seq[String],
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = membership.sparkSession
     val deltaBuckets = membership.select(keys.map(col): _*).distinct()
-    val counts = spark
-      .table(table)
+    // replay safety (folds only): slot counts must reflect the
+    // PRE-append index, so the delta's own stored rows are excluded
+    val corpus = excludeIds.fold(spark.table(table))(
+      ReplaySafe.excludeIds(spark.table(table), "_id", _))
+    val counts = corpus
       .join(broadcast(deltaBuckets), keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_n"))
@@ -809,9 +825,11 @@ object Dedup {
   private def admittedAgainstIndex(
       chunked: DataFrame,
       table: String,
-      maxBucket: Int
+      maxBucket: Int,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame =
-    admittedAgainstIndexKeyed(chunked, table, maxBucket, Seq("_chunk", "_val"))
+    admittedAgainstIndexKeyed(
+      chunked, table, maxBucket, Seq("_chunk", "_val"), excludeIds)
 
   /** Compact an exact-dedup index: appends may re-add fingerprints a
     * later delta already contributed, so compaction also dedups rows.
@@ -942,13 +960,14 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: MinHashIndex
+      idx: MinHashIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val bandedRaw =
       minHashBanded(delta, textCol, idCol, idx.numHashes, idx.bands, idx.shingleSize)
         .localCheckpoint(true)
     val banded = admittedAgainstIndexKeyed(
-      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_band", "_bucket"))
+      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_band", "_bucket"), excludeIds)
       .localCheckpoint(true)
     graft.CacheUtil.release(bandedRaw)
     banded
@@ -956,11 +975,13 @@ object Dedup {
 
   private def minHashCandidatesFromAdmitted(
       banded: DataFrame,
-      idx: MinHashIndex
+      idx: MinHashIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = banded.sparkSession
     val within = candidatePairsFromBanded(banded, idx.bands, idx.maxBucket)
-    val corpus = spark.table(idx.bandTable)
+    val corpus = excludeIds.fold(spark.table(idx.bandTable))(
+      ReplaySafe.excludeIds(spark.table(idx.bandTable), "_id", _))
     val cross = banded
       .as("d")
       .join(
@@ -1011,6 +1032,13 @@ object Dedup {
     * admission scan over the corpus index, and the delta shingle sets
     * are each computed ONCE instead of twice — at ingest scale those
     * are the dominant per-batch costs.
+    *
+    * REPLAY-SAFE ([[ReplaySafe]]): re-running the fold on a delta whose
+    * append already committed (the at-least-once foreachBatch replay)
+    * appends nothing and emits nothing — the index never grows twice
+    * and the union of per-attempt emissions carries no duplicate pairs
+    * (StreamingSpec gates this per fold family; st08 is the registry
+    * row).
     */
   def minHashNearDupsIncrementalFold(
       delta: DataFrame,
@@ -1019,19 +1047,38 @@ object Dedup {
       threshold: Double,
       idx: MinHashIndex
   ): DataFrame = {
-    val admitted = admittedBands(delta, textCol, idCol, idx)
-    val cands = minHashCandidatesFromAdmitted(admitted, idx)
+    val spark = delta.sparkSession
+    // REPLAY SAFETY ([[ReplaySafe]]): the shingle table records EVERY
+    // folded doc, so it is the emission ledger; the band table's own
+    // id set gates its append separately (a crash between the two
+    // appends heals: the committed table skips, the missing one
+    // completes, and the shingle ledger still reads "unseen", so the
+    // never-delivered emissions are re-derived and re-emitted). All
+    // ledger reads snapshot the PRE-append state (eager checkpoints).
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seenSh = ReplaySafe.seenIds(spark.table(idx.shingleTable), "_sid", rids)
+    val seenBand = ReplaySafe.seenIds(spark.table(idx.bandTable), "_id", rids)
+    val unseen = ReplaySafe.unseenIds(rids, seenSh)
+    val admitted = admittedBands(delta, textCol, idCol, idx, Some(rids))
+    val cands = minHashCandidatesFromAdmitted(admitted, idx, Some(rids))
     val deltaSh = deltaShingles(delta, textCol, idCol, idx)
     // materializes the pair set BEFORE the appends mutate the tables
-    val out = verifyMinHashIncremental(cands, deltaSh, threshold, idx)
+    val out = verifyMinHashIncremental(
+      cands, deltaSh, threshold, idx, Some(rids), Some(unseen))
     writeBucketedTable(
-      admitted, idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
+      ReplaySafe.dropSeen(admitted, "_id", seenBand),
+      idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
       org.apache.spark.sql.SaveMode.Append)
     writeBucketedTable(
-      deltaSh, idx.shingleTable, idx.buckets, Seq("_sid"),
+      ReplaySafe.dropSeen(deltaSh, "_sid", seenSh),
+      idx.shingleTable, idx.buckets, Seq("_sid"),
       org.apache.spark.sql.SaveMode.Append)
     graft.CacheUtil.release(cands) // also frees `admitted` in its lineage
     graft.CacheUtil.release(deltaSh)
+    graft.CacheUtil.release(seenSh)
+    graft.CacheUtil.release(seenBand)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -1056,9 +1103,13 @@ object Dedup {
       cands: DataFrame,
       deltaSh: DataFrame,
       threshold: Double,
-      idx: MinHashIndex
+      idx: MinHashIndex,
+      excludeIds: Option[DataFrame] = None,
+      touchingUnseen: Option[DataFrame] = None
   ): DataFrame = {
-    val corpusSh = cands.sparkSession.table(idx.shingleTable)
+    val table = cands.sparkSession.table(idx.shingleTable)
+    val corpusSh =
+      excludeIds.fold(table)(ReplaySafe.excludeIds(table, "_sid", _))
     val withA = cands
       .join(corpusSh.as("ca"), col("id_a") === col("ca._sid"), "left")
       .join(deltaSh.as("da"), col("id_a") === col("da._sid"), "left")
@@ -1067,12 +1118,14 @@ object Dedup {
         col("id_b"),
         coalesce(col("ca._sh"), col("da._sh")).as("_sh_a")
       )
-    withA
+    val verified = withA
       .join(corpusSh.as("cb"), col("id_b") === col("cb._sid"), "left")
       .join(deltaSh.as("db"), col("id_b") === col("db._sid"), "left")
       .withColumn("jaccard", jaccard(col("_sh_a"), coalesce(col("cb._sh"), col("db._sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    touchingUnseen
+      .fold(verified)(ReplaySafe.keepPairsTouchingUnseen(verified, "id_a", "id_b", _))
       .localCheckpoint(true)
   }
 
@@ -1570,28 +1623,40 @@ object Dedup {
       idCol: String,
       idx: SimHash128Index
   ): DataFrame = {
+    val spark = delta.sparkSession
+    // replay safety: same single-table ledger shape as the 64-bit fold
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(spark.table(idx.chunkTable), "_id", rids)
+    val unseen = ReplaySafe.unseenIds(rids, seen)
     val chunkedRaw =
       simHashChunked128(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
-    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
-      .localCheckpoint(true)
+    val chunked = admittedAgainstIndex(
+      chunkedRaw, idx.chunkTable, idx.maxBucket, Some(rids)).localCheckpoint(true)
     graft.CacheUtil.release(chunkedRaw)
-    val lazyPairs = simHash128PairsFromAdmitted(chunked, idx)
+    val lazyPairs = ReplaySafe.keepPairsTouchingUnseen(
+      simHash128PairsFromAdmitted(chunked, idx, Some(rids)), "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
     writeBucketedTable(
-      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      ReplaySafe.dropSeen(chunked, "_id", seen),
+      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append)
     graft.CacheUtil.release(lazyPairs)
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
   private def simHash128PairsFromAdmitted(
       chunked: DataFrame,
-      idx: SimHash128Index
+      idx: SimHash128Index,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = chunked.sparkSession
     val within = simHash128PairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
-    val corpus = spark.table(idx.chunkTable)
+    val corpus = excludeIds.fold(spark.table(idx.chunkTable))(
+      ReplaySafe.excludeIds(spark.table(idx.chunkTable), "_id", _))
     val cross = chunked
       .as("d")
       .join(
@@ -2025,28 +2090,44 @@ object Dedup {
       idCol: String,
       idx: SimHashIndex
   ): DataFrame = {
+    val spark = delta.sparkSession
+    // REPLAY SAFETY ([[ReplaySafe]], single chunk table): the chunk
+    // table is both index and ledger for docs with stored rows; a doc
+    // whose every bucket was full stores nothing, but its re-admission
+    // recomputes deterministically against the delta-excluded corpus,
+    // so the replayed append writes the same (empty) row set
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(spark.table(idx.chunkTable), "_id", rids)
+    val unseen = ReplaySafe.unseenIds(rids, seen)
     val chunkedRaw =
       simHashChunked(delta, textCol, idCol, idx.maxHamming).localCheckpoint(true)
-    val chunked = admittedAgainstIndex(chunkedRaw, idx.chunkTable, idx.maxBucket)
-      .localCheckpoint(true)
+    val chunked = admittedAgainstIndex(
+      chunkedRaw, idx.chunkTable, idx.maxBucket, Some(rids)).localCheckpoint(true)
     graft.CacheUtil.release(chunkedRaw)
-    val lazyPairs = simHashPairsFromAdmitted(chunked, idx)
+    val lazyPairs = ReplaySafe.keepPairsTouchingUnseen(
+      simHashPairsFromAdmitted(chunked, idx, Some(rids)), "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
     writeBucketedTable(
-      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      ReplaySafe.dropSeen(chunked, "_id", seen),
+      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append)
     graft.CacheUtil.release(lazyPairs) // frees `chunked` + internal members
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
   private def simHashPairsFromAdmitted(
       chunked: DataFrame,
-      idx: SimHashIndex
+      idx: SimHashIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = chunked.sparkSession
     val within = simHashPairsFromChunked(chunked, idx.maxHamming, idx.maxBucket)
-    val corpus = spark.table(idx.chunkTable)
+    val corpus = excludeIds.fold(spark.table(idx.chunkTable))(
+      ReplaySafe.excludeIds(spark.table(idx.chunkTable), "_id", _))
     val cross = chunked
       .as("d")
       .join(

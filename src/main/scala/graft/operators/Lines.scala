@@ -167,10 +167,43 @@ object Lines {
       .groupBy(col("_fp"))
       .agg(count(lit(1)).as("_ndocs"))
 
+  /** The rows the catalogue persists for `df` — TWO kinds in ONE
+    * bucketed table (schema `(_fp, _ndocs, _did)`): per-fingerprint
+    * distinct-doc COUNT rows (`_did` NULL) and one LEDGER row per doc
+    * (`_fp`/`_ndocs` NULL, `_did` = the doc id). The counts are all any
+    * probe reads; the ledger records which docs have been folded in —
+    * the replay-safety anchor for [[dropDuplicatedLinesIncrementalFold]]
+    * ([[graft.operators.ReplaySafe]]). They share one table precisely
+    * so one append = ONE Spark write job = counts and ledger commit
+    * ATOMICALLY (two tables would reopen a crash window between the
+    * appends). Ledger rows hash to the NULL `_fp` bucket; they are
+    * id-sized, written once per doc, and every count-side read filters
+    * them out on `_fp IS NOT NULL`. (Schema v2 — a pre-existing
+    * two-column catalogue must be rebuilt with [[writeLineIndex]]; its
+    * ingest history cannot be reconstructed into a ledger.)
+    */
+  private def catalogueRows(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      hash64: Boolean,
+      delimiter: String
+  ): DataFrame = {
+    val fpType = if (hash64) "bigint" else "string"
+    fpDocCounts(df, textCol, idCol, hash64, delimiter)
+      .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
+      .unionByName(
+        df.select(
+          lit(null).cast(fpType).as("_fp"),
+          lit(null).cast("bigint").as("_ndocs"),
+          col(idCol).cast("bigint").as("_did")))
+  }
+
   /** Build and persist a line catalogue for `df` under catalog table
     * `<name>_linefps`. `hash64 = true` (default) stores LONG keys — the
-    * index is nothing but fingerprints, so the 4× narrower key
-    * dominates its footprint.
+    * index is nothing but fingerprints (plus the id-sized replay
+    * ledger, [[catalogueRows]]), so the 4× narrower key dominates its
+    * footprint.
     */
   def writeLineIndex(
       df: DataFrame,
@@ -183,7 +216,7 @@ object Lines {
   ): LineIndex = {
     val idx = LineIndex(s"${name}_linefps", hash64, buckets, delimiter)
     Dedup.writeBucketedTable(
-      fpDocCounts(df, textCol, idCol, hash64, delimiter),
+      catalogueRows(df, textCol, idCol, hash64, delimiter),
       idx.fpTable,
       buckets,
       Seq("_fp"),
@@ -203,7 +236,7 @@ object Lines {
       idx: LineIndex
   ): Unit =
     Dedup.writeBucketedTable(
-      fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter),
+      catalogueRows(delta, textCol, idCol, idx.hash64, idx.delimiter),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
@@ -259,19 +292,39 @@ object Lines {
       minDocs: Int = 2
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
-    val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
+    val spark = delta.sparkSession
+    // REPLAY SAFETY ([[graft.operators.ReplaySafe]]): docs already in
+    // the catalogue's ledger ([[catalogueRows]]) are dropped up front —
+    // their counts are committed (counts + ledger land in ONE atomic
+    // append), so cleaning the remaining docs against the catalogue
+    // as-is IS the batch-on-union semantics, a full replay emits and
+    // appends nothing, and the catalogue never double-counts a line
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(
+      spark.table(idx.fpTable).filter(col("_did").isNotNull), "_did", rids)
+    val fresh = ReplaySafe.dropSeen(delta, idCol, seen)
+    val deltaCounts = fpDocCounts(fresh, textCol, idCol, idx.hash64, idx.delimiter)
       .localCheckpoint(true)
     val lazyOut =
-      cleanedAgainstCounts(delta, textCol, idCol, idx, minDocs, deltaCounts)
+      cleanedAgainstCounts(fresh, textCol, idCol, idx, minDocs, deltaCounts)
     // materializes the cleaned text BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
+    val fpType = if (idx.hash64) "bigint" else "string"
     Dedup.writeBucketedTable(
-      deltaCounts, idx.fpTable, idx.buckets, Seq("_fp"),
+      deltaCounts
+        .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
+        .unionByName(fresh.select(
+          lit(null).cast(fpType).as("_fp"),
+          lit(null).cast("bigint").as("_ndocs"),
+          col(idCol).cast("bigint").as("_did"))),
+      idx.fpTable, idx.buckets, Seq("_fp"),
       org.apache.spark.sql.SaveMode.Append)
-    // release ONLY the internal checkpoint: lazyOut's plan also contains
+    // release ONLY the internal checkpoints: lazyOut's plan also contains
     // the CALLER's delta blocks (lineFps and the re-admission join read
-    // `delta` directly), which are the caller's to free
+    // the delta directly), which are the caller's to free
     graft.CacheUtil.release(deltaCounts)
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -286,9 +339,11 @@ object Lines {
     val spark = delta.sparkSession
     val lines = lineFps(delta, textCol, idCol, idx.hash64, idx.delimiter)
     // appends leave multiple rows per fp; summing on the bucket key
-    // plans as a bucketed scan + partial agg with no Exchange
+    // plans as a bucketed scan + partial agg with no Exchange. Ledger
+    // rows (NULL _fp) are filtered out — counts only.
     val corpusCounts = spark
       .table(idx.fpTable)
+      .filter(col("_fp").isNotNull)
       .groupBy(col("_fp"))
       .agg(sum(col("_ndocs")).as("_corpus_ndocs"))
     val hot = deltaCounts
@@ -335,6 +390,17 @@ object Lines {
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
-      _.groupBy(col("_fp")).agg(sum(col("_ndocs")).as("_ndocs"))
+      t => {
+        // merge the count rows; carry the ledger rows through unchanged
+        // (deduped — a doc's ledger row is unique per the disjoint-
+        // delta contract, but a replay-healed table may hold one copy)
+        val counts = t
+          .filter(col("_did").isNull)
+          .groupBy(col("_fp"))
+          .agg(sum(col("_ndocs")).as("_ndocs"))
+          .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
+        val ledger = t.filter(col("_did").isNotNull).distinct()
+        counts.unionByName(ledger)
+      }
     )
 }

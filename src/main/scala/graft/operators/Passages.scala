@@ -242,15 +242,42 @@ object Passages {
       mode: org.apache.spark.sql.SaveMode
   ): Unit =
     Dedup.writeBucketedTable(
-      windowFps(df, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
-        .groupBy(col(idCol), col("_fp"))
-        .agg(count(lit(1)).as("_occ"))
-        .select(col(idCol).as("_pid"), col("_fp"), col("_occ")),
+      indexRows(df, textCol, idCol, idx),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
       mode
     )
+
+  /** The rows the passage index persists for `df`: per-(doc, fp) window
+    * occurrence counts, PLUS one NULL-fp marker row per windowless doc
+    * (shorter than `windowTokens` tokens, or NULL text). The markers
+    * make the table's `_pid` set a COMPLETE ledger of every indexed doc
+    * — the replay-safety anchor for [[passageDupFractionIncrementalFold]]
+    * ([[graft.operators.ReplaySafe]]). They are invisible to every
+    * probe: the dup condition is an `_fp` equi-semi-join and NULL never
+    * equi-matches; compaction's pure merge keeps them.
+    */
+  private def indexRows(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      idx: PassageIndex
+  ): DataFrame = {
+    val counts = windowFps(df, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
+      .groupBy(col(idCol), col("_fp"))
+      .agg(count(lit(1)).as("_occ"))
+      .select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
+    val fpType = if (idx.hash64) "bigint" else "string"
+    // size(split(NULL)) = -1, so NULL-text docs also get a marker
+    val markers = df
+      .filter(size(split(col(textCol), " ")) < idx.windowTokens)
+      .select(
+        col(idCol).as("_pid"),
+        lit(null).cast(fpType).as("_fp"),
+        lit(0L).as("_occ"))
+    counts.unionByName(markers)
+  }
 
   /** Incremental [[passageDupFraction]]: profile every `delta` document
     * against corpus ∪ delta, where the corpus is the persisted index. A
@@ -316,21 +343,43 @@ object Passages {
       idCol: String,
       idx: PassageIndex
   ): DataFrame = {
+    val spark = delta.sparkSession
+    // REPLAY SAFETY ([[graft.operators.ReplaySafe]], single table): the
+    // index's `_pid` set is a complete ledger (windowless docs get
+    // marker rows — [[indexRows]]), the probe excludes the delta's own
+    // stored rows, a replayed append writes nothing, and profile rows
+    // for already-folded docs are suppressed
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(spark.table(idx.fpTable), "_pid", rids)
     val deltaFp = windowFps(delta, textCol, idCol, idx.windowTokens, idx.stride, idx.hash64)
       .groupBy(col(idCol), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
       .localCheckpoint(true)
-    val lazyOut = profileFromDeltaFp(delta, textCol, idCol, idx, deltaFp)
+    val lazyOut = ReplaySafe.dropSeen(
+      profileFromDeltaFp(delta, textCol, idCol, idx, deltaFp, Some(rids)),
+      idCol, seen)
     // materializes the profile BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
+    val fpType = if (idx.hash64) "bigint" else "string"
+    val markers = delta
+      .filter(size(split(col(textCol), " ")) < idx.windowTokens)
+      .select(
+        col(idCol).as("_pid"),
+        lit(null).cast(fpType).as("_fp"),
+        lit(0L).as("_occ"))
     Dedup.writeBucketedTable(
-      deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ")),
+      ReplaySafe.dropSeen(
+        deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
+          .unionByName(markers),
+        "_pid", seen),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
       org.apache.spark.sql.SaveMode.Append
     )
     graft.CacheUtil.release(lazyOut) // frees deltaFp + totals in its lineage
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -339,16 +388,19 @@ object Passages {
       textCol: String,
       idCol: String,
       idx: PassageIndex,
-      deltaFp: DataFrame
+      deltaFp: DataFrame,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     val deltaFps = deltaFp
       .groupBy(col("_fp"))
       .agg(count(lit(1)).as("_ndocs"))
     val withinDup = deltaFps.filter(col("_ndocs") >= 2).select(col("_fp"))
+    val corpus = excludeIds.fold(spark.table(idx.fpTable))(
+      ReplaySafe.excludeIds(spark.table(idx.fpTable), "_pid", _))
     val corpusDup = deltaFps
       .select(col("_fp"))
-      .join(spark.table(idx.fpTable).select(col("_fp")), Seq("_fp"), "left_semi")
+      .join(corpus.select(col("_fp")), Seq("_fp"), "left_semi")
     val dupFps = withinDup.unionByName(corpusDup).distinct()
     val dupPerDoc = deltaFp
       .join(dupFps, Seq("_fp"))

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** At-least-once replay safety for the probe-then-append fold family
+  * (`*IncrementalFold`). Structured Streaming's foreachBatch contract
+  * is at-least-once: a crash AFTER a fold appended its delta to the
+  * index but BEFORE the sink write / offset-log commit makes the engine
+  * REPLAY the whole micro-batch — and a naive fold would then (a)
+  * append the delta's rows a second time (duplicate index rows,
+  * corrupted counts) and (b) probe an index that already contains the
+  * batch, emitting duplicate pairs. st07 proved the CLEAN-restart case
+  * (stop between micro-batches); this module closes the mid-batch
+  * replay case, the per-node retry analog of the reference's per-node
+  * `try` wrapper (`/root/reference/R/big.data.table.R:127` — a
+  * re-shipped expression must be safe to re-run).
+  *
+  * The mechanism is the index itself as the replay ledger — no batchId
+  * bookkeeping, no extra commit protocol, so it composes with ANY
+  * at-least-once caller, not just Structured Streaming:
+  *
+  *  - [[seenIds]]: delta ids already present in an id-bearing index
+  *    table (a column-pruned corpus scan behind a broadcast semi join —
+  *    the corpus side keeps its bucketed zero-Exchange scan shape).
+  *    Empty on a first attempt; the whole delta after a committed
+  *    append (appends are single Spark write jobs, so per TABLE the
+  *    delta is all-or-nothing).
+  *  - [[excludeIds]]: corpus reads inside the probe drop the delta's
+  *    own ids (broadcast anti), restoring the pre-append index state on
+  *    a replay. On a first attempt the delta's ids are not there — the
+  *    filter is a no-op and the emitted result is unchanged (the fold
+  *    == probe + append gates still hold).
+  *  - emission suppression: output rows whose delta participants were
+  *    ALL already folded in are dropped ([[dropSeen]] for per-doc
+  *    outputs, [[keepPairsTouchingUnseen]] for pair outputs) — a full
+  *    replay emits NOTHING and appends NOTHING, so the union of
+  *    per-attempt emissions carries no duplicate rows and the index
+  *    never grows twice.
+  *  - append filtering: each table's append drops rows whose ids that
+  *    TABLE already holds, so a crash between two appends of a
+  *    multi-table family (minhash bands/shingles, vector-LSH
+  *    bands/vecs) heals on replay: the committed table skips, the
+  *    missing one completes, and the emission ledger (the
+  *    LAST-appended table) still reads "unseen", so the re-derived
+  *    emissions — which the caller never received — are re-emitted.
+  *
+  * What this does NOT give: a crash after BOTH the appends and the
+  * fold's return but before the caller persisted the emissions loses
+  * those emissions (the replay suppresses them). That is the sink's
+  * half of exactly-once — persist the fold's output before or
+  * atomically with the offset commit (e.g. an idempotent
+  * overwrite-by-batchId sink), the standard foreachBatch discipline.
+  * The index side is idempotent either way.
+  */
+private[operators] object ReplaySafe {
+
+  /** The delta's ids as a one-column `_rid` frame. Not distinct — it is
+    * only ever the broadcast side of semi/anti joins, where duplicates
+    * cannot change the result (delta ids are unique per the family
+    * contract anyway). MATERIALIZED (localCheckpoint) so that the lazy
+    * probe plans it is spliced into reference a leaf of OURS, never the
+    * caller's delta blocks — `CacheUtil.release` walks the whole plan,
+    * and a fold releasing its internal lazy frames must not free the
+    * caller's checkpoints (the fold-family release contract). Folds
+    * release it before returning.
+    */
+  def ids(delta: DataFrame, idCol: String): DataFrame =
+    delta.select(col(idCol).as("_rid")).localCheckpoint(true)
+
+  /** `corpus` without the delta's ids: a broadcast anti join, so the
+    * corpus side keeps its bucketed, Exchange-free scan shape. On a
+    * first attempt (ids absent) this is a semantic no-op.
+    */
+  def excludeIds(corpus: DataFrame, idColName: String, ids: DataFrame): DataFrame =
+    corpus.join(broadcast(ids), corpus(idColName) === ids("_rid"), "left_anti")
+
+  /** Delta ids already present in `corpus(idColName)` — the replay
+    * ledger read. Materialized eagerly (it must snapshot the PRE-append
+    * state, and it feeds several later filters); tiny by construction
+    * (≤ the micro-batch's id count). Callers release.
+    */
+  def seenIds(corpus: DataFrame, idColName: String, ids: DataFrame): DataFrame =
+    corpus
+      .select(col(idColName).as("_rid"))
+      .join(broadcast(ids), Seq("_rid"), "left_semi")
+      .distinct()
+      .localCheckpoint(true)
+
+  /** Delta ids NOT in `seen` — the docs whose emissions have never been
+    * handed to a caller. Materialized; tiny. Callers release.
+    */
+  def unseenIds(ids: DataFrame, seen: DataFrame): DataFrame =
+    ids
+      .join(broadcast(seen), Seq("_rid"), "left_anti")
+      .distinct()
+      .localCheckpoint(true)
+
+  /** Rows of `df` whose `colName` is not in `seen` (broadcast anti) —
+    * the append filter, and the emission filter for per-doc outputs.
+    */
+  def dropSeen(df: DataFrame, colName: String, seen: DataFrame): DataFrame =
+    df.join(broadcast(seen), df(colName) === seen("_rid"), "left_anti")
+
+  /** Pair rows with at least one endpoint in `unseen` — i.e. suppress a
+    * pair only when every delta-side participant was already folded in
+    * (corpus-side endpoints are never delta ids, so any pair touching a
+    * genuinely-new doc survives; on a first attempt every emitted pair
+    * touches the delta by construction and nothing is dropped).
+    */
+  def keepPairsTouchingUnseen(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      unseen: DataFrame
+  ): DataFrame = {
+    val ua = unseen.select(col("_rid").as("_unseen_a"))
+    val ub = unseen.select(col("_rid").as("_unseen_b"))
+    pairs
+      .join(broadcast(ua), pairs(aCol) === ua("_unseen_a"), "left")
+      .join(broadcast(ub), pairs(bCol) === ub("_unseen_b"), "left")
+      .filter(col("_unseen_a").isNotNull || col("_unseen_b").isNotNull)
+      .drop("_unseen_a", "_unseen_b")
+  }
+}

@@ -653,9 +653,19 @@ object Similarity {
     require(maxCluster > 1, "maxCluster must allow at least one pair")
     failIfCompacting(spark, s"$path/lists")
     val cents = readCentroids(spark, s"$path/centroids")
+    // REPLAY SAFETY ([[graft.operators.ReplaySafe]], single lists dir):
+    // the lists record every folded row, so they are both index and
+    // ledger; the probe reads them with the delta's ids excluded
+    // (pre-append state on a replay, a no-op on a first attempt) and
+    // the append writes only unseen rows
+    val rids = ReplaySafe.ids(delta, idCol)
+    val listsRaw = spark.read.parquet(s"$path/lists")
+    val seen = ReplaySafe.seenIds(listsRaw, idCol, rids)
+    val unseen = ReplaySafe.unseenIds(rids, seen)
     // the ONE delta-side assignment pass: reused by the probe and the fold
     val assigned = ivfAssign(delta, vecCol, cents).localCheckpoint(true)
-    val index = IvfIndex(spark.read.parquet(s"$path/lists"), cents, vecCol, idCol)
+    val index = IvfIndex(
+      ReplaySafe.excludeIds(listsRaw, idCol, rids), cents, vecCol, idCol)
     val stored = semDedupCappedStored(index, maxCluster)
     val probe = assigned.select(
       col(idCol).as("_id"),
@@ -663,12 +673,17 @@ object Similarity {
       col("_centroid"))
     val admitted = semDedupAdmit(probe, stored, maxCluster)
     // materializes the pair set BEFORE the append mutates the lists
-    val out =
-      semDedupPairsTouchingDelta(admitted, stored, threshold).localCheckpoint(true)
-    assigned.write.mode("append").partitionBy("_centroid").parquet(s"$path/lists")
+    val out = ReplaySafe.keepPairsTouchingUnseen(
+      semDedupPairsTouchingDelta(admitted, stored, threshold),
+      "id_a", "id_b", unseen).localCheckpoint(true)
+    ReplaySafe.dropSeen(assigned, idCol, seen)
+      .write.mode("append").partitionBy("_centroid").parquet(s"$path/lists")
     graft.CacheUtil.release(stored)
     graft.CacheUtil.release(admitted)
     graft.CacheUtil.release(assigned)
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -1206,18 +1221,35 @@ object Similarity {
       threshold: Double,
       idx: LshIndex
   ): DataFrame = {
-    val banded = lshAdmittedBands(delta, vecCol, idCol, idx)
+    val spark = delta.sparkSession
+    // REPLAY SAFETY ([[graft.operators.ReplaySafe]]): the vector table
+    // records EVERY folded doc — it is the emission ledger; the band
+    // table's own id set gates its append separately (same two-table
+    // healing contract as the minhash fold)
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seenVec = ReplaySafe.seenIds(spark.table(idx.vecTable), "_vid", rids)
+    val seenBand = ReplaySafe.seenIds(spark.table(idx.bandTable), "_id", rids)
+    val unseen = ReplaySafe.unseenIds(rids, seenVec)
+    val banded = lshAdmittedBands(delta, vecCol, idCol, idx, Some(rids))
     val deltaV = lshNormalizedDelta(delta, vecCol, idCol)
-    val lazyPairs = lshPairsFromAdmitted(banded, deltaV, threshold, idx)
+    val lazyPairs = ReplaySafe.keepPairsTouchingUnseen(
+      lshPairsFromAdmitted(banded, deltaV, threshold, idx, Some(rids)),
+      "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the appends mutate the tables
     val out = lazyPairs.localCheckpoint(true)
     Dedup.writeBucketedTable(
-      banded, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
+      ReplaySafe.dropSeen(banded, "_id", seenBand),
+      idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
       org.apache.spark.sql.SaveMode.Append)
     Dedup.writeBucketedTable(
-      deltaV, idx.vecTable, idx.buckets, Seq("_vid"),
+      ReplaySafe.dropSeen(deltaV, "_vid", seenVec),
+      idx.vecTable, idx.buckets, Seq("_vid"),
       org.apache.spark.sql.SaveMode.Append)
     graft.CacheUtil.release(lazyPairs) // frees banded + deltaV in its lineage
+    graft.CacheUtil.release(seenVec)
+    graft.CacheUtil.release(seenBand)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -1225,13 +1257,14 @@ object Similarity {
       delta: DataFrame,
       vecCol: String,
       idCol: String,
-      idx: LshIndex
+      idx: LshIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val bandedRaw =
       lshBanded(delta, vecCol, idCol, idx.nPlanes, idx.dim, idx.seed, idx.nTables)
         .localCheckpoint(true)
     val banded = Dedup.admittedAgainstIndexKeyed(
-      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_tbl", "_sig"))
+      bandedRaw, idx.bandTable, idx.maxBucket, Seq("_tbl", "_sig"), excludeIds)
       .localCheckpoint(true)
     graft.CacheUtil.release(bandedRaw)
     banded
@@ -1250,11 +1283,13 @@ object Similarity {
       banded: DataFrame,
       deltaV: DataFrame,
       threshold: Double,
-      idx: LshIndex
+      idx: LshIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = banded.sparkSession
     val within = lshCandidatesFromBanded(banded, idx.nTables, idx.maxBucket)
-    val corpus = spark.table(idx.bandTable)
+    val corpus = excludeIds.fold(spark.table(idx.bandTable))(
+      ReplaySafe.excludeIds(spark.table(idx.bandTable), "_id", _))
     val cross = banded
       .as("d")
       .join(
@@ -1269,7 +1304,8 @@ object Similarity {
         greatest(col("d._id"), col("c._id")).as("id_b")
       )
     val cands = cross.unionByName(within)
-    val corpusV = spark.table(idx.vecTable)
+    val corpusV = excludeIds.fold(spark.table(idx.vecTable))(
+      ReplaySafe.excludeIds(spark.table(idx.vecTable), "_vid", _))
     val withA = cands
       .join(corpusV.as("ca"), col("id_a") === col("ca._vid"), "left")
       .join(deltaV.as("da"), col("id_a") === col("da._vid"), "left")

@@ -688,4 +688,222 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  // ------------------- mid-batch replay idempotence (fold family) -------------------
+  // The at-least-once hole st07's clean restart cannot reach: a crash
+  // AFTER a fold appended its delta but BEFORE the sink/offset commit
+  // makes Structured Streaming REPLAY the batch. Each gate runs a fold
+  // to completion, re-runs the SAME delta (the replay), and asserts
+  // (a) the index did not grow twice and (b) the union of per-attempt
+  // emissions equals attempt 1's — the replay emits NOTHING new, so no
+  // duplicate rows reach a sink. A fresh second delta then proves the
+  // index still ingests normally.
+
+  private def rpTexts = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "one two three four five six seven eight nine ten")
+
+  test("mid-batch replay idempotence: minhash fold (index unchanged, replay emits nothing)") {
+    import graft.operators.Dedup
+    val (base, other) = rpTexts
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val delta = Seq((10L, base), (11L, base),
+      (12L, "completely fresh words nothing shared here at all right now")
+    ).toDF("doc_id", "text").localCheckpoint(true)
+    val idx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rp_mh", buckets = 4)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+        val s = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.CacheUtil.release(df); s
+      }
+      val out1 = pairs(Dedup.minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx))
+      assert(out1.toSet === Set((1L, 10L), (1L, 11L), (10L, 11L)))
+      val bandRows = spark.table(idx.bandTable).count()
+      val shRows = spark.table(idx.shingleTable).count()
+      // the replay: same delta, fold again
+      val out2 = pairs(Dedup.minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx))
+      assert(out2.isEmpty, s"replay re-emitted $out2")
+      assert(spark.table(idx.bandTable).count() === bandRows, "band table grew on replay")
+      assert(spark.table(idx.shingleTable).count() === shRows, "shingle table grew on replay")
+      val union = out1 ++ out2
+      assert(union.distinct.size === union.size, "duplicate rows in the emission union")
+      // a genuinely new delta still ingests and pairs against everything
+      val d2 = Seq((20L, base)).toDF("doc_id", "text").localCheckpoint(true)
+      val out3 = pairs(Dedup.minHashNearDupsIncrementalFold(d2, "text", "doc_id", 0.4, idx))
+      assert(out3.toSet === Set((1L, 20L), (10L, 20L), (11L, 20L)))
+      graft.CacheUtil.release(d2)
+    } finally {
+      graft.CacheUtil.release(delta)
+      Seq(idx.bandTable, idx.shingleTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("mid-batch replay idempotence: passage + line folds (incl. windowless and NULL-text ledger rows)") {
+    import graft.operators.{Lines, Passages}
+    val (base, other) = rpTexts
+    // ---- passages: a shared 4-token window + a SHORT doc (no windows —
+    // only the NULL-fp marker row records it, which is exactly what the
+    // replay suppression needs)
+    val pCorpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val pDelta = Seq((10L, base), (11L, "tiny doc")).toDF("doc_id", "text").localCheckpoint(true)
+    val pIdx = Passages.writePassageIndex(pCorpus, "text", "doc_id", "rp_ps", windowTokens = 4, buckets = 4)
+    try {
+      def prof(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = {
+        val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        graft.CacheUtil.release(df); m
+      }
+      val p1 = prof(Passages.passageDupFractionIncrementalFold(pDelta, "text", "doc_id", pIdx))
+      assert(p1(10L)._2 > 0, "shared window not detected — gate vacuous")
+      assert(p1(11L) === ((0L, 0L)), "short doc must profile at zero windows")
+      val pRows = spark.table(pIdx.fpTable).count()
+      val p2 = prof(Passages.passageDupFractionIncrementalFold(pDelta, "text", "doc_id", pIdx))
+      assert(p2.isEmpty, s"passage replay re-emitted $p2 (windowless ledger rows must suppress the short doc too)")
+      assert(spark.table(pIdx.fpTable).count() === pRows, "passage index grew on replay")
+      val p3 = prof(Passages.passageDupFractionIncrementalFold(
+        Seq((20L, base)).toDF("doc_id", "text"), "text", "doc_id", pIdx))
+      assert(p3(20L)._2 > 0, "index stopped ingesting after replay")
+    } finally {
+      graft.CacheUtil.release(pDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${pIdx.fpTable}`")
+    }
+
+    // ---- lines: counts + ledger land in ONE atomic append; a NULL-text
+    // doc is recorded by its ledger row alone
+    val lCorpus = Seq((1L, "shared banner line\nuniq a"), (2L, "other stuff\nuniq b"))
+      .toDF("doc_id", "text")
+    val lDelta = Seq((10L, "shared banner line\nuniq c"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val lIdx = Lines.writeLineIndex(lCorpus, "text", "doc_id", "rp_ln", buckets = 4)
+    try {
+      def cleaned(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] = {
+        val m = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        graft.CacheUtil.release(df); m
+      }
+      val l1 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(lDelta, "text", "doc_id", lIdx))
+      assert(l1(10L) === Some("uniq c"), "hot banner line not removed — gate vacuous")
+      assert(l1(11L) === None, "NULL text must survive as NULL")
+      val rows = spark.table(lIdx.fpTable).count()
+      val counts = spark.table(lIdx.fpTable).agg(sum($"_ndocs")).collect().head.getLong(0)
+      val l2 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(lDelta, "text", "doc_id", lIdx))
+      assert(l2.isEmpty, s"line replay re-emitted $l2 (NULL-text doc must be ledgered too)")
+      assert(spark.table(lIdx.fpTable).count() === rows, "line catalogue grew on replay")
+      assert(spark.table(lIdx.fpTable).agg(sum($"_ndocs")).collect().head.getLong(0) === counts,
+        "line counts double-folded on replay")
+      val l3 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(
+        Seq((20L, "shared banner line\nuniq d")).toDF("doc_id", "text"), "text", "doc_id", lIdx))
+      assert(l3(20L) === Some("uniq d"), "catalogue stopped ingesting after replay")
+    } finally {
+      graft.CacheUtil.release(lDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${lIdx.fpTable}`")
+    }
+  }
+
+  test("mid-batch replay idempotence: exact + simhash64/128 + vector-LSH folds") {
+    import graft.operators.{Dedup, Similarity}
+    // ---- exact (fingerprint membership IS the ledger)
+    val eIdx = Dedup.writeExactDedupIndex(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), "text", "rp_ex", buckets = 4)
+    val eDelta = Seq((10L, "alpha"), (11L, "fresh"), (12L, "fresh"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    try {
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val s = df.select("doc_id").collect().map(_.getLong(0)).toSet
+        graft.CacheUtil.release(df); s
+      }
+      assert(ids(Dedup.exactDedupIncrementalFold(eDelta, "text", "doc_id", eIdx)) === Set(11L))
+      val n = spark.table(eIdx.fpTable).count()
+      assert(ids(Dedup.exactDedupIncrementalFold(eDelta, "text", "doc_id", eIdx)) === Set.empty[Long])
+      assert(spark.table(eIdx.fpTable).count() === n, "exact index grew on replay")
+      assert(ids(Dedup.exactDedupIncrementalFold(
+        Seq((20L, "novel")).toDF("doc_id", "text"), "text", "doc_id", eIdx)) === Set(20L))
+    } finally {
+      graft.CacheUtil.release(eDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${eIdx.fpTable}`")
+    }
+
+    // ---- simhash64 + simhash128 (single chunk table = ledger)
+    val (base, other) = rpTexts
+    val shCorpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val shDelta = Seq((10L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val s64 = Dedup.writeSimHashIndex(shCorpus, "text", "doc_id", "rp_s64", buckets = 4)
+    val s128 = Dedup.writeSimHash128Index(shCorpus, "text", "doc_id", "rp_s128", buckets = 4)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+        val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.CacheUtil.release(df); s
+      }
+      assert(pairs(Dedup.simHashNearDupsIncrementalFold(shDelta, "text", "doc_id", s64))
+        .contains((1L, 10L)))
+      val n64 = spark.table(s64.chunkTable).count()
+      assert(pairs(Dedup.simHashNearDupsIncrementalFold(shDelta, "text", "doc_id", s64)).isEmpty,
+        "simhash64 replay re-emitted")
+      assert(spark.table(s64.chunkTable).count() === n64, "simhash64 chunk table grew on replay")
+
+      assert(pairs(Dedup.simHashNearDups128IncrementalFold(shDelta, "text", "doc_id", s128))
+        .contains((1L, 10L)))
+      val n128 = spark.table(s128.chunkTable).count()
+      assert(pairs(Dedup.simHashNearDups128IncrementalFold(shDelta, "text", "doc_id", s128)).isEmpty,
+        "simhash128 replay re-emitted")
+      assert(spark.table(s128.chunkTable).count() === n128, "simhash128 chunk table grew on replay")
+    } finally {
+      graft.CacheUtil.release(shDelta)
+      Seq(s64.chunkTable, s128.chunkTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- vector-LSH (two tables: vec table is the ledger, band table
+    // self-gates its append)
+    def vecRow(id: Long, x: Float) = (id, Array(x, 1f, 0.5f, -0.25f))
+    val vCorpus = Seq(vecRow(1L, 1f), vecRow(2L, -8f)).toDF("vec_id", "embedding")
+    val vDelta = Seq(vecRow(10L, 1f)).toDF("vec_id", "embedding").localCheckpoint(true)
+    val vIdx = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "rp_lsh", nPlanes = 4, dim = 4, nTables = 2, buckets = 4)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+        val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.CacheUtil.release(df); s
+      }
+      assert(pairs(Similarity.lshNearDupsIncrementalFold(vDelta, "embedding", "vec_id", 0.95, vIdx))
+        === Seq((1L, 10L)))
+      val nb = spark.table(vIdx.bandTable).count()
+      val nv = spark.table(vIdx.vecTable).count()
+      assert(pairs(Similarity.lshNearDupsIncrementalFold(vDelta, "embedding", "vec_id", 0.95, vIdx)).isEmpty,
+        "vector-LSH replay re-emitted")
+      assert(spark.table(vIdx.bandTable).count() === nb, "LSH band table grew on replay")
+      assert(spark.table(vIdx.vecTable).count() === nv, "LSH vec table grew on replay")
+      assert(pairs(Similarity.lshNearDupsIncrementalFold(
+        Seq(vecRow(20L, 1f)).toDF("vec_id", "embedding"), "embedding", "vec_id", 0.95, vIdx)).toSet
+        === Set((1L, 20L), (10L, 20L)))
+    } finally {
+      graft.CacheUtil.release(vDelta)
+      Seq(vIdx.bandTable, vIdx.vecTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("mid-batch replay idempotence: semdedup fold against written IVF lists") {
+    import graft.operators.Similarity
+    def vecRow(id: Long, x: Float) = (id, Array(x, 1f, 0.5f, -0.25f))
+    val corpus = Seq(vecRow(1L, 1f), vecRow(2L, -8f), vecRow(3L, -7.5f))
+      .toDF("vec_id", "embedding")
+    val built = Similarity.ivfBuild(corpus, "embedding", "vec_id", nCentroids = 2, refineIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("rp_ivf").toString
+    Similarity.ivfWrite(built, dir)
+    graft.CacheUtil.release(built.assigned)
+    val delta = Seq(vecRow(10L, 1f)).toDF("vec_id", "embedding").localCheckpoint(true)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.CacheUtil.release(df); s
+    }
+    try {
+      assert(pairs(Similarity.semDedupPairsIncrementalFold(
+        spark, delta, dir, "embedding", "vec_id", threshold = 0.95)) === Seq((1L, 10L)))
+      val n = spark.read.parquet(s"$dir/lists").count()
+      assert(pairs(Similarity.semDedupPairsIncrementalFold(
+        spark, delta, dir, "embedding", "vec_id", threshold = 0.95)).isEmpty,
+        "semdedup replay re-emitted")
+      assert(spark.read.parquet(s"$dir/lists").count() === n, "IVF lists grew on replay")
+      assert(pairs(Similarity.semDedupPairsIncrementalFold(
+        spark, Seq(vecRow(20L, 1f)).toDF("vec_id", "embedding"), dir, "embedding", "vec_id",
+        threshold = 0.95)).toSet === Set((1L, 20L), (10L, 20L)))
+    } finally graft.CacheUtil.release(delta)
+  }
 }
