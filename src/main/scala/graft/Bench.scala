@@ -91,7 +91,8 @@ object Bench {
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
     "p11_pipeline",
     "m01_binary_meta", "m02_decode_image", "m03_frame_sample",
-    "m04_resize_image", "m05_binaryfile_ingest", "m06_decode_audio"
+    "m04_resize_image", "m05_binaryfile_ingest", "m06_decode_audio",
+    "m07_decode_video"
   )
 
   /** Forms timed only at the small fixture: d04/d06/d12 embed the

@@ -6,20 +6,19 @@ import org.apache.spark.sql.functions._
 /** A multimodal asset: opaque binary payload + typed metadata. */
 final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
 
-/** Decoder output: deterministic features per asset. */
-final case class DecodedRow(
+/** Real video decode output: container metadata (the stream's fourcc and
+  * frame dimensions from the AVI headers) plus the sum of all decoded
+  * raster samples across every frame — the cheapest whole-clip content
+  * witness (a frame-split shortcut, codec corruption, or a skipped
+  * frame changes it).
+  */
+final case class DecodedVideoRow(
     doc_id: Long,
-    n_bytes: Int,
-    checksum: Long,
-    features: Array[Double]
-)
-
-/** Resize output: decimated payload + size metadata. */
-final case class ResizedRow(
-    doc_id: Long,
-    n_orig: Int,
-    n_resized: Int,
-    resized: Array[Byte]
+    fourcc: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    pix_sum: Long
 )
 
 /** Real image decode output: dimensions, band count, and the sum of all
@@ -67,14 +66,17 @@ final case class ResizedImageRow(
   *
   * IMAGE decode and resize are REAL since round 9 ([[decodeImages]] /
   * [[resizeImages]] run the JRE's `javax.imageio` PNG codec over the
-  * payload and operate on the decoded raster), and AUDIO decode is REAL
+  * payload and operate on the decoded raster), AUDIO decode is REAL
   * since round 11 ([[decodeAudio]] parses WAV containers through
-  * `javax.sound.sampled` and reconstructs the signed PCM samples). No
-  * video codec ships with the JRE, so video payloads keep the byte-stat
-  * stubs: the Spark-side plumbing is real and tested — schema (binary +
-  * metadata), partition-local batched iteration (the shape a GPU or
-  * native decoder needs) — with deterministic fake features so the
-  * pipeline is verifiable end-to-end.
+  * `javax.sound.sampled` and reconstructs the signed PCM samples), and
+  * VIDEO decode is REAL since round 13: [[decodeVideo]] walks the RIFF
+  * AVI container (headers, stream list, `movi` frame chunks — the
+  * public Microsoft RIFF/AVI layout) and decodes every frame through
+  * `javax.imageio` — Motion-PNG (`MPNG` fourcc) losslessly for the
+  * closed-form oracle, Motion-JPEG (`MJPG`) through the JRE's JPEG
+  * codec (lossy, so gated on dims/frame-count rather than sample sums).
+  * The round-8 byte-stat stubs are gone — every modality decodes for
+  * real.
   */
 object Multimodal {
 
@@ -186,7 +188,7 @@ object Multimodal {
   /** Partition-local batched iteration over media rows — the shape a real
     * vectorized decoder/resizer (or Arrow bridge) consumes: `f` sees each
     * row, but rows arrive grouped so a native implementation can process
-    * a whole batch in one call. Shared by every *Stub transform.
+    * a whole batch in one call. Shared by every decode/resize transform.
     */
   private def batched[T: org.apache.spark.sql.Encoder](
       spark: SparkSession,
@@ -205,66 +207,6 @@ object Multimodal {
       }
   }
 
-  /** Batched decode: partition-local, batches of `batchSize` rows — the
-    * iterator shape a real vectorized decoder (or Arrow/pandas bridge)
-    * consumes. STUB: features are deterministic byte statistics standing
-    * in for pixel/sample features. DEPRECATED alias since round 9 —
-    * [[decodeImages]] runs the real PNG codec and [[decodeAudio]]
-    * (round 11) the real WAV codec; this remains for VIDEO payloads
-    * only (no video codec ships with the JRE).
-    */
-  def decodeStub(
-      spark: SparkSession,
-      media: DataFrame,
-      batchSize: Int = 64
-  ): Dataset[DecodedRow] = {
-    import spark.implicits._
-    batched(spark, media, batchSize) { m =>
-      val bytes = m.payload
-      // shared kernel with the text fingerprint (ASCII payload ⇒
-      // byte loop == code-point loop)
-      val h = graft.functions.HashExpressionImpls.rollingHashBytes(bytes)
-      DecodedRow(
-        m.doc_id,
-        bytes.length,
-        h,
-        Array(bytes.length.toDouble, (h % 256).toDouble)
-      )
-    }
-  }
-
-  /** Batched resize: keep every `factor`-th byte of the payload — the
-    * deterministic stand-in for spatial downsampling (a real resize is a
-    * native/GPU call on the decoded pixels; the Spark-side shape is the
-    * same partition-local batched iterator as [[decodeStub]]). Output
-    * carries the original and resized sizes, so a pipeline can assert its
-    * storage win. DEPRECATED alias since round 9 — [[resizeImages]]
-    * resizes real decoded rasters; this remains for opaque non-image
-    * payloads.
-    */
-  def resizeStub(
-      spark: SparkSession,
-      media: DataFrame,
-      factor: Int,
-      batchSize: Int = 64
-  ): Dataset[ResizedRow] = {
-    import spark.implicits._
-    require(factor >= 1, s"factor must be >= 1, got $factor")
-    batched(spark, media, batchSize) { m =>
-      val bytes = m.payload
-      // ceil without the (len + factor - 1) form: that sum overflows Int
-      // for factor near Int.MaxValue and would size a negative array
-      val n = bytes.length / factor + (if (bytes.length % factor == 0) 0 else 1)
-      val out = new Array[Byte](n)
-      var i = 0
-      while (i < n) {
-        out(i) = bytes(i * factor)
-        i += 1
-      }
-      ResizedRow(m.doc_id, bytes.length, n, out)
-    }
-  }
-
   // ---- real image decode/resize (javax.imageio — public JRE API) -----
   //
   // The container has no image assets, so the FIXTURE is synthesized:
@@ -273,8 +215,7 @@ object Multimodal {
   // run the actual PNG codec and operate on the decoded raster — and
   // the fixture's determinism is what lets DuckDB verify the decoded
   // metadata in closed form (PNG is lossless, so decoded samples equal
-  // the written ones). The round-8 byte-stat stubs remain below as
-  // deprecated aliases for the batched-iterator pipeline shape.
+  // the written ones).
 
   /** Fixture dims/pixels for [[syntheticImageMedia]]: width `8 + id%9`
     * (8..16), height `8 + id%7` (8..14), gray sample at (x, y) =
@@ -427,8 +368,7 @@ object Multimodal {
   // lossless, the decoded sample sum equals the written one, which the
   // oracle states in closed form. A payload passthrough cannot fake
   // (sample_rate, channels, n_frames, sample_sum) without actually
-  // decoding. Video payloads remain on the byte-stat aliases (no video
-  // codec ships with the JRE).
+  // decoding.
 
   /** Fixture params for [[syntheticAudioMedia]]: channels `1 + id%2`
     * (mono/stereo), frames `100 + id%50`, sample at (frame i, channel
@@ -516,6 +456,301 @@ object Multimodal {
         off += 2
       }
       DecodedAudioRow(m.doc_id, f.getSampleRate.toInt, c, frames, s)
+    }
+  }
+
+  // ---- real video decode (RIFF/AVI container + javax.imageio) --------
+  //
+  // The container has no video assets and no video codec ships with the
+  // JRE — but a CONTAINER parser and a per-frame image codec do not need
+  // one: the AVI layout (RIFF 'AVI ' → LIST hdrl{avih, LIST strl{strh,
+  // strf}} → LIST movi{##dc frame chunks} → idx1) is the public
+  // Microsoft RIFF spec, and Motion-JPEG/Motion-PNG store each frame as
+  // a self-contained still that `javax.imageio` decodes. The fixture is
+  // Motion-PNG (`MPNG` fourcc, a registered AVI handler): PNG is
+  // lossless, so every decoded sample equals the written one and the
+  // whole-clip sample sum has a closed form the oracle SQL states
+  // directly. The SAME parser + decode path handles `MJPG` (gated in
+  // ScalaTest on dims/frame count — JPEG decode is deterministic per
+  // JVM but not closed-form). Writer and parser are both ours, but the
+  // parser is NOT a private round-trip hack: it rejects non-RIFF bytes,
+  // checks the declared stream type/dims against the decoded frames,
+  // and reads fourccs/dims from the header chunks it walks.
+
+  /** Fixture params for [[syntheticVideoMedia]]: width `8 + id%9`
+    * (8..16), height `8 + id%7` (8..14), frames `2 + id%4` (2..5), gray
+    * sample of frame f at (x, y) = `id%150 + x + y + 7*f` — maximum
+    * 149 + 15 + 13 + 21 = 198 < 256, so no modular wrap and the
+    * whole-clip sample sum has the closed form
+    * `n*(w*h*base + h*w(w-1)/2 + w*h(h-1)/2) + 7*w*h*n(n-1)/2`.
+    */
+  private[graft] def videoParams(id: Long): (Int, Int, Int, Int) = {
+    require(id >= 0, s"fixture ids must be non-negative, got $id")
+    (8 + (id % 9).toInt, 8 + (id % 7).toInt, 2 + (id % 4).toInt, (id % 150).toInt)
+  }
+
+  /** Render fixture frame `f` of clip `id` to PNG bytes. */
+  private[graft] def renderVideoFrame(id: Long, f: Int): Array[Byte] = {
+    val (w, h, _, base) = videoParams(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, base + x + y + 7 * f); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def putU16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+  private def putU32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+    b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+  }
+  private def putFcc(b: java.io.ByteArrayOutputStream, s: String): Unit = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    b.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+  }
+  /** One RIFF chunk: id + u32 size + payload (+ pad byte to word-align —
+    * the RIFF rule every real demuxer depends on).
+    */
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    putFcc(b, id); putU32(b, payload.length.toLong); b.write(payload)
+    if ((payload.length & 1) == 1) b.write(0)
+    b.toByteArray
+  }
+  private def riffList(kind: String, children: Array[Byte]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    putFcc(b, "LIST"); putU32(b, (4 + children.length).toLong)
+    putFcc(b, kind); b.write(children)
+    b.toByteArray
+  }
+
+  /** Mux pre-encoded frames into a minimal-but-valid AVI: avih + one
+    * 'vids' stream (strh/strf carrying `fourcc` and the dims) + a movi
+    * list of '00dc' chunks + a keyframe idx1 (every M-JPEG/M-PNG frame
+    * is a keyframe). 10 fps nominal; all values little-endian per RIFF.
+    */
+  private[graft] def muxAvi(
+      fourcc: String,
+      w: Int,
+      h: Int,
+      frames: Seq[Array[Byte]]
+  ): Array[Byte] = {
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = {
+      val b = new java.io.ByteArrayOutputStream()
+      putU32(b, 100000L) // microseconds per frame (10 fps)
+      putU32(b, 0L); putU32(b, 0L)
+      putU32(b, 0x10L) // AVIF_HASINDEX
+      putU32(b, frames.length.toLong); putU32(b, 0L)
+      putU32(b, 1L) // one stream
+      putU32(b, maxFrame.toLong)
+      putU32(b, w.toLong); putU32(b, h.toLong)
+      (0 until 4).foreach(_ => putU32(b, 0L))
+      b.toByteArray
+    }
+    val strh = {
+      val b = new java.io.ByteArrayOutputStream()
+      putFcc(b, "vids"); putFcc(b, fourcc)
+      putU32(b, 0L) // flags
+      putU16(b, 0); putU16(b, 0) // priority, language
+      putU32(b, 0L) // initial frames
+      putU32(b, 1L); putU32(b, 10L) // scale/rate = 10 fps
+      putU32(b, 0L); putU32(b, frames.length.toLong)
+      putU32(b, maxFrame.toLong)
+      putU32(b, 0xffffffffL) // quality: default
+      putU32(b, 0L) // sample size: varies per frame
+      putU16(b, 0); putU16(b, 0); putU16(b, w); putU16(b, h) // rcFrame
+      b.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = new java.io.ByteArrayOutputStream()
+      putU32(b, 40L); putU32(b, w.toLong); putU32(b, h.toLong)
+      putU16(b, 1); putU16(b, 24) // planes, nominal decoded bit depth
+      putFcc(b, fourcc) // biCompression
+      putU32(b, (w * h * 3).toLong)
+      (0 until 4).foreach(_ => putU32(b, 0L))
+      b.toByteArray
+    }
+    val hdrl = riffList(
+      "hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val frameChunks = frames.map(riffChunk("00dc", _))
+    val movi = riffList("movi", frameChunks.flatten.toArray)
+    val idx1 = {
+      val b = new java.io.ByteArrayOutputStream()
+      var off = 4L // idx1 offsets are relative to the 'movi' fourcc
+      frameChunks.zip(frames).foreach { case (c, f) =>
+        putFcc(b, "00dc")
+        putU32(b, 0x10L) // AVIIF_KEYFRAME
+        putU32(b, off); putU32(b, f.length.toLong)
+        off += c.length
+      }
+      riffChunk("idx1", b.toByteArray)
+    }
+    val body = hdrl ++ movi ++ idx1
+    val out = new java.io.ByteArrayOutputStream()
+    putFcc(out, "RIFF"); putU32(out, (4 + body.length).toLong)
+    putFcc(out, "AVI "); out.write(body)
+    out.toByteArray
+  }
+
+  /** Render one fixture clip as a Motion-PNG AVI. */
+  private[graft] def renderAvi(id: Long): Array[Byte] = {
+    val (w, h, n, _) = videoParams(id)
+    muxAvi("MPNG", w, h, (0 until n).map(renderVideoFrame(id, _)))
+  }
+
+  /** Deterministic AVI media fixture: one Motion-PNG clip per document
+    * id, muxed on the executors. Stands in for a video corpus read via
+    * [[fromBinaryFiles]] on a real cluster.
+    */
+  def syntheticVideoMedia(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .as[Long]
+      .map(id => MediaRow(id, "video/avi", renderAvi(id)))
+      .toDF()
+  }
+
+  private def fccAt(bytes: Array[Byte], off: Int): String =
+    new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  private def u32At(bytes: Array[Byte], off: Int): Long =
+    (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+      ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+
+  /** Parsed AVI stream: the video stream's declared fourcc and dims plus
+    * the stream-0 frame payloads in presentation order.
+    */
+  private[graft] final case class AviStream(
+      fourcc: String,
+      width: Int,
+      height: Int,
+      frames: Vector[Array[Byte]]
+  )
+
+  /** Walk a RIFF/AVI byte array: validate the RIFF 'AVI ' signature,
+    * read the video stream's fourcc and dims out of `strh`/`strf`, and
+    * collect stream-0 frame chunks (`00dc`/`00db`, including inside
+    * 'rec ' record lists) from the `movi` list. Word-aligned chunk
+    * stepping per the RIFF rule; loud rejection on anything malformed.
+    */
+  private[graft] def parseAvi(bytes: Array[Byte]): AviStream = {
+    require(bytes.length >= 12, s"not an AVI: ${bytes.length} bytes")
+    require(fccAt(bytes, 0) == "RIFF", s"not a RIFF file: '${fccAt(bytes, 0)}'")
+    val riffSize = u32At(bytes, 4)
+    require(
+      riffSize + 8 <= bytes.length,
+      s"truncated RIFF: declares ${riffSize + 8} bytes, have ${bytes.length}")
+    require(fccAt(bytes, 8) == "AVI ", s"not an AVI form: '${fccAt(bytes, 8)}'")
+
+    var fourcc: String = null
+    var w = -1
+    var h = -1
+    val frames = Vector.newBuilder[Array[Byte]]
+
+    def walkMovi(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fccAt(bytes, off)
+        val size = u32At(bytes, off + 4).toInt
+        require(off + 8 + size <= to, s"movi chunk '$id' overruns the list")
+        if (id == "LIST" && fccAt(bytes, off + 8) == "rec ")
+          walkMovi(off + 12, off + 8 + size)
+        else if (id == "00dc" || id == "00db")
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        off += 8 + size + (size & 1)
+      }
+    }
+    def walkStrl(from: Int, to: Int): Unit = {
+      var off = from
+      var isVids = false
+      while (off + 8 <= to) {
+        val id = fccAt(bytes, off)
+        val size = u32At(bytes, off + 4).toInt
+        if (id == "strh" && size >= 8) {
+          isVids = fccAt(bytes, off + 8) == "vids"
+          if (isVids) fourcc = fccAt(bytes, off + 12)
+        } else if (id == "strf" && isVids && size >= 12) {
+          // BITMAPINFOHEADER: biWidth at +4, biHeight at +8
+          w = u32At(bytes, off + 12).toInt
+          h = u32At(bytes, off + 16).toInt
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    def walkHdrl(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fccAt(bytes, off)
+        val size = u32At(bytes, off + 4).toInt
+        if (id == "LIST" && fccAt(bytes, off + 8) == "strl")
+          walkStrl(off + 12, off + 8 + size)
+        off += 8 + size + (size & 1)
+      }
+    }
+
+    var off = 12
+    val end = (riffSize + 8).toInt
+    while (off + 8 <= end) {
+      val id = fccAt(bytes, off)
+      val size = u32At(bytes, off + 4).toInt
+      require(off + 8 + size <= end, s"chunk '$id' overruns the RIFF size")
+      if (id == "LIST") fccAt(bytes, off + 8) match {
+        case "hdrl" => walkHdrl(off + 12, off + 8 + size)
+        case "movi" => walkMovi(off + 12, off + 8 + size)
+        case _      => () // other lists (INFO, …) are legal and skipped
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(fourcc != null, "no 'vids' stream header in hdrl")
+    require(w > 0 && h > 0, s"no valid strf dims (got ${w}x$h)")
+    AviStream(fourcc, w, h, frames.result())
+  }
+
+  /** REAL video decode: walk the AVI container, decode every frame
+    * through `javax.imageio` (PNG for `MPNG` clips, JPEG for `MJPG` —
+    * both JRE codecs), check each decoded frame against the container's
+    * declared dims, and emit the stream metadata plus the whole-clip
+    * raster sample sum. Same partition-local batched iterator as
+    * [[decodeImages]] — the shape a native/GPU video frontend would
+    * slot into.
+    */
+  def decodeVideo(
+      spark: SparkSession,
+      media: DataFrame,
+      batchSize: Int = 64
+  ): Dataset[DecodedVideoRow] = {
+    import spark.implicits._
+    batched(spark, media, batchSize) { m =>
+      val s = parseAvi(m.payload)
+      require(s.frames.nonEmpty, s"doc ${m.doc_id}: AVI has no frames")
+      var sum = 0L
+      s.frames.zipWithIndex.foreach { case (fb, i) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+        require(img != null, s"doc ${m.doc_id}: frame $i is not decodable")
+        require(
+          img.getWidth == s.width && img.getHeight == s.height,
+          s"doc ${m.doc_id}: frame $i is ${img.getWidth}x${img.getHeight}, " +
+            s"container declares ${s.width}x${s.height}")
+        sum += sampleSum(img)
+      }
+      DecodedVideoRow(
+        m.doc_id, s.fourcc, s.width, s.height, s.frames.length, sum)
     }
   }
 

@@ -3732,32 +3732,78 @@ class OperatorsSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- multimodal
 
-  test("decodeStub: checksum matches the byte-polynomial; batching preserves rows") {
-    val df = Seq(Doc(1, "abc"), Doc(2, "defg")).toDS.toDF
-    val media = Multimodal.toMedia(df)
-    val decoded = Multimodal.decodeStub(spark, media, batchSize = 1).collect()
-    assert(decoded.length === 2)
-    val m = decoded.map(d => d.doc_id -> d).toMap
-    assert(m(1L).n_bytes === 3)
-    assert(m(1L).checksum === "abc".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L))
-    assert(m(2L).features(0) === 4.0)
+  test("decodeVideo: real AVI walk + per-frame PNG decode matches the closed-form fixture") {
+    val ids = Seq(0L, 1L, 5L, 62L, 149L, 150L, 1234L)
+    val docs = ids.map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticVideoMedia(spark, docs)
+    // payloads are REAL AVIs: RIFF....AVI<space> signature
+    val sigs = media.select($"payload").collect()
+      .map(_.getAs[Array[Byte]](0)).map(b => (new String(b.take(4)), new String(b.slice(8, 12))))
+    assert(sigs.forall(_ === (("RIFF", "AVI "))))
+    val got = Multimodal.decodeVideo(spark, media, batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    ids.foreach { id =>
+      val (w, h, n, base) = Multimodal.videoParams(id)
+      val d = got(id)
+      assert(d.fourcc === "MPNG")
+      assert((d.width, d.height, d.n_frames) === ((w, h, n)))
+      val expect = n.toLong * (w.toLong * h * base + h.toLong * (w - 1) * w / 2 +
+        w.toLong * (h - 1) * h / 2) + 7L * w * h * (n - 1) * n / 2
+      assert(d.pix_sum === expect, s"clip $id sample sum")
+    }
   }
 
-  test("resizeStub: byte decimation arithmetic, empty payload, factor 1 identity") {
-    val docs = Seq(
-      Doc(1, "abcdefghij"), // 10 bytes, factor 3 → a,d,g,j
-      Doc(2, ""),           // empty → empty
-      Doc(3, "xy")          // shorter than factor → first byte
-    ).toDS.toDF
-    val media = Multimodal.toMedia(docs)
-    val got = Multimodal.resizeStub(spark, media, factor = 3)
-      .collect().map(r => r.doc_id -> (r.n_orig, r.n_resized, new String(r.resized))).toMap
-    assert(got(1L) === ((10, 4, "adgj")))
-    assert(got(2L) === ((0, 0, "")))
-    assert(got(3L) === ((2, 1, "x")))
-    val identity = Multimodal.resizeStub(spark, media, factor = 1)
-      .collect().map(r => new String(r.resized)).toSet
-    assert(identity === Set("abcdefghij", "", "xy"))
+  test("decodeVideo: the same parser+codec path handles Motion-JPEG (MJPG fourcc)") {
+    // JPEG is lossy, so no closed-form sum — the gate is dims, frame
+    // count, fourcc, and that every frame actually decoded (pix_sum of a
+    // mid-gray clip must land near the ideal, far from 0 or saturation)
+    val w = 16; val h = 12; val n = 3
+    val jpegFrames = (0 until n).map { _ =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val r = img.getRaster
+      (0 until h).foreach(y => (0 until w).foreach(x => r.setSample(x, y, 0, 128)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = Multimodal.muxAvi("MJPG", w, h, jpegFrames)
+    // frames must be real JPEGs (SOI marker), not PNGs
+    assert((jpegFrames.head(0) & 0xff) === 0xff && (jpegFrames.head(1) & 0xff) === 0xd8)
+    val media = Seq((7L, "video/avi", avi)).toDF("doc_id", "kind", "payload")
+    val d = Multimodal.decodeVideo(spark, media).collect().head
+    assert((d.fourcc, d.width, d.height, d.n_frames) === (("MJPG", w, h, n)))
+    val ideal = 128L * w * h * n
+    assert(math.abs(d.pix_sum - ideal) < ideal / 10, s"pix_sum ${d.pix_sum} vs ~$ideal")
+  }
+
+  test("parseAvi rejects malformed containers loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parseAvi("not a riff file at all".getBytes)
+    }
+    assert(e1.getMessage.contains("not a RIFF"))
+    // a real RIFF that is not an AVI form (RIFF WAVE)
+    val wav = Multimodal.renderWav(3L)
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseAvi(wav))
+    assert(e2.getMessage.contains("not an AVI form"))
+    // truncated AVI: chop a valid clip mid-movi
+    val avi = Multimodal.renderAvi(5L)
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.parseAvi(java.util.Arrays.copyOfRange(avi, 0, avi.length / 2))
+    }
+    assert(e3.getMessage.contains("truncated"))
+  }
+
+  test("muxAvi word-aligns odd-sized frame chunks per the RIFF rule") {
+    // an odd-length frame payload forces a pad byte; the parser must
+    // still step to the next chunk and recover BOTH frames intact
+    val f1 = Array[Byte](1, 2, 3) // odd
+    val f2 = Array[Byte](4, 5, 6, 7)
+    val avi = Multimodal.muxAvi("MPNG", 4, 4, Seq(f1, f2))
+    val s = Multimodal.parseAvi(avi)
+    assert(s.frames.length === 2)
+    assert(s.frames(0).toSeq === f1.toSeq)
+    assert(s.frames(1).toSeq === f2.toSeq)
   }
 
   test("decodeImages: real PNG codec round-trip matches the closed-form fixture oracle") {
@@ -3856,7 +3902,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fromFiles === fromTable)
     // and the downstream transforms consume it unchanged
     val decoded = Multimodal
-      .decodeStub(spark, Multimodal.mediaFromBinaryFiles(spark, dir))
+      .metadata(Multimodal.mediaFromBinaryFiles(spark, dir))
       .collect()
     assert(decoded.length === fromTable.size)
   }
