@@ -2928,6 +2928,95 @@ object SparkEntry {
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
     ),
+    // the SINK half of exactly-once, end-to-end: st05's probe-then-
+    // append loop where every batch's emissions are committed through
+    // [[graft.operators.IdempotentSink]] (atomic rename, first write
+    // wins) via the fold's `sink` callback — which fires BEFORE the
+    // index appends, so by the time the replay ledger can suppress a
+    // batch its emissions are already durable. The middle batch walks
+    // BOTH crash windows: (a) crash after the sink commit but before
+    // the appends — simulated by pre-committing the probe-only
+    // emissions, so the retry's fold must skip its own sink write and
+    // complete the appends; (b) crash after sink + appends but before
+    // the offset commit — the full replay, which must emit nothing,
+    // append nothing, and leave the committed batch untouched
+    // (require()d). The registry output is read back FROM THE SINK
+    // STORE, under the FULL d02-template oracle: a lost batch, a
+    // duplicated pair, or a replay clobbering a committed partition
+    // all break the hash.
+    Q(
+      "st09_stream_sink",
+      (s, d) => {
+        import s.implicits._
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Dedup.writeMinHashIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st09_idx", bands = 16, buckets = 8)
+        val sinkDir =
+          java.nio.file.Files.createTempDirectory("st09_sink").toString
+        try {
+          chunks.zipWithIndex.foreach { case (c, k) =>
+            val delta = c.toIndexedSeq.toDF("doc_id", "text").localCheckpoint(true)
+            val writer = Some(operators.IdempotentSink.batchWriter(sinkDir, k.toLong))
+            if (k == 1) {
+              // crash window (a): sink committed, appends lost — the
+              // probe-only emissions are exactly what the fold's first
+              // attempt would have committed
+              val pre = operators.Dedup
+                .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
+              require(operators.IdempotentSink.writeBatch(pre, sinkDir, 1L),
+                "crash-sim pre-commit did not commit")
+              graft.CacheUtil.release(pre)
+            }
+            val out = operators.Dedup
+              .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx, writer)
+            graft.CacheUtil.release(out)
+            if (k == 1) {
+              // crash window (b): full replay after sink + appends
+              val bandRows = s.table(idx.bandTable).count()
+              val committedRows = operators.IdempotentSink.read(s, sinkDir).count()
+              val replay = operators.Dedup
+                .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx, writer)
+              val reEmitted = replay.count()
+              graft.CacheUtil.release(replay)
+              require(reEmitted == 0L, s"replayed batch re-emitted $reEmitted pairs")
+              require(s.table(idx.bandTable).count() == bandRows,
+                "replayed batch grew the band table")
+              require(operators.IdempotentSink.read(s, sinkDir).count() == committedRows,
+                "replay disturbed the committed sink store")
+            }
+            graft.CacheUtil.release(delta)
+          }
+          require(
+            operators.IdempotentSink.committedBatches(s, sinkDir) == Seq(0L, 1L, 2L),
+            "sink store must hold exactly the three batches")
+          // lazy read of the committed store — the parquet dirs outlive
+          // the dropped index tables, so the caller materializes at will
+          operators.IdempotentSink.read(s, sinkDir)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS `${idx.bandTable}`")
+          s.sql(s"DROP TABLE IF EXISTS `${idx.shingleTable}`")
+        }
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
     // streaming semantic dedup against a GROWING written IVF index — the
     // semantic member of the foreachBatch composition family (st02-st05):
     // three deterministic micro-batches of echo embeddings (TWO echo

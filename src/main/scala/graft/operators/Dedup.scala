@@ -166,7 +166,8 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: ExactDedupIndex
+      idx: ExactDedupIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     val withFp = delta
@@ -176,6 +177,26 @@ object Dedup {
     val unseen = withFp
       .join(spark.table(idx.fpTable), Seq("_fp"), "left_anti")
       .localCheckpoint(true)
+    // same NULL-text keeper contract as exactDedupIncrementalImpl
+    val keepers = unseen
+      .groupBy(col("_fp"), when(col("_fp").isNull, col(idCol)).as("_nullkey"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val outLazy = unseen.drop("_fp").join(keepers, Seq(idCol), "left_semi")
+    // sink BEFORE the ledger append ([[IdempotentSink]]): this family's
+    // replay re-derives only the NULL-text keepers, so emissions not
+    // persisted by the time the append commits would be lost. The
+    // sinkless path keeps its lazy return (no extra checkpoint per
+    // batch); the sink path materializes so the persisted frame and the
+    // returned one are one computation, and releases `unseen` (no
+    // longer in the returned plan's lineage) in-fold.
+    val out = sink match {
+      case Some(persist) =>
+        val o = outLazy.localCheckpoint(true)
+        persist(o)
+        o
+      case None => outLazy
+    }
     // replay-safe append: only fingerprints the index lacks (NULL fps
     // excluded — a NULL can never match the anti-join probe anyway)
     writeBucketedTable(
@@ -186,12 +207,8 @@ object Dedup {
       org.apache.spark.sql.SaveMode.Append
     )
     graft.CacheUtil.release(withFp)
-    // same NULL-text keeper contract as exactDedupIncrementalImpl
-    val keepers = unseen
-      .groupBy(col("_fp"), when(col("_fp").isNull, col(idCol)).as("_nullkey"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    unseen.drop("_fp").join(keepers, Seq(idCol), "left_semi")
+    if (sink.isDefined) graft.CacheUtil.release(unseen)
+    out
   }
 
   private def exactDedupIncrementalImpl(
@@ -1045,7 +1062,8 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
-      idx: MinHashIndex
+      idx: MinHashIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[ReplaySafe]]): the shingle table records EVERY
@@ -1065,6 +1083,10 @@ object Dedup {
     // materializes the pair set BEFORE the appends mutate the tables
     val out = verifyMinHashIncremental(
       cands, deltaSh, threshold, idx, Some(rids), Some(unseen))
+    // sink BEFORE the ledger appends ([[IdempotentSink]]): once they
+    // commit, a replay (correctly) emits nothing — emissions not yet
+    // persisted by then would be lost
+    sink.foreach(_(out))
     writeBucketedTable(
       ReplaySafe.dropSeen(admitted, "_id", seenBand),
       idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
@@ -1621,7 +1643,8 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHash128Index
+      idx: SimHash128Index,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     // replay safety: same single-table ledger shape as the 64-bit fold
@@ -1637,6 +1660,7 @@ object Dedup {
       simHash128PairsFromAdmitted(chunked, idx, Some(rids)), "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
     writeBucketedTable(
       ReplaySafe.dropSeen(chunked, "_id", seen),
       idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
@@ -2088,7 +2112,8 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashIndex
+      idx: SimHashIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[ReplaySafe]], single chunk table): the chunk
@@ -2108,6 +2133,7 @@ object Dedup {
       simHashPairsFromAdmitted(chunked, idx, Some(rids)), "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
     writeBucketedTable(
       ReplaySafe.dropSeen(chunked, "_id", seen),
       idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
@@ -2282,21 +2308,40 @@ object Dedup {
     * [[simHashNearDupsIncrementalCombo]] + [[appendToSimHashComboIndex]]
     * calls). The C(blocks, blocks−maxHamming)-row combination keying
     * and the admission scan run ONCE instead of twice.
+    *
+    * REPLAY-SAFE ([[ReplaySafe]], single chunk table — the same ledger
+    * shape as [[simHashNearDupsIncrementalFold]]): re-running the fold
+    * on a delta whose append already committed appends nothing and
+    * emits nothing; a doc whose every bucket was full stores nothing,
+    * but its re-admission recomputes deterministically against the
+    * delta-excluded corpus, so the replayed append writes the same
+    * (empty) row set.
     */
   def simHashNearDupsIncrementalComboFold(
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashComboIndex
+      idx: SimHashComboIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
-    val keyed = comboAdmittedKeys(delta, textCol, idCol, idx)
-    val lazyPairs = simHashComboPairsFromAdmitted(keyed, idx)
+    val spark = delta.sparkSession
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(spark.table(idx.chunkTable), "_id", rids)
+    val unseen = ReplaySafe.unseenIds(rids, seen)
+    val keyed = comboAdmittedKeys(delta, textCol, idCol, idx, Some(rids))
+    val lazyPairs = ReplaySafe.keepPairsTouchingUnseen(
+      simHashComboPairsFromAdmitted(keyed, idx, Some(rids)), "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
     writeBucketedTable(
-      keyed, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      ReplaySafe.dropSeen(keyed, "_id", seen),
+      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
       org.apache.spark.sql.SaveMode.Append)
     graft.CacheUtil.release(lazyPairs) // frees `keyed` + internal members
+    graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(unseen)
+    graft.CacheUtil.release(rids)
     out
   }
 
@@ -2304,13 +2349,14 @@ object Dedup {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: SimHashComboIndex
+      idx: SimHashComboIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
     val (widths, offsets) = chunkLayout(idx.blocks)
     val keyedRaw = simHashComboKeyed(delta, textCol, idCol, subsets, widths, offsets)
       .localCheckpoint(true)
-    val keyed = admittedAgainstIndex(keyedRaw, idx.chunkTable, idx.maxBucket)
+    val keyed = admittedAgainstIndex(keyedRaw, idx.chunkTable, idx.maxBucket, excludeIds)
       .localCheckpoint(true)
     graft.CacheUtil.release(keyedRaw)
     keyed
@@ -2318,7 +2364,8 @@ object Dedup {
 
   private def simHashComboPairsFromAdmitted(
       keyed: DataFrame,
-      idx: SimHashComboIndex
+      idx: SimHashComboIndex,
+      excludeIds: Option[DataFrame] = None
   ): DataFrame = {
     val spark = keyed.sparkSession
     val subsets = comboSubsetsChecked(idx.maxHamming, idx.blocks)
@@ -2326,7 +2373,8 @@ object Dedup {
     val keyVal = (h: Column, c: Int) => comboVal(h, subsets(c), widths, offsets)
     val within =
       simHashPairsFromKeyed(keyed, idx.maxHamming, idx.maxBucket, subsets.length, keyVal)
-    val corpus = spark.table(idx.chunkTable)
+    val corpus = excludeIds.fold(spark.table(idx.chunkTable))(
+      ReplaySafe.excludeIds(spark.table(idx.chunkTable), "_id", _))
     val cross = keyed
       .as("d")
       .join(

@@ -289,7 +289,8 @@ object Lines {
       textCol: String,
       idCol: String,
       idx: LineIndex,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
     val spark = delta.sparkSession
@@ -309,6 +310,7 @@ object Lines {
       cleanedAgainstCounts(fresh, textCol, idCol, idx, minDocs, deltaCounts)
     // materializes the cleaned text BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[graft.operators.IdempotentSink]])
     val fpType = if (idx.hash64) "bigint" else "string"
     Dedup.writeBucketedTable(
       deltaCounts

@@ -341,7 +341,8 @@ object Passages {
       delta: DataFrame,
       textCol: String,
       idCol: String,
-      idx: PassageIndex
+      idx: PassageIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[graft.operators.ReplaySafe]], single table): the
@@ -360,6 +361,7 @@ object Passages {
       idCol, seen)
     // materializes the profile BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[graft.operators.IdempotentSink]])
     val fpType = if (idx.hash64) "bigint" else "string"
     val markers = delta
       .filter(size(split(col(textCol), " ")) < idx.windowTokens)

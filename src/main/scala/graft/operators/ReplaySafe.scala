@@ -45,13 +45,16 @@ import org.apache.spark.sql.functions._
   *    LAST-appended table) still reads "unseen", so the re-derived
   *    emissions — which the caller never received — are re-emitted.
   *
-  * What this does NOT give: a crash after BOTH the appends and the
-  * fold's return but before the caller persisted the emissions loses
-  * those emissions (the replay suppresses them). That is the sink's
-  * half of exactly-once — persist the fold's output before or
-  * atomically with the offset commit (e.g. an idempotent
-  * overwrite-by-batchId sink), the standard foreachBatch discipline.
-  * The index side is idempotent either way.
+  * What this does NOT give by itself: a crash after BOTH the appends
+  * and the fold's return but before the caller persisted the emissions
+  * loses those emissions (the replay suppresses them). That is the
+  * sink's half of exactly-once, closed by each fold's optional `sink`
+  * callback — invoked on the materialized emission frame BEFORE the
+  * first index append, so emissions are durable by the time the replay
+  * ledger can suppress them — with [[IdempotentSink]] (atomic
+  * rename-committed per-batch parquet dirs, first write wins) as the
+  * canonical callback. A fold called without a sink keeps the
+  * document-it-yourself contract above.
   */
 private[operators] object ReplaySafe {
 

@@ -648,7 +648,8 @@ object Similarity {
       vecCol: String,
       idCol: String,
       threshold: Double,
-      maxCluster: Int = 10000
+      maxCluster: Int = 10000,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     require(maxCluster > 1, "maxCluster must allow at least one pair")
     failIfCompacting(spark, s"$path/lists")
@@ -676,6 +677,7 @@ object Similarity {
     val out = ReplaySafe.keepPairsTouchingUnseen(
       semDedupPairsTouchingDelta(admitted, stored, threshold),
       "id_a", "id_b", unseen).localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
     ReplaySafe.dropSeen(assigned, idCol, seen)
       .write.mode("append").partitionBy("_centroid").parquet(s"$path/lists")
     graft.CacheUtil.release(stored)
@@ -1219,7 +1221,8 @@ object Similarity {
       vecCol: String,
       idCol: String,
       threshold: Double,
-      idx: LshIndex
+      idx: LshIndex,
+      sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[graft.operators.ReplaySafe]]): the vector table
@@ -1237,6 +1240,7 @@ object Similarity {
       "id_a", "id_b", unseen)
     // materializes the pair set BEFORE the appends mutate the tables
     val out = lazyPairs.localCheckpoint(true)
+    sink.foreach(_(out)) // persist before the ledger appends ([[IdempotentSink]])
     Dedup.writeBucketedTable(
       ReplaySafe.dropSeen(banded, "_id", seenBand),
       idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),

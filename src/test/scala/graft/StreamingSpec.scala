@@ -906,4 +906,146 @@ class StreamingSpec extends AnyFunSuite {
         threshold = 0.95)).toSet === Set((1L, 20L), (10L, 20L)))
     } finally graft.CacheUtil.release(delta)
   }
+
+  test("mid-batch replay idempotence: simhash combo fold (single chunk table = ledger)") {
+    import graft.operators.Dedup
+    val (base, other) = rpTexts
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val delta = Seq((10L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val idx = Dedup.writeSimHashComboIndex(
+      corpus, "text", "doc_id", "rp_cb", maxHamming = 3, blocks = 6, buckets = 4)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+        val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        graft.CacheUtil.release(df); s
+      }
+      assert(pairs(Dedup.simHashNearDupsIncrementalComboFold(delta, "text", "doc_id", idx))
+        .contains((1L, 10L)), "identical twin not paired — gate vacuous")
+      val n = spark.table(idx.chunkTable).count()
+      assert(pairs(Dedup.simHashNearDupsIncrementalComboFold(delta, "text", "doc_id", idx)).isEmpty,
+        "combo replay re-emitted")
+      assert(spark.table(idx.chunkTable).count() === n, "combo chunk table grew on replay")
+      assert(pairs(Dedup.simHashNearDupsIncrementalComboFold(
+        Seq((20L, base)).toDF("doc_id", "text"), "text", "doc_id", idx)).toSet
+        === Set((1L, 20L), (10L, 20L)), "index stopped ingesting after replay")
+    } finally {
+      graft.CacheUtil.release(delta)
+      spark.sql(s"DROP TABLE IF EXISTS `${idx.chunkTable}`")
+    }
+  }
+
+  // ------------------- sink half of exactly-once (IdempotentSink) -------------------
+  // ReplaySafe makes the INDEX idempotent; these gates prove the
+  // emission-persistence half: the fold's `sink` callback commits the
+  // emissions durably BEFORE the replay ledger can suppress them, and
+  // IdempotentSink's first-write-wins protocol makes a replayed batch
+  // unable to erase or duplicate what a prior attempt committed.
+
+  test("IdempotentSink: first write wins, empty batches commit, staging litter is swept") {
+    import graft.operators.IdempotentSink
+    val dir = java.nio.file.Files.createTempDirectory("rp_sink").toString
+    val a = Seq((1L, 10L)).toDF("id_a", "id_b")
+    val b = Seq((2L, 20L)).toDF("id_a", "id_b")
+    assert(IdempotentSink.writeBatch(a, dir, 0L), "first write must commit")
+    assert(!IdempotentSink.writeBatch(b, dir, 0L), "second write must skip")
+    val kept = IdempotentSink.read(spark, dir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(kept === Seq((1L, 10L)), "a later write clobbered a committed batch")
+    // empty emission frames commit too — the store doubles as a
+    // per-batch progress ledger
+    assert(IdempotentSink.writeBatch(a.limit(0), dir, 1L))
+    assert(IdempotentSink.committedBatches(spark, dir) === Seq(0L, 1L))
+    assert(IdempotentSink.read(spark, dir).count() === 1L)
+    assert(!IdempotentSink.writeBatch(b, dir, 1L),
+      "an empty committed batch must still win over a replay")
+    // crashed-attempt staging litter is reclaimed by the next attempt
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".staging-2-deadbeef"))
+    assert(IdempotentSink.writeBatch(b, dir, 2L))
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".staging-")), "staging litter not swept")
+    assert(IdempotentSink.read(spark, dir).count() === 2L)
+    // the partition key is the sink's to add
+    intercept[IllegalArgumentException] {
+      IdempotentSink.writeBatch(a.withColumn("batch_id", lit(9L)), dir, 3L)
+    }
+  }
+
+  test("sink half end-to-end: minhash fold + IdempotentSink across the crash windows") {
+    import graft.operators.{Dedup, IdempotentSink}
+    val (base, other) = rpTexts
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val d0 = Seq((10L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val d1 = Seq((11L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val idx = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rp_snk", buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("rp_snk").toString
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      graft.CacheUtil.release(df); s
+    }
+    try {
+      // batch 0 — crash AFTER the sink commit, BEFORE the appends: the
+      // retry's fold finds batch 0 already committed (its sink call
+      // skips) and completes the appends
+      val pre = Dedup.minHashNearDupsIncremental(d0, "text", "doc_id", 0.4, idx)
+      assert(IdempotentSink.writeBatch(pre, dir, 0L))
+      graft.CacheUtil.release(pre)
+      val out0 = pairs(Dedup.minHashNearDupsIncrementalFold(
+        d0, "text", "doc_id", 0.4, idx, sink = Some(IdempotentSink.batchWriter(dir, 0L))))
+      assert(out0 === Seq((1L, 10L)))
+      // batch 1 — the clean path, then a FULL replay (crash after both
+      // the sink commit and the appends, before the offset commit): the
+      // replay emits nothing and must NOT disturb the committed batch
+      val out1 = pairs(Dedup.minHashNearDupsIncrementalFold(
+        d1, "text", "doc_id", 0.4, idx, sink = Some(IdempotentSink.batchWriter(dir, 1L))))
+      assert(out1 === Seq((1L, 11L), (10L, 11L)))
+      assert(pairs(Dedup.minHashNearDupsIncrementalFold(
+        d1, "text", "doc_id", 0.4, idx, sink = Some(IdempotentSink.batchWriter(dir, 1L))))
+        .isEmpty, "replay re-emitted")
+      assert(IdempotentSink.committedBatches(spark, dir) === Seq(0L, 1L))
+      val persisted = IdempotentSink.read(spark, dir)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(persisted === (out0 ++ out1).sorted,
+        "the sink store must hold exactly the union of first-attempt emissions")
+    } finally {
+      graft.CacheUtil.release(d0)
+      graft.CacheUtil.release(d1)
+      Seq(idx.bandTable, idx.shingleTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("sink half: exact fold's NULL-text replay niche cannot clobber a committed batch") {
+    import graft.operators.{Dedup, IdempotentSink}
+    // the exact family's replay is NOT fully suppressing: NULL-text rows
+    // carry no fingerprint, so a replayed batch re-derives its NULL-text
+    // keepers. Under overwrite-by-batch semantics that partial
+    // re-derivation would REPLACE the committed full emission set;
+    // first-write-wins preserves it — this is the scenario that fixes
+    // the sink's semantics.
+    val eIdx = Dedup.writeExactDedupIndex(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "text", "rp_exsnk", buckets = 4)
+    val delta = Seq((10L, "fresh"), (11L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("rp_exsnk").toString
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val s = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      graft.CacheUtil.release(df); s
+    }
+    try {
+      val w = Some(IdempotentSink.batchWriter(dir, 0L))
+      assert(ids(Dedup.exactDedupIncrementalFold(delta, "text", "doc_id", eIdx, w))
+        === Set(10L, 11L))
+      // the replay re-emits ONLY the NULL-text keeper…
+      assert(ids(Dedup.exactDedupIncrementalFold(delta, "text", "doc_id", eIdx, w))
+        === Set(11L))
+      // …but the committed batch keeps the full first-attempt set
+      assert(IdempotentSink.read(spark, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L, 11L),
+        "replay's partial re-derivation clobbered the committed emissions")
+    } finally {
+      graft.CacheUtil.release(delta)
+      spark.sql(s"DROP TABLE IF EXISTS `${eIdx.fpTable}`")
+    }
+  }
 }
