@@ -83,7 +83,7 @@ object Bench {
     "d10_decontaminate", "d13_incremental_lsh", "st01_stream_simhash",
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
     "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
-    "st08_stream_replay", "st09_stream_sink",
+    "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
@@ -393,6 +393,7 @@ object Bench {
     // incremental probes above (per-JVM slow mode dominates)
     "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
     "st07_stream_restart", "st08_stream_replay", "st09_stream_sink",
+    "st10_stream_exactly_once",
     // the end-to-end composition embeds a full 16-band minhash pass —
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with

@@ -3017,6 +3017,150 @@ object SparkEntry {
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
     ),
+    // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
+    // checkpoint restart), st08 (replay idempotence), and st09 (sink
+    // durability) — driven through Structured Streaming's ACTUAL
+    // offset/commit machinery instead of a hand-simulated replay. A
+    // real file source with a real checkpointLocation runs st05's
+    // probe-then-append fold with the [[graft.operators.IdempotentSink]]
+    // callback keyed by the REAL foreachBatch batchId; the foreachBatch
+    // body THROWS on batch 1's first attempt AFTER the fold completed
+    // (sink committed + index appended) but BEFORE the engine writes
+    // the commit log — the exact torn-batch crash window. The failed
+    // incarnation's offset log has batch 1 with no matching commit, so
+    // a brand-new query incarnation RE-RUNS batch 1 under the same
+    // batchId: [[graft.operators.ReplaySafe]] makes the fold emit and
+    // append nothing (index row counts require()d stable, each doc
+    // stored exactly once), and the sink's first-write-wins protocol
+    // skips the already-committed dir — then batch 2 proceeds normally.
+    // The registry output is read back FROM THE SINK STORE under the
+    // FULL d02-template oracle: a row lost to the crash, a pair
+    // re-emitted by the replay, or a clobbered batch partition all
+    // break the hash. batch accounting require()d: 2 attempts before
+    // the crash, replay + 1 new batch after, replayed batch re-reads
+    // its full file.
+    Q(
+      "st10_stream_exactly_once",
+      (s, d) => {
+        import s.implicits._
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Dedup.writeMinHashIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st10_idx", bands = 16, buckets = 8)
+        val root = java.nio.file.Files.createTempDirectory("st10").toFile
+        val srcDir = new java.io.File(root, "src"); srcDir.mkdirs()
+        val ckpt = new java.io.File(root, "ckpt").toString
+        val sinkDir = new java.io.File(root, "sink").toString
+        def arrive(k: Int): Unit = {
+          val stage = new java.io.File(root, s"stage$k")
+          s.createDataset(chunks(k).toIndexedSeq).toDF("doc_id", "text")
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(
+            part.toPath, new java.io.File(srcDir, f"chunk$k%02d.parquet").toPath)
+        }
+        val batchAttempts = scala.collection.mutable.Buffer[(Long, Long)]()
+        @volatile var crashed = false
+        def startQuery() = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val delta = batch.localCheckpoint(true)
+            batchAttempts += ((batchId, delta.count()))
+            val out = operators.Dedup.minHashNearDupsIncrementalFold(
+              delta, "text", "doc_id", 0.4, idx,
+              sink = Some(operators.IdempotentSink.batchWriter(sinkDir, batchId)))
+            graft.CacheUtil.release(out)
+            graft.CacheUtil.release(delta)
+            if (batchId == 1L && !crashed) {
+              // the torn-batch crash: fold done (sink committed, index
+              // appended), offset commit never happens
+              crashed = true
+              throw new RuntimeException("st10 injected post-fold crash")
+            }
+            ()
+          }
+          .start()
+        try {
+          arrive(0); arrive(1)
+          val q1 = startQuery()
+          try {
+            q1.processAllAvailable()
+            require(false, "injected crash did not propagate — gate vacuous")
+          } catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              // the failure must be OUR injected crash, not an incidental one
+              val causes = Iterator.iterate[Throwable](e)(_.getCause)
+                .takeWhile(_ != null).map(_.getMessage).toSeq
+              require(causes.exists(m => m != null && m.contains("st10 injected post-fold crash")),
+                s"query failed for the wrong reason: $causes")
+          } finally q1.stop()
+          require(crashed, "batch 1 never ran before the crash")
+          require(
+            operators.IdempotentSink.committedBatches(s, sinkDir) == Seq(0L, 1L),
+            "crashed incarnation must leave batches 0 and 1 durable in the sink")
+          val batch1RowsAtCrash = operators.IdempotentSink.read(s, sinkDir)
+            .filter(col("batch_id") === 1L).count()
+          // the fold's appends ran on the stream's CLONED session — the
+          // main session's relation cache is stale; refresh before counting
+          s.catalog.refreshTable(idx.shingleTable)
+          val indexDocsAtCrash =
+            s.table(idx.shingleTable).select("_sid").distinct().count()
+          arrive(2)
+          val q2 = startQuery()
+          try q2.processAllAvailable() finally q2.stop()
+          // attempt accounting: (0, 1) before the crash; the REPLAY of 1
+          // (same batchId, full file re-read) then 2 after
+          val ids = batchAttempts.map(_._1).toSeq
+          require(ids == Seq(0L, 1L, 1L, 2L),
+            s"expected batch attempts 0,1,1,2 across the crash, saw $ids")
+          require(batchAttempts(2)._2 == chunks(1).length,
+            s"replayed batch re-read ${batchAttempts(2)._2} rows, " +
+              s"expected the full file (${chunks(1).length})")
+          // the replay appended nothing: every doc is stored exactly once
+          s.catalog.refreshTable(idx.shingleTable)
+          val indexDocsAfter =
+            s.table(idx.shingleTable).select("_sid").distinct().count()
+          require(
+            indexDocsAfter == indexDocsAtCrash + chunks(2).length,
+            s"replayed batch re-appended docs to the index: at crash " +
+              s"$indexDocsAtCrash, after restart $indexDocsAfter, " +
+              s"chunks=${chunks.map(_.length).mkString(",")}")
+          require(
+            operators.IdempotentSink.read(s, sinkDir)
+              .filter(col("batch_id") === 1L).count() == batch1RowsAtCrash,
+            "replay disturbed batch 1's committed emissions")
+          require(
+            operators.IdempotentSink.committedBatches(s, sinkDir) == Seq(0L, 1L, 2L),
+            "sink store must hold exactly the three batches")
+          operators.IdempotentSink.read(s, sinkDir)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS `${idx.bandTable}`")
+          s.sql(s"DROP TABLE IF EXISTS `${idx.shingleTable}`")
+        }
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
     // streaming semantic dedup against a GROWING written IVF index — the
     // semantic member of the foreachBatch composition family (st02-st05):
     // three deterministic micro-batches of echo embeddings (TWO echo
