@@ -329,7 +329,7 @@ object Bench {
     // floor — warm + one timed pass per scale, identical at every scale,
     // answers it. Numbers from an overridden run are never comparable to
     // the committed min-of-N artifacts and must be labeled as such.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt) match {
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt.max(1)) match {
       case Some(n) => Seq.fill(n)(timedPass())
       case None =>
         if (tokens.size <= 2) Seq(timedPass(), timedPass(), timedPass())

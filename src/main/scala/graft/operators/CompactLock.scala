@@ -20,7 +20,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * leaves the sentinel behind, see [[releaseIfCanonical]]), or the
   * sentinel is unreadable/unparsable (pre-upgrade format — fail open
   * to reclaim, matching the historical behavior those sentinels were
-  * written under). Liveness is [[ProcessHandle]]-based, so the check
+  * written under). The reclaim itself is an atomic rename of the stale
+  * sentinel to a claimant-unique name, so when two compactors observe
+  * the same dead holder exactly one wins the reclaim and the other
+  * fails loudly (a delete-then-create reclaim would let the loser's
+  * delete remove the winner's fresh sentinel). Liveness is
+  * [[ProcessHandle]]-based, so the check
   * is meaningful only when compactors share a machine (or at least a
   * pid namespace); like the rest of the contract this is a fail-fast
   * guard against honest concurrent use on one filesystem, not a
@@ -89,7 +94,20 @@ private[graft] object CompactLock {
             s"compaction sentinel $lock is held by live pid ${holder.get} — " +
               "refusing to steal a running compactor's lock; wait for it to " +
               "finish (or remove the sentinel once that process is gone)")
-        fs.delete(lock, false)
+        // Reclaim by ATOMIC RENAME, not delete+create: two reclaimers
+        // that both observed the same dead holder would otherwise both
+        // delete-then-create, the second delete removing the first's
+        // FRESH sentinel — exactly the steal the create-exclusive path
+        // prevents. Rename of the stale sentinel to a claimant-unique
+        // name succeeds for exactly one process; the loser fails loudly.
+        val claim = new Path(
+          lock.toString + s".reclaim-$self-${java.util.UUID.randomUUID()}")
+        if (!fs.rename(lock, claim))
+          throw new IllegalStateException(
+            s"compaction sentinel $lock was reclaimed by a concurrent " +
+              "compactor while this one was acquiring — retry after it " +
+              "finishes")
+        fs.delete(claim, false)
         create()
     }
   }
