@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *    table (a column-pruned corpus scan behind a broadcast semi join —
   *    the corpus side keeps its bucketed zero-Exchange scan shape).
   *    Empty on a first attempt; the whole delta after a committed
-  *    append (appends are single Spark write jobs, so per TABLE the
-  *    delta is all-or-nothing).
+  *    append; a strict subset after a TORN append (see the torn-append
+  *    paragraph below — every consumer of this set is per-id, so a
+  *    subset is handled, not an error state).
   *  - [[excludeIds]]: corpus reads inside the probe drop the delta's
   *    own ids (broadcast anti), restoring the pre-append index state on
   *    a replay. On a first attempt the delta's ids are not there — the
@@ -44,6 +45,18 @@ import org.apache.spark.sql.functions._
   *    missing one completes, and the emission ledger (the
   *    LAST-appended table) still reads "unseen", so the re-derived
   *    emissions — which the caller never received — are re-emitted.
+  *
+  * Torn appends: every filter here is PER-ID, so the ledger mechanism
+  * does not actually require an append to be all-or-nothing — if a
+  * crash lands mid job-commit and only part of a table's delta rows
+  * were moved in (FileOutputCommitter's job commit is not atomic under
+  * driver death), the replay skips the committed ids and completes the
+  * missing ones, converging to the same table state as a clean fold.
+  * The one thing a torn LEDGER append costs is emissions: ids whose
+  * ledger rows did commit read "seen" on replay, so their
+  * never-delivered pairs are suppressed — recoverable only via the
+  * sink path below, which is why at-least-once callers should pass a
+  * sink rather than rely on the ledger alone.
   *
   * What this does NOT give by itself: a crash after BOTH the appends
   * and the fold's return but before the caller persisted the emissions

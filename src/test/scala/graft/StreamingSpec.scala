@@ -738,6 +738,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("torn-append replay: a batch whose ids are PARTIALLY folded heals per-id (minhash + sink)") {
+    import graft.operators.{Dedup, IdempotentSink}
+    val (base, other) = rpTexts
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val half = Seq((10L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val full = Seq((10L, base), (11L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    // index A gets the torn state; index B the clean single fold — the
+    // healed A must be observationally identical to B
+    val idxA = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rp_torn_a", buckets = 4)
+    val idxB = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rp_torn_b", buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("rp_torn").toString
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      graft.CacheUtil.release(df); s
+    }
+    try {
+      // manufacture the torn state: id 10's rows committed to BOTH
+      // tables, id 11's to neither — per-id this is exactly the state a
+      // torn job commit of the full batch leaves (every ReplaySafe
+      // consumer is per-id, so folding the half-batch is state-identical)
+      graft.CacheUtil.release(
+        Dedup.minHashNearDupsIncrementalFold(half, "text", "doc_id", 0.4, idxA))
+      // the at-least-once retry of the FULL batch, sink attached
+      val healed = pairs(Dedup.minHashNearDupsIncrementalFold(
+        full, "text", "doc_id", 0.4, idxA,
+        sink = Some(IdempotentSink.batchWriter(dir, 7L))))
+      // only pairs touching the unseen id survive; the seen id's pairs
+      // are suppressed (the documented torn-LEDGER emission cost — the
+      // sink is how callers avoid losing them for good)
+      assert(healed === Seq((1L, 11L), (10L, 11L)))
+      // per-id healing: every id stored exactly once per table key
+      assert(spark.table(idxA.shingleTable).groupBy($"_sid")
+        .count().filter($"count" > 1).count() === 0L, "duplicate shingle rows")
+      assert(spark.table(idxA.bandTable).groupBy($"_id", $"_band")
+        .count().filter($"count" > 1).count() === 0L, "duplicate band rows")
+      // healed index == clean-single-fold index, observationally
+      graft.CacheUtil.release(
+        Dedup.minHashNearDupsIncrementalFold(full, "text", "doc_id", 0.4, idxB))
+      val d2 = Seq((20L, base)).toDF("doc_id", "text").localCheckpoint(true)
+      val probeA = pairs(Dedup.minHashNearDupsIncremental(d2, "text", "doc_id", 0.4, idxA))
+      val probeB = pairs(Dedup.minHashNearDupsIncremental(d2, "text", "doc_id", 0.4, idxB))
+      assert(probeA === probeB, "healed index diverged from a clean fold")
+      assert(probeA === Seq((1L, 20L), (10L, 20L), (11L, 20L)))
+      graft.CacheUtil.release(d2)
+      // the sink store holds exactly the retry's emissions
+      assert(IdempotentSink.committedBatches(spark, dir) === Seq(7L))
+      val stored = IdempotentSink.read(spark, dir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(stored === healed, "sink store diverged from the retry's emissions")
+    } finally {
+      graft.CacheUtil.release(half)
+      graft.CacheUtil.release(full)
+      Seq(idxA.bandTable, idxA.shingleTable, idxB.bandTable, idxB.shingleTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("mid-batch replay idempotence: passage + line folds (incl. windowless and NULL-text ledger rows)") {
     import graft.operators.{Lines, Passages}
     val (base, other) = rpTexts
