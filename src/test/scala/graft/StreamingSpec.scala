@@ -1,6 +1,7 @@
 package graft
 
 import graft.streaming.{EventOps, Streams}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -990,6 +991,90 @@ class StreamingSpec extends AnyFunSuite {
     } finally {
       graft.CacheUtil.release(delta)
       spark.sql(s"DROP TABLE IF EXISTS `${idx.chunkTable}`")
+    }
+  }
+
+  test("every fold family invokes its sink BEFORE its first index append") {
+    import graft.operators.{Dedup, Lines, Passages, Similarity}
+    // The ordering is THE load-bearing invariant of the sink contract:
+    // emissions must be durable before the replay ledger commits, or a
+    // crash between the two silently loses them (the replay suppresses
+    // the batch). Each family runs its fold with a sink that snapshots
+    // the index tables' row counts AT CALLBACK TIME; those must equal
+    // the PRE-fold counts (no append had happened yet) while the
+    // POST-fold counts must exceed them (the appends really happened
+    // after — non-vacuous both ways). The callback also counts the
+    // frame it was handed (the sink must receive a materialized,
+    // usable emission frame).
+    val (base, other) = rpTexts
+    def gate(
+        family: String,
+        tableCounts: () => Seq[Long],
+        run: (DataFrame => Unit) => DataFrame): Unit = {
+      val pre = tableCounts()
+      var atSink: Option[Seq[Long]] = None
+      var sunkRows = -1L
+      val out = run { df =>
+        sunkRows = df.count()
+        atSink = Some(tableCounts())
+      }
+      graft.CacheUtil.release(out)
+      val post = tableCounts()
+      assert(atSink.isDefined, s"$family: sink never invoked")
+      assert(atSink.get === pre,
+        s"$family: an index append committed BEFORE the sink ran (pre=$pre at-sink=${atSink.get})")
+      assert(post.zip(pre).forall { case (p, q) => p > q },
+        s"$family: appends did not follow the sink (pre=$pre post=$post) — ordering gate vacuous")
+      assert(sunkRows >= 0L, s"$family: sink frame not countable")
+    }
+    val docCorpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    def docDelta() = Seq((10L, base)).toDF("doc_id", "text").localCheckpoint(true)
+
+    val mh = Dedup.writeMinHashIndex(docCorpus, "text", "doc_id", "snk_mh", buckets = 4)
+    val ps = Passages.writePassageIndex(docCorpus, "text", "doc_id", "snk_ps", windowTokens = 4, buckets = 4)
+    val ln = Lines.writeLineIndex(
+      Seq((1L, "shared banner line\nuniq a"), (2L, "other stuff\nuniq b")).toDF("doc_id", "text"),
+      "text", "doc_id", "snk_ln", buckets = 4)
+    val ex = Dedup.writeExactDedupIndex(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"), "text", "snk_ex", buckets = 4)
+    val s64 = Dedup.writeSimHashIndex(docCorpus, "text", "doc_id", "snk_s64", buckets = 4)
+    val s128 = Dedup.writeSimHash128Index(docCorpus, "text", "doc_id", "snk_s128", buckets = 4)
+    val cb = Dedup.writeSimHashComboIndex(
+      docCorpus, "text", "doc_id", "snk_cb", maxHamming = 3, blocks = 6, buckets = 4)
+    def vecRow(id: Long, x: Float) = (id, Array(x, 1f, 0.5f, -0.25f))
+    val vCorpus = Seq(vecRow(1L, 1f), vecRow(2L, -8f)).toDF("vec_id", "embedding")
+    val lsh = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "snk_lsh", nPlanes = 4, dim = 4, nTables = 2, buckets = 4)
+    val ivfCorpus = Seq(vecRow(1L, 1f), vecRow(2L, -8f), vecRow(3L, -7.5f))
+      .toDF("vec_id", "embedding")
+    val ivfBuilt = Similarity.ivfBuild(ivfCorpus, "embedding", "vec_id", nCentroids = 2, refineIters = 1)
+    val ivfDir = java.nio.file.Files.createTempDirectory("snk_ivf").toString
+    Similarity.ivfWrite(ivfBuilt, ivfDir)
+    graft.CacheUtil.release(ivfBuilt.assigned)
+    def tc(tables: String*)(): Seq[Long] = tables.map(t => spark.table(t).count()).toSeq
+    try {
+      gate("minhash", tc(mh.bandTable, mh.shingleTable),
+        s => { val d = docDelta(); val o = Dedup.minHashNearDupsIncrementalFold(d, "text", "doc_id", 0.4, mh, Some(s)); graft.CacheUtil.release(d); o })
+      gate("passages", tc(ps.fpTable),
+        s => { val d = docDelta(); val o = Passages.passageDupFractionIncrementalFold(d, "text", "doc_id", ps, Some(s)); graft.CacheUtil.release(d); o })
+      gate("lines", tc(ln.fpTable),
+        s => { val d = Seq((10L, "shared banner line\nuniq c")).toDF("doc_id", "text").localCheckpoint(true); val o = Lines.dropDuplicatedLinesIncrementalFold(d, "text", "doc_id", ln, minDocs = 2, Some(s)); graft.CacheUtil.release(d); o })
+      gate("exact", tc(ex.fpTable),
+        s => { val d = Seq((10L, "fresh")).toDF("doc_id", "text").localCheckpoint(true); val o = Dedup.exactDedupIncrementalFold(d, "text", "doc_id", ex, Some(s)); graft.CacheUtil.release(d); o })
+      gate("simhash64", tc(s64.chunkTable),
+        s => { val d = docDelta(); val o = Dedup.simHashNearDupsIncrementalFold(d, "text", "doc_id", s64, Some(s)); graft.CacheUtil.release(d); o })
+      gate("simhash128", tc(s128.chunkTable),
+        s => { val d = docDelta(); val o = Dedup.simHashNearDups128IncrementalFold(d, "text", "doc_id", s128, Some(s)); graft.CacheUtil.release(d); o })
+      gate("combo", tc(cb.chunkTable),
+        s => { val d = docDelta(); val o = Dedup.simHashNearDupsIncrementalComboFold(d, "text", "doc_id", cb, Some(s)); graft.CacheUtil.release(d); o })
+      gate("vector-lsh", tc(lsh.bandTable, lsh.vecTable),
+        s => { val d = Seq(vecRow(10L, 1f)).toDF("vec_id", "embedding").localCheckpoint(true); val o = Similarity.lshNearDupsIncrementalFold(d, "embedding", "vec_id", 0.95, lsh, Some(s)); graft.CacheUtil.release(d); o })
+      gate("semdedup", () => Seq(spark.read.parquet(s"$ivfDir/lists").count()),
+        s => { val d = Seq(vecRow(10L, 1f)).toDF("vec_id", "embedding").localCheckpoint(true); val o = Similarity.semDedupPairsIncrementalFold(spark, d, ivfDir, "embedding", "vec_id", threshold = 0.95, sink = Some(s)); graft.CacheUtil.release(d); o })
+    } finally {
+      Seq(mh.bandTable, mh.shingleTable, ps.fpTable, ln.fpTable, ex.fpTable,
+        s64.chunkTable, s128.chunkTable, cb.chunkTable, lsh.bandTable, lsh.vecTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
   }
 
