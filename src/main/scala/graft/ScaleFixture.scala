@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   * the testdata contract: one `<table>.parquet` per table.
   *
   * Usage: runMain graft.ScaleFixture <srcSfDir> <destDir> <factor>
+  *
+  * Provenance: scale-factor replication with controlled cross-copy
+  * similarity is the TPC-H/TPC-DS scale-factor idea applied to the
+  * dedup domain; the sign-flip trick is the standard random-projection
+  * observation that a shared sign pattern cancels in inner products
+  * (Charikar STOC'02 hyperplane-LSH algebra), reused here as a fixture
+  * generator rather than an index.
   */
 object ScaleFixture {
 

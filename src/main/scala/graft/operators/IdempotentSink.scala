@@ -47,6 +47,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * first-write-wins contract (step 1) is what any implementation must
   * keep. Assumes one writer per batch id at a time (Structured
   * Streaming replays are sequential by the offset log).
+  *
+  * Provenance: the overwrite/skip-by-batchId discipline is the standard
+  * Structured Streaming foreachBatch exactly-once recipe (Apache Spark
+  * Structured Streaming programming guide, "foreachBatch"); the
+  * reference's analog is surviving node/session death with re-shippable
+  * state (/root/reference/R/rscl.R:98-104) — here the re-shipped unit is
+  * a micro-batch and the sink is what makes its emissions survivable.
   */
 object IdempotentSink {
 

@@ -668,6 +668,7 @@ object Multimodal {
       while (off + 8 <= to) {
         val id = fccAt(bytes, off)
         val size = u32At(bytes, off + 4).toInt
+        require(size >= 0, s"movi chunk '$id' declares a size beyond 2 GiB")
         require(off + 8 + size <= to, s"movi chunk '$id' overruns the list")
         if (id == "LIST" && fccAt(bytes, off + 8) == "rec ")
           walkMovi(off + 12, off + 8 + size)
@@ -682,6 +683,7 @@ object Multimodal {
       while (off + 8 <= to) {
         val id = fccAt(bytes, off)
         val size = u32At(bytes, off + 4).toInt
+        require(size >= 0, s"strl chunk '$id' declares a size beyond 2 GiB")
         if (id == "strh" && size >= 8) {
           isVids = fccAt(bytes, off + 8) == "vids"
           if (isVids) fourcc = fccAt(bytes, off + 12)
@@ -698,6 +700,7 @@ object Multimodal {
       while (off + 8 <= to) {
         val id = fccAt(bytes, off)
         val size = u32At(bytes, off + 4).toInt
+        require(size >= 0, s"hdrl chunk '$id' declares a size beyond 2 GiB")
         if (id == "LIST" && fccAt(bytes, off + 8) == "strl")
           walkStrl(off + 12, off + 8 + size)
         off += 8 + size + (size & 1)
@@ -709,6 +712,7 @@ object Multimodal {
     while (off + 8 <= end) {
       val id = fccAt(bytes, off)
       val size = u32At(bytes, off + 4).toInt
+      require(size >= 0, s"chunk '$id' declares a size beyond 2 GiB")
       require(off + 8 + size <= end, s"chunk '$id' overruns the RIFF size")
       if (id == "LIST") fccAt(bytes, off + 8) match {
         case "hdrl" => walkHdrl(off + 12, off + 8 + size)

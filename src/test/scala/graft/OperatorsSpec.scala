@@ -3794,6 +3794,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("truncated"))
   }
 
+  test("parseAvi rejects a chunk size that wraps past 2 GiB instead of looping") {
+    // a crafted u32 size >= 2^31 goes negative after .toInt; without the
+    // size >= 0 guard the walker's `off += 8 + size` steps BACKWARDS and
+    // spins forever — the guard must fire loudly at every walk level
+    val avi = Multimodal.renderAvi(3L)
+    // top-level walker: the first chunk after the 12-byte RIFF header has
+    // its size field at bytes 16..19
+    val top = avi.clone()
+    top(16) = 0xf0.toByte; top(17) = 0xff.toByte
+    top(18) = 0xff.toByte; top(19) = 0xff.toByte
+    val e1 = intercept[IllegalArgumentException](Multimodal.parseAvi(top))
+    assert(e1.getMessage.contains("beyond 2 GiB"))
+    // movi walker: patch the first frame chunk ('00dc') the same way
+    val movi = avi.clone()
+    val dc = "00dc".getBytes
+    val dcAt = movi.indices.indexWhere(i =>
+      i + 4 <= movi.length && movi.slice(i, i + 4).sameElements(dc))
+    assert(dcAt > 0, "fixture has no 00dc chunk")
+    movi(dcAt + 4) = 0xf0.toByte; movi(dcAt + 5) = 0xff.toByte
+    movi(dcAt + 6) = 0xff.toByte; movi(dcAt + 7) = 0xff.toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseAvi(movi))
+    assert(e2.getMessage.contains("beyond 2 GiB"))
+  }
+
   test("muxAvi word-aligns odd-sized frame chunks per the RIFF rule") {
     // an odd-length frame payload forces a pad byte; the parser must
     // still step to the next chunk and recover BOTH frames intact
