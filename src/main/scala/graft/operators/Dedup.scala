@@ -641,7 +641,7 @@ object Dedup {
     * they are fresh builds (or the compactor's own tmp-table write),
     * not appends into a table being rewritten.
     */
-  private[operators] def writeBucketedTable(
+  private[graft] def writeBucketedTable(
       df: DataFrame,
       table: String,
       nBuckets: Int,
@@ -661,6 +661,37 @@ object Dedup {
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Replay-safe append of a multi-row-per-id frame (bands / chunks /
+    * passage windows) — the ROW-level half of the fold families' torn-
+    * append healing ([[ReplaySafe]]): a torn job commit can land WITHIN
+    * one id (a doc's band rows span up to `buckets` files), so dropping
+    * whole "seen" ids would leave that id permanently incomplete.
+    * When any delta id already has rows in `table` (`seen` nonempty —
+    * a replay), the append anti-joins on the row identity key `rowKey`
+    * instead, completing exactly the missing rows; on a first attempt
+    * ([[ReplaySafe.noneSeen]]) the frame appends unfiltered — the hot
+    * path carries no extra join.
+    */
+  private[operators] def appendRowHealed(
+      rows: DataFrame,
+      table: String,
+      nBuckets: Int,
+      bucketKeys: Seq[String],
+      rowKey: Seq[String],
+      idColName: String,
+      rids: DataFrame,
+      seen: DataFrame
+  ): Unit = {
+    val present =
+      if (ReplaySafe.noneSeen(seen)) None
+      else Some(ReplaySafe.rowKeysPresent(
+        rows.sparkSession.table(table), idColName, rids, rowKey))
+    writeBucketedTable(
+      present.fold(rows)(ReplaySafe.dropRowsPresent(rows, _, rowKey)),
+      table, nBuckets, bucketKeys, org.apache.spark.sql.SaveMode.Append)
+    present.foreach(graft.CacheUtil.release)
   }
 
   /** Compact a bucketed index table after many appends. Every
@@ -1067,11 +1098,14 @@ object Dedup {
   ): DataFrame = {
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[ReplaySafe]]): the shingle table records EVERY
-    // folded doc, so it is the emission ledger; the band table's own
-    // id set gates its append separately (a crash between the two
-    // appends heals: the committed table skips, the missing one
+    // folded doc, so it is the emission ledger; the band table's append
+    // is gated separately at ROW granularity — (_id, _band) — because a
+    // torn job commit can land WITHIN one id (its 16 band rows span up
+    // to 16 bucketed files); re-derivation is deterministic, so the
+    // replay completes exactly the missing rows. A crash between the
+    // two appends heals: the committed table skips, the missing one
     // completes, and the shingle ledger still reads "unseen", so the
-    // never-delivered emissions are re-derived and re-emitted). All
+    // never-delivered emissions are re-derived and re-emitted. All
     // ledger reads snapshot the PRE-append state (eager checkpoints).
     val rids = ReplaySafe.ids(delta, idCol)
     val seenSh = ReplaySafe.seenIds(spark.table(idx.shingleTable), "_sid", rids)
@@ -1087,10 +1121,9 @@ object Dedup {
     // commit, a replay (correctly) emits nothing — emissions not yet
     // persisted by then would be lost
     sink.foreach(_(out))
-    writeBucketedTable(
-      ReplaySafe.dropSeen(admitted, "_id", seenBand),
-      idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
-      org.apache.spark.sql.SaveMode.Append)
+    appendRowHealed(
+      admitted, idx.bandTable, idx.buckets, Seq("_band", "_bucket"),
+      Seq("_id", "_band"), "_id", rids, seenBand)
     writeBucketedTable(
       ReplaySafe.dropSeen(deltaSh, "_sid", seenSh),
       idx.shingleTable, idx.buckets, Seq("_sid"),
@@ -1661,10 +1694,9 @@ object Dedup {
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
-    writeBucketedTable(
-      ReplaySafe.dropSeen(chunked, "_id", seen),
-      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
-      org.apache.spark.sql.SaveMode.Append)
+    appendRowHealed(
+      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      Seq("_id", "_chunk"), "_id", rids, seen)
     graft.CacheUtil.release(lazyPairs)
     graft.CacheUtil.release(seen)
     graft.CacheUtil.release(unseen)
@@ -2134,10 +2166,9 @@ object Dedup {
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
-    writeBucketedTable(
-      ReplaySafe.dropSeen(chunked, "_id", seen),
-      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
-      org.apache.spark.sql.SaveMode.Append)
+    appendRowHealed(
+      chunked, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      Seq("_id", "_chunk"), "_id", rids, seen)
     graft.CacheUtil.release(lazyPairs) // frees `chunked` + internal members
     graft.CacheUtil.release(seen)
     graft.CacheUtil.release(unseen)
@@ -2334,10 +2365,9 @@ object Dedup {
     // materializes the pair set BEFORE the append mutates the table
     val out = lazyPairs.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger append ([[IdempotentSink]])
-    writeBucketedTable(
-      ReplaySafe.dropSeen(keyed, "_id", seen),
-      idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
-      org.apache.spark.sql.SaveMode.Append)
+    appendRowHealed(
+      keyed, idx.chunkTable, idx.buckets, Seq("_chunk", "_val"),
+      Seq("_id", "_chunk"), "_id", rids, seen)
     graft.CacheUtil.release(lazyPairs) // frees `keyed` + internal members
     graft.CacheUtil.release(seen)
     graft.CacheUtil.release(unseen)

@@ -369,16 +369,14 @@ object Passages {
         col(idCol).as("_pid"),
         lit(null).cast(fpType).as("_fp"),
         lit(0L).as("_occ"))
-    Dedup.writeBucketedTable(
-      ReplaySafe.dropSeen(
-        deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
-          .unionByName(markers),
-        "_pid", seen),
-      idx.fpTable,
-      idx.buckets,
-      Seq("_fp"),
-      org.apache.spark.sql.SaveMode.Append
-    )
+    // append heals at ROW granularity — (_pid, _fp), null-safe for the
+    // windowless marker rows — because a torn job commit can land
+    // WITHIN one doc's window rows ([[Dedup.appendRowHealed]])
+    Dedup.appendRowHealed(
+      deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
+        .unionByName(markers),
+      idx.fpTable, idx.buckets, Seq("_fp"),
+      Seq("_pid", "_fp"), "_pid", rids, seen)
     graft.CacheUtil.release(lazyOut) // frees deltaFp + totals in its lineage
     graft.CacheUtil.release(seen)
     graft.CacheUtil.release(rids)

@@ -46,14 +46,26 @@ import org.apache.spark.sql.functions._
   *    LAST-appended table) still reads "unseen", so the re-derived
   *    emissions — which the caller never received — are re-emitted.
   *
-  * Torn appends: every filter here is PER-ID, so the ledger mechanism
-  * does not actually require an append to be all-or-nothing — if a
-  * crash lands mid job-commit and only part of a table's delta rows
-  * were moved in (FileOutputCommitter's job commit is not atomic under
-  * driver death), the replay skips the committed ids and completes the
-  * missing ones, converging to the same table state as a clean fold.
-  * The one thing a torn LEDGER append costs is emissions: ids whose
-  * ledger rows did commit read "seen" on replay, so their
+  * Torn appends: the ledger mechanism does not require an append to be
+  * all-or-nothing — if a crash lands mid job-commit and only part of a
+  * table's delta rows were moved in (FileOutputCommitter's job commit
+  * is not atomic under driver death), the replay completes the missing
+  * rows, converging to the same table state as a clean fold. For the
+  * one-row-per-id tables (shingles, vectors, IVF lists, the exact fp
+  * table keyed by the fp itself) the per-id filters give this for
+  * free. The multi-row-per-id tables (minhash bands, simhash chunks,
+  * vector-LSH bands, passage windows) need ROW-level healing: a tear
+  * can land WITHIN one id (a doc's 16 band rows span up to 16 bucketed
+  * files), leaving it "seen" by id with rows missing — so their
+  * appends use [[rowKeysPresent]]/[[dropRowsPresent]] (anti-join on
+  * the row identity key, null-safe for marker rows) instead of a
+  * per-id drop. Re-derivation is deterministic (admission excludes the
+  * delta's stored rows and ranks by id), so completing exactly the
+  * absent rows reconstructs the clean-fold table. The first attempt
+  * never pays for this: [[noneSeen]] gates the row-level path to
+  * replays (no delta id in the table ⇒ the plain append is already
+  * correct). The one thing a torn LEDGER append costs is emissions:
+  * ids whose ledger rows did commit read "seen" on replay, so their
   * never-delivered pairs are suppressed — recoverable only via the
   * sink path below, which is why at-least-once callers should pass a
   * sink rather than rely on the ledger alone.
@@ -117,6 +129,55 @@ private[operators] object ReplaySafe {
     */
   def dropSeen(df: DataFrame, colName: String, seen: DataFrame): DataFrame =
     df.join(broadcast(seen), df(colName) === seen("_rid"), "left_anti")
+
+  /** True iff `seen` (a materialized [[seenIds]] frame) is empty — the
+    * first-attempt fast path. When NO delta id has rows in a table, the
+    * plain append is already correct, so the fold skips the row-level
+    * heal ([[rowKeysPresent]]/[[dropRowsPresent]]) entirely and the
+    * first-attempt plan carries no extra join. Cheap: `seen` is a tiny
+    * materialized frame, so this is a take(1) over cached blocks.
+    */
+  def noneSeen(seen: DataFrame): Boolean = seen.isEmpty
+
+  /** The row identity keys (`keyCols` tuples) the table already holds
+    * for the delta's ids — the ROW-level replay ledger for
+    * multi-row-per-id tables, where a torn job commit can land WITHIN
+    * one id. Materialized eagerly: it must snapshot the PRE-append
+    * state, and the append that consumes it writes into the very table
+    * it reads. Bounded by the delta's ids × rows-per-id (bands/chunks:
+    * a small constant; passage windows: the delta's window count) and
+    * only ever computed on the replay path ([[noneSeen]] gates it).
+    * Callers release after the append.
+    */
+  def rowKeysPresent(
+      corpus: DataFrame,
+      idColName: String,
+      ids: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame =
+    corpus
+      .join(broadcast(ids), corpus(idColName) === ids("_rid"), "left_semi")
+      .select(keyCols.map(col): _*)
+      .distinct()
+      .localCheckpoint(true)
+
+  /** Rows of `df` whose `keyCols` tuple is absent from `present` (a
+    * [[rowKeysPresent]] frame) — the row-level append filter: a replay
+    * after a torn append completes exactly the missing rows of every
+    * id, duplicating none. Null-safe per column (passage marker rows
+    * carry a NULL fp). Join strategy is AQE's call: `present` is
+    * materialized, so an empty/small set broadcasts and a full replay's
+    * set sort-merges.
+    */
+  def dropRowsPresent(
+      df: DataFrame,
+      present: DataFrame,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    val p = present.toDF(keyCols.map("_prs_" + _): _*)
+    val cond = keyCols.map(k => df(k) <=> p("_prs_" + k)).reduce(_ && _)
+    df.join(p, cond, "left_anti")
+  }
 
   /** Pair rows with at least one endpoint in `unseen` — i.e. suppress a
     * pair only when every delta-side participant was already folded in

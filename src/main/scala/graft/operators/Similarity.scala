@@ -1241,10 +1241,11 @@ object Similarity {
     // materializes the pair set BEFORE the appends mutate the tables
     val out = lazyPairs.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger appends ([[IdempotentSink]])
-    Dedup.writeBucketedTable(
-      ReplaySafe.dropSeen(banded, "_id", seenBand),
-      idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
-      org.apache.spark.sql.SaveMode.Append)
+    // band append heals at ROW granularity — (_id, _tbl) — a torn job
+    // commit can land WITHIN one id ([[Dedup.appendRowHealed]])
+    Dedup.appendRowHealed(
+      banded, idx.bandTable, idx.buckets, Seq("_tbl", "_sig"),
+      Seq("_id", "_tbl"), "_id", rids, seenBand)
     Dedup.writeBucketedTable(
       ReplaySafe.dropSeen(deltaV, "_vid", seenVec),
       idx.vecTable, idx.buckets, Seq("_vid"),

@@ -798,6 +798,144 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("torn-append replay heals WITHIN one id: minhash bands, simhash chunks, LSH bands, passage windows") {
+    // the tear the per-id gate above cannot reach: a torn job commit
+    // lands INSIDE one doc's rows (a doc's band/chunk rows span up to
+    // `buckets` files), so the id reads "seen" with rows missing — the
+    // appendRowHealed row-level anti must complete exactly the absent
+    // rows, converging every table to its clean-fold twin's row set
+    import graft.operators.{Dedup, Passages, Similarity}
+    val (base, other) = rpTexts
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val s = df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheUtil.release(df); s
+    }
+
+    // ---- minhash: id 10's EVEN band rows committed, odd bands + ALL
+    // shingles missing (crash mid band-append, before the shingle job)
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val full = Seq((10L, base), (11L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val mhA = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rpw_mh_a", buckets = 4)
+    val mhB = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rpw_mh_b", buckets = 4)
+    try {
+      graft.CacheUtil.release(
+        Dedup.minHashNearDupsIncrementalFold(full, "text", "doc_id", 0.4, mhB))
+      val torn = spark.table(mhB.bandTable).filter($"_id" === 10L && $"_band" % 2 === 0)
+      val tornN = torn.count()
+      val fullN = spark.table(mhB.bandTable).filter($"_id" === 10L).count()
+      assert(tornN > 0 && tornN < fullN, "fixture tear is not a proper within-id subset")
+      Dedup.writeBucketedTable(torn, mhA.bandTable, 4, Seq("_band", "_bucket"),
+        org.apache.spark.sql.SaveMode.Append)
+      // the at-least-once retry: the shingle LEDGER has neither id, so
+      // nothing was ever delivered and ALL pairs re-emit
+      val healed = pairs(Dedup.minHashNearDupsIncrementalFold(full, "text", "doc_id", 0.4, mhA))
+      assert(healed === Set((1L, 10L), (1L, 11L), (10L, 11L)))
+      assert(spark.table(mhA.bandTable).groupBy($"_id", $"_band")
+        .count().filter($"count" > 1).count() === 0L, "duplicate band rows after heal")
+      def bandSet(t: String) = spark.table(t).select("_id", "_band", "_bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(bandSet(mhA.bandTable) === bandSet(mhB.bandTable),
+        "healed band table diverged from the clean fold's")
+      val d2 = Seq((20L, base)).toDF("doc_id", "text").localCheckpoint(true)
+      assert(pairs(Dedup.minHashNearDupsIncremental(d2, "text", "doc_id", 0.4, mhA))
+        === pairs(Dedup.minHashNearDupsIncremental(d2, "text", "doc_id", 0.4, mhB)),
+        "healed index probes diverged")
+      graft.CacheUtil.release(d2)
+    } finally {
+      Seq(mhA.bandTable, mhA.shingleTable, mhB.bandTable, mhB.shingleTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- simhash64: id 10's EVEN chunk rows committed (the chunk
+    // table is BOTH index and ledger, so 10's never-delivered pairs are
+    // suppressed — the documented torn-LEDGER cost the sink covers —
+    // but the TABLE must still converge)
+    val s64A = Dedup.writeSimHashIndex(corpus, "text", "doc_id", "rpw_s64_a", buckets = 4)
+    val s64B = Dedup.writeSimHashIndex(corpus, "text", "doc_id", "rpw_s64_b", buckets = 4)
+    try {
+      graft.CacheUtil.release(
+        Dedup.simHashNearDupsIncrementalFold(full, "text", "doc_id", s64B))
+      val torn = spark.table(s64B.chunkTable).filter($"_id" === 10L && $"_chunk" % 2 === 0)
+      val tornN = torn.count()
+      val fullN = spark.table(s64B.chunkTable).filter($"_id" === 10L).count()
+      assert(tornN > 0 && tornN < fullN, "simhash tear is not a proper within-id subset")
+      Dedup.writeBucketedTable(torn, s64A.chunkTable, 4, Seq("_chunk", "_val"),
+        org.apache.spark.sql.SaveMode.Append)
+      val healed = pairs(Dedup.simHashNearDupsIncrementalFold(full, "text", "doc_id", s64A))
+      assert(healed === Set((1L, 11L), (10L, 11L)),
+        "replay must emit exactly the pairs touching the unseen id")
+      def chunkSet(t: String) = spark.table(t).select("_id", "_chunk", "_val")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(chunkSet(s64A.chunkTable) === chunkSet(s64B.chunkTable),
+        "healed chunk table diverged from the clean fold's")
+    } finally {
+      Seq(s64A.chunkTable, s64B.chunkTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- vector-LSH: id 10's _tbl=0 band row committed, _tbl=1 + the
+    // vec row missing (the vec LEDGER reads "unseen", so the pair
+    // re-emits while the band table heals row-level)
+    def vecRow(id: Long, x: Float) = (id, Array(x, 1f, 0.5f, -0.25f))
+    val vCorpus = Seq(vecRow(1L, 1f), vecRow(2L, -8f)).toDF("vec_id", "embedding")
+    val vFull = Seq(vecRow(10L, 1f)).toDF("vec_id", "embedding").localCheckpoint(true)
+    val vA = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "rpw_lsh_a", nPlanes = 4, dim = 4, nTables = 2, buckets = 4)
+    val vB = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "rpw_lsh_b", nPlanes = 4, dim = 4, nTables = 2, buckets = 4)
+    try {
+      graft.CacheUtil.release(
+        Similarity.lshNearDupsIncrementalFold(vFull, "embedding", "vec_id", 0.95, vB))
+      val torn = spark.table(vB.bandTable).filter($"_id" === 10L && $"_tbl" === 0)
+      assert(torn.count() === 1L)
+      Dedup.writeBucketedTable(torn, vA.bandTable, 4, Seq("_tbl", "_sig"),
+        org.apache.spark.sql.SaveMode.Append)
+      val healed = pairs(Similarity.lshNearDupsIncrementalFold(vFull, "embedding", "vec_id", 0.95, vA))
+      assert(healed === Set((1L, 10L)), "vec ledger reads unseen — the pair must re-emit")
+      def lshSet(t: String) = spark.table(t).select("_id", "_tbl", "_sig")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      assert(lshSet(vA.bandTable) === lshSet(vB.bandTable),
+        "healed LSH band table diverged from the clean fold's")
+      assert(spark.table(vA.vecTable).count() === spark.table(vB.vecTable).count())
+    } finally {
+      graft.CacheUtil.release(vFull)
+      Seq(vA.bandTable, vA.vecTable, vB.bandTable, vB.vecTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- passages: ONE of doc 10's window rows committed, the rest +
+    // doc 11's windowless marker missing; (_pid, _fp) healing is
+    // null-safe (the marker's _fp is NULL)
+    val pFull = Seq((10L, base), (11L, "tiny doc")).toDF("doc_id", "text").localCheckpoint(true)
+    val pA = Passages.writePassageIndex(corpus, "text", "doc_id", "rpw_ps_a", windowTokens = 4, buckets = 4)
+    val pB = Passages.writePassageIndex(corpus, "text", "doc_id", "rpw_ps_b", windowTokens = 4, buckets = 4)
+    try {
+      def prof(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] = {
+        val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        graft.CacheUtil.release(df); m
+      }
+      graft.CacheUtil.release(
+        Passages.passageDupFractionIncrementalFold(pFull, "text", "doc_id", pB))
+      val torn = spark.table(pB.fpTable).filter($"_pid" === 10L).orderBy($"_fp").limit(1)
+      val fullN = spark.table(pB.fpTable).filter($"_pid" === 10L).count()
+      assert(fullN > 1, "fixture doc must have more than one window row")
+      Dedup.writeBucketedTable(torn, pA.fpTable, 4, Seq("_fp"),
+        org.apache.spark.sql.SaveMode.Append)
+      val healed = prof(Passages.passageDupFractionIncrementalFold(pFull, "text", "doc_id", pA))
+      assert(healed.keySet === Set(11L),
+        "doc 10 is ledger-seen (suppressed); the marker-less doc 11 must emit")
+      def fpSet(t: String) = spark.table(t).select("_pid", "_fp", "_occ")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.toString), r.getLong(2)))
+        .sortBy(x => (x._1, x._2.getOrElse(""), x._3)).toSeq
+      assert(fpSet(pA.fpTable) === fpSet(pB.fpTable),
+        "healed passage table diverged from the clean fold's")
+    } finally {
+      graft.CacheUtil.release(pFull)
+      graft.CacheUtil.release(full)
+      Seq(pA.fpTable, pB.fpTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("mid-batch replay idempotence: passage + line folds (incl. windowless and NULL-text ledger rows)") {
     import graft.operators.{Lines, Passages}
     val (base, other) = rpTexts
