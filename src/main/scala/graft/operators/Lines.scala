@@ -137,13 +137,15 @@ object Lines {
   // --------------------------- persisted line-catalogue index
 
   /** Handle for a persisted line catalogue: ONE bucketed catalog table
-    * of per-fingerprint distinct-document counts `(_fp, _ndocs)`,
-    * bucketed by `_fp` so incremental probes aggregate and join the
-    * corpus side with zero Exchange. Appends add rows per fingerprint
-    * (counts are summed at probe time), so folding a delta in is a pure
-    * bucketed append — no read-modify-write of the history. The sixth
-    * member of the incremental index family (MinHash d08, SimHash64
-    * d09, vector-LSH d13, passages d18, SimHash128 d22).
+    * of per-fingerprint distinct-document counts, a per-doc replay
+    * ledger, and per-batch commit markers (schema and the torn-append
+    * contract: [[catalogueRows]]), bucketed by `_fp` so incremental
+    * probes aggregate and join the corpus side with zero Exchange.
+    * Appends add rows per fingerprint (counts are summed at probe
+    * time), so folding a delta in is a pure bucketed append — no
+    * read-modify-write of the history. The sixth member of the
+    * incremental index family (MinHash d08, SimHash64 d09, vector-LSH
+    * d13, passages d18, SimHash128 d22).
     */
   case class LineIndex(
       fpTable: String,
@@ -167,37 +169,101 @@ object Lines {
       .groupBy(col("_fp"))
       .agg(count(lit(1)).as("_ndocs"))
 
-  /** The rows the catalogue persists for `df` — TWO kinds in ONE
-    * bucketed table (schema `(_fp, _ndocs, _did)`): per-fingerprint
-    * distinct-doc COUNT rows (`_did` NULL) and one LEDGER row per doc
-    * (`_fp`/`_ndocs` NULL, `_did` = the doc id). The counts are all any
-    * probe reads; the ledger records which docs have been folded in —
-    * the replay-safety anchor for [[dropDuplicatedLinesIncrementalFold]]
-    * ([[graft.operators.ReplaySafe]]). They share one table precisely
-    * so one append = ONE Spark write job = counts and ledger commit
-    * ATOMICALLY (two tables would reopen a crash window between the
-    * appends). Ledger rows hash to the NULL `_fp` bucket; they are
-    * id-sized, written once per doc, and every count-side read filters
-    * them out on `_fp IS NOT NULL`. (Schema v2 — a pre-existing
-    * two-column catalogue must be rebuilt with [[writeLineIndex]]; its
-    * ingest history cannot be reconstructed into a ledger.)
+  /** The rows the catalogue persists for one batch of `df` — THREE
+    * kinds in ONE bucketed table (schema `(_fp, _ndocs, _did, _bid)`):
+    * per-fingerprint distinct-doc COUNT rows (`_did` NULL), one LEDGER
+    * row per doc (`_fp`/`_ndocs` NULL, `_did` = the doc id), and —
+    * written separately by [[commitMarker]] — one COMMIT MARKER row per
+    * batch (`_fp`/`_ndocs`/`_did` all NULL). Every row carries the
+    * batch id `_bid`, and the visibility rule is: **a row counts only
+    * when its batch's marker row is present** ([[committedBids]]).
+    *
+    * The marker is what makes a torn append safe. Unlike the
+    * membership tables (bands/chunks/windows — identity rows a replay
+    * can heal row-level), count rows are batch-level AGGREGATES: if a
+    * torn job commit landed count rows for docs whose ledger rows are
+    * missing, a replay that recomputed counts over the "fresh" docs
+    * would DOUBLE-COUNT every line they share (a job commit is not
+    * atomic under driver death — [[graft.operators.ReplaySafe]]'s torn
+    * paragraph). With the marker, a torn batch is simply invisible: its
+    * orphan rows never reach a count or the ledger, the replay
+    * re-derives the identical full batch, and the marker — a single
+    * row, one file move — lands last as the batch's atomic commit
+    * point ([[Dedup.compactBucketedIndexTable]] sweeps orphans). This
+    * is the table-format commit idea (Delta/Iceberg snapshot markers)
+    * in one bucketed parquet table. (Schema v3 — a pre-existing v1/v2
+    * catalogue must be rebuilt with [[writeLineIndex]]; its ingest
+    * history cannot be reconstructed into batch commits.)
     */
   private def catalogueRows(
       df: DataFrame,
       textCol: String,
       idCol: String,
       hash64: Boolean,
-      delimiter: String
+      delimiter: String,
+      bid: Long
   ): DataFrame = {
     val fpType = if (hash64) "bigint" else "string"
     fpDocCounts(df, textCol, idCol, hash64, delimiter)
-      .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
+      .select(
+        col("_fp"), col("_ndocs"),
+        lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
       .unionByName(
         df.select(
           lit(null).cast(fpType).as("_fp"),
           lit(null).cast("bigint").as("_ndocs"),
-          col(idCol).cast("bigint").as("_did")))
+          col(idCol).cast("bigint").as("_did"),
+          lit(bid).as("_bid")))
   }
+
+  /** The single-row batch commit marker (see [[catalogueRows]]). One
+    * row ⇒ one task file ⇒ one rename: the batch's atomic commit point.
+    */
+  private def markerRow(
+      spark: org.apache.spark.sql.SparkSession,
+      hash64: Boolean,
+      bid: Long
+  ): DataFrame = {
+    val fpType = if (hash64) "bigint" else "string"
+    spark.range(1).select(
+      lit(null).cast(fpType).as("_fp"),
+      lit(null).cast("bigint").as("_ndocs"),
+      lit(null).cast("bigint").as("_did"),
+      lit(bid).as("_bid"))
+  }
+
+  /** Append the commit marker that makes batch `bid`'s rows visible. */
+  private def commitMarker(idx: LineIndex, bid: Long, spark: org.apache.spark.sql.SparkSession): Unit =
+    Dedup.writeBucketedTable(
+      markerRow(spark, idx.hash64, bid),
+      idx.fpTable, idx.buckets, Seq("_fp"),
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** A fresh batch id for an append attempt. Uniqueness vs every prior
+    * bid is what keeps an orphaned (marker-less) attempt invisible
+    * forever; a 64-bit random draw makes a collision with the bounded
+    * set of committed bids negligible (`0L` is reserved for builds and
+    * compaction output, whose write IS their commit).
+    */
+  private def newBid(): Long = {
+    val b = java.util.UUID.randomUUID().getMostSignificantBits
+    if (b == 0L) 1L else b
+  }
+
+  /** Batch ids whose commit marker landed — the visibility set. One row
+    * per committed batch (compaction collapses history to a single
+    * batch), so this is a bounded catalog-sized driver read, and the
+    * resulting `isin` filter pushes into the parquet scan instead of
+    * joining the corpus side on a non-bucket key.
+    */
+  private def committedBids(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: LineIndex
+  ): Seq[Long] =
+    spark.table(idx.fpTable)
+      .filter(col("_fp").isNull && col("_did").isNull)
+      .select(col("_bid"))
+      .collect().map(_.getLong(0)).toSeq
 
   /** Build and persist a line catalogue for `df` under catalog table
     * `<name>_linefps`. `hash64 = true` (default) stores LONG keys — the
@@ -215,8 +281,12 @@ object Lines {
       delimiter: String = "\n"
   ): LineIndex = {
     val idx = LineIndex(s"${name}_linefps", hash64, buckets, delimiter)
+    // a build is its own commit: rows + marker land in the one
+    // Overwrite (a torn build leaves no canonical table to corrupt —
+    // the caller re-runs it)
     Dedup.writeBucketedTable(
-      catalogueRows(df, textCol, idCol, hash64, delimiter),
+      catalogueRows(df, textCol, idCol, hash64, delimiter, bid = 0L)
+        .unionByName(markerRow(df.sparkSession, hash64, bid = 0L)),
       idx.fpTable,
       buckets,
       Seq("_fp"),
@@ -234,14 +304,18 @@ object Lines {
       textCol: String,
       idCol: String,
       idx: LineIndex
-  ): Unit =
+  ): Unit = {
+    val bid = newBid()
     Dedup.writeBucketedTable(
-      catalogueRows(delta, textCol, idCol, idx.hash64, idx.delimiter),
+      catalogueRows(delta, textCol, idCol, idx.hash64, idx.delimiter, bid),
       idx.fpTable,
       idx.buckets,
       Seq("_fp"),
       org.apache.spark.sql.SaveMode.Append
     )
+    // rows first, marker last — the marker IS the batch's commit
+    commitMarker(idx, bid, delta.sparkSession)
+  }
 
   /** Clean a delta against the persisted catalogue: remove every delta
     * line whose distinct-document frequency across corpus ∪ delta is
@@ -262,7 +336,9 @@ object Lines {
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
     val deltaCounts = fpDocCounts(delta, textCol, idCol, idx.hash64, idx.delimiter)
-    cleanedAgainstCounts(delta, textCol, idCol, idx, minDocs, deltaCounts)
+    cleanedAgainstCounts(
+      delta, textCol, idCol, idx, minDocs, deltaCounts,
+      committedBids(delta.sparkSession, idx))
   }
 
   /** Probe-then-append in ONE delta pass: clean the delta against the
@@ -294,33 +370,48 @@ object Lines {
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
     val spark = delta.sparkSession
-    // REPLAY SAFETY ([[graft.operators.ReplaySafe]]): docs already in
-    // the catalogue's ledger ([[catalogueRows]]) are dropped up front —
-    // their counts are committed (counts + ledger land in ONE atomic
-    // append), so cleaning the remaining docs against the catalogue
-    // as-is IS the batch-on-union semantics, a full replay emits and
-    // appends nothing, and the catalogue never double-counts a line
+    // REPLAY SAFETY ([[graft.operators.ReplaySafe]] + the batch commit
+    // marker, [[catalogueRows]]): only docs in COMMITTED batches'
+    // ledgers are dropped up front — a torn attempt (rows landed,
+    // marker missing) is invisible, so the replay re-derives the
+    // IDENTICAL full batch instead of double-counting the lines its
+    // orphan count rows share with the "fresh" remainder. A full
+    // replay (marker landed) emits and appends nothing.
+    val bids = committedBids(spark, idx)
     val rids = ReplaySafe.ids(delta, idCol)
     val seen = ReplaySafe.seenIds(
-      spark.table(idx.fpTable).filter(col("_did").isNotNull), "_did", rids)
+      spark.table(idx.fpTable)
+        .filter(col("_did").isNotNull && col("_bid").isin(bids: _*)),
+      "_did", rids)
     val fresh = ReplaySafe.dropSeen(delta, idCol, seen)
     val deltaCounts = fpDocCounts(fresh, textCol, idCol, idx.hash64, idx.delimiter)
       .localCheckpoint(true)
     val lazyOut =
-      cleanedAgainstCounts(fresh, textCol, idCol, idx, minDocs, deltaCounts)
+      cleanedAgainstCounts(fresh, textCol, idCol, idx, minDocs, deltaCounts, bids)
     // materializes the cleaned text BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger append ([[graft.operators.IdempotentSink]])
-    val fpType = if (idx.hash64) "bigint" else "string"
-    Dedup.writeBucketedTable(
-      deltaCounts
-        .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
-        .unionByName(fresh.select(
-          lit(null).cast(fpType).as("_fp"),
-          lit(null).cast("bigint").as("_ndocs"),
-          col(idCol).cast("bigint").as("_did"))),
-      idx.fpTable, idx.buckets, Seq("_fp"),
-      org.apache.spark.sql.SaveMode.Append)
+    // nothing fresh ⇒ nothing to commit (a marker-only append would
+    // grow the table once per replay for no visible rows); both frames
+    // are tiny materialized caches, so this is two take-style jobs
+    if (seen.count() < rids.count()) {
+      val bid = newBid()
+      val fpType = if (idx.hash64) "bigint" else "string"
+      Dedup.writeBucketedTable(
+        deltaCounts
+          .select(
+            col("_fp"), col("_ndocs"),
+            lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
+          .unionByName(fresh.select(
+            lit(null).cast(fpType).as("_fp"),
+            lit(null).cast("bigint").as("_ndocs"),
+            col(idCol).cast("bigint").as("_did"),
+            lit(bid).as("_bid"))),
+        idx.fpTable, idx.buckets, Seq("_fp"),
+        org.apache.spark.sql.SaveMode.Append)
+      // rows first, marker last — the marker IS the batch's commit
+      commitMarker(idx, bid, spark)
+    }
     // release ONLY the internal checkpoints: lazyOut's plan also contains
     // the CALLER's delta blocks (lineFps and the re-admission join read
     // the delta directly), which are the caller's to free
@@ -336,16 +427,19 @@ object Lines {
       idCol: String,
       idx: LineIndex,
       minDocs: Int,
-      deltaCounts: DataFrame
+      deltaCounts: DataFrame,
+      bids: Seq[Long]
   ): DataFrame = {
     val spark = delta.sparkSession
     val lines = lineFps(delta, textCol, idCol, idx.hash64, idx.delimiter)
     // appends leave multiple rows per fp; summing on the bucket key
     // plans as a bucketed scan + partial agg with no Exchange. Ledger
-    // rows (NULL _fp) are filtered out — counts only.
+    // rows (NULL _fp) are filtered out — counts only — and so are
+    // orphan rows of uncommitted batches (the `_bid` isin is a pushed
+    // parquet predicate, not a join; see [[committedBids]]).
     val corpusCounts = spark
       .table(idx.fpTable)
-      .filter(col("_fp").isNotNull)
+      .filter(col("_fp").isNotNull && col("_bid").isin(bids: _*))
       .groupBy(col("_fp"))
       .agg(sum(col("_ndocs")).as("_corpus_ndocs"))
     val hot = deltaCounts
@@ -377,11 +471,13 @@ object Lines {
       )
   }
 
-  /** Compact the line catalogue after many appends: merge the
-    * per-append count rows into one row per fingerprint (probes sum at
-    * read time either way — compaction keeps the sum but shrinks the
-    * table back to one row and one file set per bucket). See
-    * [[Dedup.compactBucketedIndexTable]] for the swap mechanics.
+  /** Compact the line catalogue after many appends: merge the committed
+    * count rows into one row per fingerprint (probes sum at read time
+    * either way — compaction keeps the sum but shrinks the table back
+    * to one row and one file set per bucket), carry the committed
+    * ledger through, SWEEP the orphan rows of uncommitted (marker-less)
+    * batches, and re-commit everything as the single batch `_bid = 0`.
+    * See [[Dedup.compactBucketedIndexTable]] for the swap mechanics.
     */
   def compactLineIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -393,16 +489,31 @@ object Lines {
       idx.buckets,
       Seq("_fp"),
       t => {
-        // merge the count rows; carry the ledger rows through unchanged
-        // (deduped — a doc's ledger row is unique per the disjoint-
-        // delta contract, but a replay-healed table may hold one copy)
-        val counts = t
-          .filter(col("_did").isNull)
+        // visibility inside the one-shot rewrite is a semi join (no
+        // driver collect needed off the hot path); markers have both
+        // key columns NULL
+        val committed = t
+          .filter(col("_fp").isNull && col("_did").isNull)
+          .select(col("_bid"))
+          .distinct()
+        val vis = t.join(committed, Seq("_bid"), "left_semi")
+        val counts = vis
+          .filter(col("_fp").isNotNull)
           .groupBy(col("_fp"))
           .agg(sum(col("_ndocs")).as("_ndocs"))
-          .select(col("_fp"), col("_ndocs"), lit(null).cast("bigint").as("_did"))
-        val ledger = t.filter(col("_did").isNotNull).distinct()
-        counts.unionByName(ledger)
+          .select(
+            col("_fp"), col("_ndocs"),
+            lit(null).cast("bigint").as("_did"), lit(0L).as("_bid"))
+        // ledger rows dedup by doc id (a doc commits under exactly one
+        // batch, but belt-and-braces against hand-planted states)
+        val ledger = vis
+          .filter(col("_did").isNotNull)
+          .select(
+            col("_fp"), col("_ndocs"), col("_did"), lit(0L).as("_bid"))
+          .distinct()
+        counts
+          .unionByName(ledger)
+          .unionByName(markerRow(t.sparkSession, idx.hash64, bid = 0L))
       }
     )
 }

@@ -64,7 +64,12 @@ import org.apache.spark.sql.functions._
   * absent rows reconstructs the clean-fold table. The first attempt
   * never pays for this: [[noneSeen]] gates the row-level path to
   * replays (no delta id in the table ⇒ the plain append is already
-  * correct). The one thing a torn LEDGER append costs is emissions:
+  * correct). The line catalogue is the one family NEITHER granularity
+  * can heal — its count rows are batch-level AGGREGATES, not identity
+  * rows — so it gates visibility behind a per-batch single-row commit
+  * marker instead ([[Lines.catalogueRows]]): a torn batch is invisible
+  * and the replay re-derives it whole. The one thing a torn LEDGER
+  * append costs is emissions:
   * ids whose ledger rows did commit read "seen" on replay, so their
   * never-delivered pairs are suppressed — recoverable only via the
   * sink path below, which is why at-least-once callers should pass a

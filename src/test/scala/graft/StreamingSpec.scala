@@ -936,6 +936,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("torn-append replay cannot double-count lines: the batch commit marker gates visibility") {
+    // lines are the one family whose index rows are batch-level
+    // AGGREGATES (per-fp doc counts), so a torn job commit — count rows
+    // landed, marker missing — must leave the batch INVISIBLE: a replay
+    // that saw the orphan counts as committed would re-derive counts
+    // for the ledger-missing docs and double-count every shared line
+    import graft.operators.{Dedup, Lines}
+    val corpus = Seq((1L, "shared banner line\nuniq a"), (2L, "other stuff\nuniq b"))
+      .toDF("doc_id", "text")
+    val full = Seq((10L, "shared banner line\nuniq c"), (11L, "shared banner line\nuniq d"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val liA = Lines.writeLineIndex(corpus, "text", "doc_id", "rpw_ln_a", buckets = 4)
+    val liB = Lines.writeLineIndex(corpus, "text", "doc_id", "rpw_ln_b", buckets = 4)
+    def cleaned(df: org.apache.spark.sql.DataFrame): Map[Long, Option[String]] = {
+      val m = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      graft.CacheUtil.release(df); m
+    }
+    def visibleBannerCount(t: String): Long = {
+      val bids = spark.table(t).filter($"_fp".isNull && $"_did".isNull)
+        .select($"_bid").collect().map(_.getLong(0)).toSeq
+      spark.table(t).filter($"_fp".isNotNull && $"_bid".isin(bids: _*))
+        .agg(sum($"_ndocs")).collect().head.getLong(0)
+    }
+    try {
+      graft.CacheUtil.release(
+        Lines.dropDuplicatedLinesIncrementalFold(full, "text", "doc_id", liB))
+      // manufacture the torn state on A from the clean twin's batch
+      // rows: ALL count rows + doc 10's ledger row landed, doc 11's
+      // ledger row and the commit marker did not
+      val torn = spark.table(liB.fpTable)
+        .filter($"_bid" =!= 0L && ($"_fp".isNotNull || $"_did" === 10L))
+      assert(torn.filter($"_fp".isNotNull).count() > 0, "no count rows in the torn plant")
+      Dedup.writeBucketedTable(torn, liA.fpTable, 4, Seq("_fp"),
+        org.apache.spark.sql.SaveMode.Append)
+      // marker absent ⇒ the whole torn batch is invisible: fresh = the
+      // FULL batch again, and its cleaning sees the PRE-batch corpus
+      val healed = cleaned(Lines.dropDuplicatedLinesIncrementalFold(full, "text", "doc_id", liA))
+      assert(healed === Map(10L -> Some("uniq c"), 11L -> Some("uniq d")))
+      // the banner line is in corpus doc 1 + batch docs 10, 11 = 3; a
+      // double-count would read 5
+      assert(visibleBannerCount(liA.fpTable) === visibleBannerCount(liB.fpTable),
+        "torn batch double-counted its lines")
+      // the orphan rows are still on disk (invisible)…
+      assert(spark.table(liA.fpTable).count() > spark.table(liB.fpTable).count())
+      // …until compaction sweeps them and the tables converge exactly
+      Lines.compactLineIndex(spark, liA)
+      Lines.compactLineIndex(spark, liB)
+      def rows(t: String) = spark.table(t)
+        .collect().map(r => (Option(r.get(0)).map(_.toString),
+          Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString)))
+        .sortBy(x => (x._1.getOrElse(""), x._2.getOrElse(""), x._3.getOrElse(""))).toSeq
+      assert(rows(liA.fpTable) === rows(liB.fpTable),
+        "compacted torn table diverged from the clean twin")
+      // and the healed catalogue keeps ingesting with the right counts
+      val p = cleaned(Lines.dropDuplicatedLinesIncrementalFold(
+        Seq((20L, "shared banner line\nuniq e")).toDF("doc_id", "text"),
+        "text", "doc_id", liA))
+      assert(p === Map(20L -> Some("uniq e")))
+    } finally {
+      graft.CacheUtil.release(full)
+      Seq(liA.fpTable, liB.fpTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("mid-batch replay idempotence: passage + line folds (incl. windowless and NULL-text ledger rows)") {
     import graft.operators.{Lines, Passages}
     val (base, other) = rpTexts
@@ -965,8 +1029,8 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS `${pIdx.fpTable}`")
     }
 
-    // ---- lines: counts + ledger land in ONE atomic append; a NULL-text
-    // doc is recorded by its ledger row alone
+    // ---- lines: a batch's counts + ledger become visible only via its
+    // commit marker; a NULL-text doc is recorded by its ledger row alone
     val lCorpus = Seq((1L, "shared banner line\nuniq a"), (2L, "other stuff\nuniq b"))
       .toDF("doc_id", "text")
     val lDelta = Seq((10L, "shared banner line\nuniq c"), (11L, null.asInstanceOf[String]))
