@@ -250,11 +250,17 @@ object Lines {
     if (b == 0L) 1L else b
   }
 
-  /** Batch ids whose commit marker landed — the visibility set. One row
-    * per committed batch (compaction collapses history to a single
-    * batch), so this is a bounded catalog-sized driver read, and the
-    * resulting `isin` filter pushes into the parquet scan instead of
-    * joining the corpus side on a non-bucket key.
+  /** Batch ids whose commit marker landed — the visibility set. The
+    * RESULT is one row per committed batch (compaction collapses
+    * history to a single batch), so the driver read is bounded; the
+    * SCAN behind it is column-pruned to `(_fp, _did, _bid)` and
+    * parquet null-count row-group stats skip every pure-count group
+    * (`_fp IS NULL` needs a nonzero fp null count), leaving the
+    * NULL-fp bucket's ledger+marker rows — per-batch cost that tracks
+    * the ledger, not the corpus, and is paid once per fold/probe call.
+    * The resulting `isin` filter pushes into the corpus scan instead
+    * of joining it on a non-bucket key (a join's planner-estimated
+    * marker side could flip to a sort-merge and shuffle the corpus).
     */
   private def committedBids(
       spark: org.apache.spark.sql.SparkSession,
