@@ -172,7 +172,8 @@ object Lines {
   /** The rows the catalogue persists for one batch of `df` — THREE
     * kinds in ONE bucketed table (schema `(_fp, _ndocs, _did, _bid)`):
     * per-fingerprint distinct-doc COUNT rows (`_did` NULL), one LEDGER
-    * row per doc (`_fp`/`_ndocs` NULL, `_did` = the doc id), and —
+    * row per doc (`_ndocs` NULL, `_did` = the doc id, `_fp` = a
+    * bucket-spread surrogate — [[ledgerFp]]), and —
     * written separately by [[commitMarker]] — one COMMIT MARKER row per
     * batch (`_fp`/`_ndocs`/`_did` all NULL). Every row carries the
     * batch id `_bid`, and the visibility rule is: **a row counts only
@@ -203,18 +204,30 @@ object Lines {
       delimiter: String,
       bid: Long
   ): DataFrame = {
-    val fpType = if (hash64) "bigint" else "string"
     fpDocCounts(df, textCol, idCol, hash64, delimiter)
       .select(
         col("_fp"), col("_ndocs"),
         lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
       .unionByName(
         df.select(
-          lit(null).cast(fpType).as("_fp"),
+          ledgerFp(col(idCol), hash64).as("_fp"),
           lit(null).cast("bigint").as("_ndocs"),
           col(idCol).cast("bigint").as("_did"),
           lit(bid).as("_bid")))
   }
+
+  /** Bucket-SPREAD surrogate `_fp` for a ledger row: a hash of the doc
+    * id in the table's fp kind. The fp of a ledger row is never joined
+    * or aggregated (row kind is keyed off column NULLABILITY — counts
+    * have `_ndocs`, ledger rows have `_did`, markers have neither — so
+    * a surrogate colliding with a real line fp is harmless); its only
+    * job is to spread the per-doc ledger across ALL buckets. A NULL fp
+    * would hash every ledger row of a billion-doc corpus into the one
+    * NULL bucket, making each batch's ledger read a single-task scan of
+    * the whole ingest history — the classic skewed-bucket trap.
+    */
+  private def ledgerFp(id: org.apache.spark.sql.Column, hash64: Boolean) =
+    if (hash64) xxhash64(id) else md5(id.cast("string"))
 
   /** The single-row batch commit marker (see [[catalogueRows]]). One
     * row ⇒ one task file ⇒ one rename: the batch's atomic commit point.
@@ -254,10 +267,11 @@ object Lines {
     * RESULT is one row per committed batch (compaction collapses
     * history to a single batch), so the driver read is bounded; the
     * SCAN behind it is column-pruned to `(_fp, _did, _bid)` and
-    * parquet null-count row-group stats skip every pure-count group
-    * (`_fp IS NULL` needs a nonzero fp null count), leaving the
-    * NULL-fp bucket's ledger+marker rows — per-batch cost that tracks
-    * the ledger, not the corpus, and is paid once per fold/probe call.
+    * parquet null-count row-group stats skip every count and ledger
+    * group (`_fp IS NULL` needs a nonzero fp null count; only marker
+    * rows have one), leaving the NULL-fp bucket's marker rows — a
+    * per-batch cost that tracks the number of committed batches, paid
+    * once per fold/probe call.
     * The resulting `isin` filter pushes into the corpus scan instead
     * of joining it on a non-bucket key (a join's planner-estimated
     * marker side could flip to a sort-merge and shuffle the corpus).
@@ -402,14 +416,13 @@ object Lines {
     // are tiny materialized caches, so this is two take-style jobs
     if (seen.count() < rids.count()) {
       val bid = newBid()
-      val fpType = if (idx.hash64) "bigint" else "string"
       Dedup.writeBucketedTable(
         deltaCounts
           .select(
             col("_fp"), col("_ndocs"),
             lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
           .unionByName(fresh.select(
-            lit(null).cast(fpType).as("_fp"),
+            ledgerFp(col(idCol), idx.hash64).as("_fp"),
             lit(null).cast("bigint").as("_ndocs"),
             col(idCol).cast("bigint").as("_did"),
             lit(bid).as("_bid"))),
@@ -439,13 +452,13 @@ object Lines {
     val spark = delta.sparkSession
     val lines = lineFps(delta, textCol, idCol, idx.hash64, idx.delimiter)
     // appends leave multiple rows per fp; summing on the bucket key
-    // plans as a bucketed scan + partial agg with no Exchange. Ledger
-    // rows (NULL _fp) are filtered out — counts only — and so are
+    // plans as a bucketed scan + partial agg with no Exchange. Non-count
+    // rows (NULL _ndocs: ledger + markers) are filtered out — and so are
     // orphan rows of uncommitted batches (the `_bid` isin is a pushed
     // parquet predicate, not a join; see [[committedBids]]).
     val corpusCounts = spark
       .table(idx.fpTable)
-      .filter(col("_fp").isNotNull && col("_bid").isin(bids: _*))
+      .filter(col("_ndocs").isNotNull && col("_bid").isin(bids: _*))
       .groupBy(col("_fp"))
       .agg(sum(col("_ndocs")).as("_corpus_ndocs"))
     val hot = deltaCounts
@@ -504,7 +517,7 @@ object Lines {
           .distinct()
         val vis = t.join(committed, Seq("_bid"), "left_semi")
         val counts = vis
-          .filter(col("_fp").isNotNull)
+          .filter(col("_ndocs").isNotNull)
           .groupBy(col("_fp"))
           .agg(sum(col("_ndocs")).as("_ndocs"))
           .select(

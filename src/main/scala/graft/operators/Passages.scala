@@ -250,13 +250,17 @@ object Passages {
     )
 
   /** The rows the passage index persists for `df`: per-(doc, fp) window
-    * occurrence counts, PLUS one NULL-fp marker row per windowless doc
-    * (shorter than `windowTokens` tokens, or NULL text). The markers
+    * occurrence counts, PLUS one marker row per windowless doc (shorter
+    * than `windowTokens` tokens, or NULL text; `_occ = 0`). The markers
     * make the table's `_pid` set a COMPLETE ledger of every indexed doc
     * — the replay-safety anchor for [[passageDupFractionIncrementalFold]]
-    * ([[graft.operators.ReplaySafe]]). They are invisible to every
-    * probe: the dup condition is an `_fp` equi-semi-join and NULL never
-    * equi-matches; compaction's pure merge keeps them.
+    * ([[graft.operators.ReplaySafe]]). A marker's `_fp` is a
+    * bucket-SPREAD surrogate ([[markerFp]] — a NULL fp would pile every
+    * short doc of a web-scale crawl into the one NULL bucket, making
+    * the ledger read a single-task scan); markers are invisible to
+    * every probe because the dup semi-join's corpus side filters on
+    * `_occ > 0` (the marker's fp must never count as a stored window —
+    * a surrogate can collide with a real window hash).
     */
   private def indexRows(
       df: DataFrame,
@@ -268,16 +272,21 @@ object Passages {
       .groupBy(col(idCol), col("_fp"))
       .agg(count(lit(1)).as("_occ"))
       .select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
-    val fpType = if (idx.hash64) "bigint" else "string"
     // size(split(NULL)) = -1, so NULL-text docs also get a marker
     val markers = df
       .filter(size(split(col(textCol), " ")) < idx.windowTokens)
       .select(
         col(idCol).as("_pid"),
-        lit(null).cast(fpType).as("_fp"),
+        markerFp(col(idCol), idx.hash64).as("_fp"),
         lit(0L).as("_occ"))
     counts.unionByName(markers)
   }
+
+  /** Bucket-spread surrogate `_fp` for a windowless-doc marker row (see
+    * [[indexRows]]): a hash of the doc id in the table's fp kind.
+    */
+  private def markerFp(id: org.apache.spark.sql.Column, hash64: Boolean) =
+    if (hash64) xxhash64(id) else md5(id.cast("string"))
 
   /** Incremental [[passageDupFraction]]: profile every `delta` document
     * against corpus ∪ delta, where the corpus is the persisted index. A
@@ -362,15 +371,14 @@ object Passages {
     // materializes the profile BEFORE the append mutates the table
     val out = lazyOut.localCheckpoint(true)
     sink.foreach(_(out)) // persist before the ledger append ([[graft.operators.IdempotentSink]])
-    val fpType = if (idx.hash64) "bigint" else "string"
     val markers = delta
       .filter(size(split(col(textCol), " ")) < idx.windowTokens)
       .select(
         col(idCol).as("_pid"),
-        lit(null).cast(fpType).as("_fp"),
+        markerFp(col(idCol), idx.hash64).as("_fp"),
         lit(0L).as("_occ"))
-    // append heals at ROW granularity — (_pid, _fp), null-safe for the
-    // windowless marker rows — because a torn job commit can land
+    // append heals at ROW granularity — (_pid, _fp), covering the
+    // windowless markers too — because a torn job commit can land
     // WITHIN one doc's window rows ([[Dedup.appendRowHealed]])
     Dedup.appendRowHealed(
       deltaFp.select(col(idCol).as("_pid"), col("_fp"), col("_occ"))
@@ -400,7 +408,9 @@ object Passages {
       ReplaySafe.excludeIds(spark.table(idx.fpTable), "_pid", _))
     val corpusDup = deltaFps
       .select(col("_fp"))
-      .join(corpus.select(col("_fp")), Seq("_fp"), "left_semi")
+      // _occ > 0 excludes the windowless-doc marker rows — their
+      // surrogate fps must never count as stored windows ([[indexRows]])
+      .join(corpus.filter(col("_occ") > 0).select(col("_fp")), Seq("_fp"), "left_semi")
     val dupFps = withinDup.unionByName(corpusDup).distinct()
     val dupPerDoc = deltaFp
       .join(dupFps, Seq("_fp"))

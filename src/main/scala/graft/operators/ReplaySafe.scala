@@ -57,9 +57,8 @@ import org.apache.spark.sql.functions._
   * vector-LSH bands, passage windows) need ROW-level healing: a tear
   * can land WITHIN one id (a doc's 16 band rows span up to 16 bucketed
   * files), leaving it "seen" by id with rows missing — so their
-  * appends use [[rowKeysPresent]]/[[dropRowsPresent]] (anti-join on
-  * the row identity key, null-safe for marker rows) instead of a
-  * per-id drop. Re-derivation is deterministic (admission excludes the
+  * appends use [[rowKeysPresent]]/[[dropRowsPresent]] (a null-safe
+  * anti-join on the row identity key) instead of a per-id drop. Re-derivation is deterministic (admission excludes the
   * delta's stored rows and ranks by id), so completing exactly the
   * absent rows reconstructs the clean-fold table. The first attempt
   * never pays for this: [[noneSeen]] gates the row-level path to
@@ -169,8 +168,9 @@ private[operators] object ReplaySafe {
   /** Rows of `df` whose `keyCols` tuple is absent from `present` (a
     * [[rowKeysPresent]] frame) — the row-level append filter: a replay
     * after a torn append completes exactly the missing rows of every
-    * id, duplicating none. Null-safe per column (passage marker rows
-    * carry a NULL fp). Join strategy is AQE's call: `present` is
+    * id, duplicating none. Null-safe per column (defensive — row kinds
+    * with NULL key columns existed in schema v2 and may be planted in
+    * tests). Join strategy is AQE's call: `present` is
     * materialized, so an empty/small set broadcasts and a full replay's
     * set sort-merges.
     */

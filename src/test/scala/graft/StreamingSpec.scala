@@ -956,18 +956,23 @@ class StreamingSpec extends AnyFunSuite {
     def visibleBannerCount(t: String): Long = {
       val bids = spark.table(t).filter($"_fp".isNull && $"_did".isNull)
         .select($"_bid").collect().map(_.getLong(0)).toSeq
-      spark.table(t).filter($"_fp".isNotNull && $"_bid".isin(bids: _*))
+      spark.table(t).filter($"_ndocs".isNotNull && $"_bid".isin(bids: _*))
         .agg(sum($"_ndocs")).collect().head.getLong(0)
     }
     try {
       graft.CacheUtil.release(
         Lines.dropDuplicatedLinesIncrementalFold(full, "text", "doc_id", liB))
+      // ledger rows must carry a bucket-SPREAD surrogate fp — a NULL fp
+      // would pile a billion-doc ledger into the one NULL bucket
+      assert(spark.table(liB.fpTable)
+        .filter($"_did".isNotNull && $"_fp".isNull).count() === 0L,
+        "ledger rows with a NULL (single-bucket) fp")
       // manufacture the torn state on A from the clean twin's batch
       // rows: ALL count rows + doc 10's ledger row landed, doc 11's
       // ledger row and the commit marker did not
       val torn = spark.table(liB.fpTable)
-        .filter($"_bid" =!= 0L && ($"_fp".isNotNull || $"_did" === 10L))
-      assert(torn.filter($"_fp".isNotNull).count() > 0, "no count rows in the torn plant")
+        .filter($"_bid" =!= 0L && ($"_ndocs".isNotNull || $"_did" === 10L))
+      assert(torn.filter($"_ndocs".isNotNull).count() > 0, "no count rows in the torn plant")
       Dedup.writeBucketedTable(torn, liA.fpTable, 4, Seq("_fp"),
         org.apache.spark.sql.SaveMode.Append)
       // marker absent ⇒ the whole torn batch is invisible: fresh = the
