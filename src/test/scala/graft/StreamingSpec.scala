@@ -936,6 +936,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("torn-append replay: bands complete, shingle LEDGER torn (the asymmetric cross-table crash)") {
+    // the one tear combination the per-id and within-id gates don't
+    // reach: the band append committed WHOLE (both ids) but the shingle
+    // job — the emission ledger — tore per-id. The replay must heal the
+    // band table to a no-op (every row present), re-emit exactly the
+    // ledger-unseen id's pairs, and complete the missing shingle row.
+    import graft.operators.Dedup
+    val (base, other) = rpTexts
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val full = Seq((10L, base), (11L, base)).toDF("doc_id", "text").localCheckpoint(true)
+    val mhA = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rpx_mh_a", buckets = 4)
+    val mhB = Dedup.writeMinHashIndex(corpus, "text", "doc_id", "rpx_mh_b", buckets = 4)
+    try {
+      graft.CacheUtil.release(
+        Dedup.minHashNearDupsIncrementalFold(full, "text", "doc_id", 0.4, mhB))
+      // manufacture: ALL of the batch's band rows, but only doc 10's shingle row
+      Dedup.writeBucketedTable(
+        spark.table(mhB.bandTable).filter($"_id".isin(10L, 11L)),
+        mhA.bandTable, 4, Seq("_band", "_bucket"), org.apache.spark.sql.SaveMode.Append)
+      Dedup.writeBucketedTable(
+        spark.table(mhB.shingleTable).filter($"_sid" === 10L),
+        mhA.shingleTable, 4, Seq("_sid"), org.apache.spark.sql.SaveMode.Append)
+      val healed = Dedup.minHashNearDupsIncrementalFold(full, "text", "doc_id", 0.4, mhA)
+      val pairs = healed.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.CacheUtil.release(healed)
+      // 10's shingle (ledger) row committed → its pairs are suppressed
+      // (the documented torn-ledger cost); 11 is unseen → re-emitted
+      assert(pairs === Set((1L, 11L), (10L, 11L)))
+      def rows(t: String, cols: Seq[String]) = spark.table(t).select(cols.head, cols.tail: _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(rows(mhA.bandTable, Seq("_id", "_band", "_bucket"))
+        === rows(mhB.bandTable, Seq("_id", "_band", "_bucket")),
+        "band table diverged (the complete append must heal to a no-op)")
+      assert(rows(mhA.shingleTable, Seq("_sid"))
+        === rows(mhB.shingleTable, Seq("_sid")),
+        "shingle ledger did not complete the missing row")
+    } finally {
+      graft.CacheUtil.release(full)
+      Seq(mhA.bandTable, mhA.shingleTable, mhB.bandTable, mhB.shingleTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
   test("torn-append replay cannot double-count lines: the batch commit marker gates visibility") {
     // lines are the one family whose index rows are batch-level
     // AGGREGATES (per-fp doc counts), so a torn job commit — count rows
