@@ -38,13 +38,15 @@ import org.apache.spark.sql.functions._
   *    replay emits NOTHING and appends NOTHING, so the union of
   *    per-attempt emissions carries no duplicate rows and the index
   *    never grows twice.
-  *  - append filtering: each table's append drops rows whose ids that
-  *    TABLE already holds, so a crash between two appends of a
-  *    multi-table family (minhash bands/shingles, vector-LSH
-  *    bands/vecs) heals on replay: the committed table skips, the
-  *    missing one completes, and the emission ledger (the
-  *    LAST-appended table) still reads "unseen", so the re-derived
-  *    emissions — which the caller never received — are re-emitted.
+  *  - append filtering: each table's append drops the rows that TABLE
+  *    already holds (per-id for one-row-per-id tables, per row
+  *    identity key for multi-row ones — the torn-append paragraph), so
+  *    a crash between two appends of a multi-table family (minhash
+  *    bands/shingles, vector-LSH bands/vecs) heals on replay: the
+  *    committed table skips, the missing one completes, and the
+  *    emission ledger (the LAST-appended table) still reads "unseen",
+  *    so the re-derived emissions — which the caller never received —
+  *    are re-emitted.
   *
   * Torn appends: the ledger mechanism does not require an append to be
   * all-or-nothing — if a crash lands mid job-commit and only part of a
@@ -58,8 +60,9 @@ import org.apache.spark.sql.functions._
   * can land WITHIN one id (a doc's 16 band rows span up to 16 bucketed
   * files), leaving it "seen" by id with rows missing — so their
   * appends use [[rowKeysPresent]]/[[dropRowsPresent]] (a null-safe
-  * anti-join on the row identity key) instead of a per-id drop. Re-derivation is deterministic (admission excludes the
-  * delta's stored rows and ranks by id), so completing exactly the
+  * anti-join on the row identity key) instead of a per-id drop.
+  * Re-derivation is deterministic (admission excludes the delta's
+  * stored rows and ranks by id), so completing exactly the
   * absent rows reconstructs the clean-fold table. The first attempt
   * never pays for this: [[noneSeen]] gates the row-level path to
   * replays (no delta id in the table ⇒ the plain append is already
@@ -68,8 +71,8 @@ import org.apache.spark.sql.functions._
   * rows — so it gates visibility behind a per-batch single-row commit
   * marker instead ([[Lines.catalogueRows]]): a torn batch is invisible
   * and the replay re-derives it whole. The one thing a torn LEDGER
-  * append costs is emissions:
-  * ids whose ledger rows did commit read "seen" on replay, so their
+  * append costs is emissions: ids whose ledger rows did commit read
+  * "seen" on replay, so their
   * never-delivered pairs are suppressed — recoverable only via the
   * sink path below, which is why at-least-once callers should pass a
   * sink rather than rely on the ledger alone.
