@@ -204,16 +204,40 @@ object Lines {
       delimiter: String,
       bid: Long
   ): DataFrame = {
+    // `_did` keeps the id column's NATIVE type (the table is typed off
+    // the build corpus' schema) — a fixed bigint cast would turn a
+    // string-id corpus' ledger into NULLs, so every replay of a
+    // committed batch would read as fresh and DOUBLE-COUNT its shared
+    // lines: the silent failure the ledger exists to prevent. The
+    // reference surface is type-dynamic throughout
+    // (/root/reference/R/big.data.table.R:348-355 infers, never casts).
+    val idType = df.schema(idCol).dataType
     fpDocCounts(df, textCol, idCol, hash64, delimiter)
       .select(
         col("_fp"), col("_ndocs"),
-        lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
+        lit(null).cast(idType).as("_did"), lit(bid).as("_bid"))
       .unionByName(
         df.select(
           ledgerFp(col(idCol), hash64).as("_fp"),
           lit(null).cast("bigint").as("_ndocs"),
-          col(idCol).cast("bigint").as("_did"),
+          col(idCol).as("_did"),
           lit(bid).as("_bid")))
+  }
+
+  /** Fail fast when a delta's id type differs from the `_did` type the
+    * catalogue was built with. The replay ledger matches ids in their
+    * native type; letting Spark coerce the join instead would reopen
+    * the silent-NULL / lossy-comparison hole this check closes.
+    */
+  private def requireLedgerIdType(delta: DataFrame, idCol: String, idx: LineIndex): Unit = {
+    val stored = delta.sparkSession.table(idx.fpTable).schema("_did").dataType
+    val incoming = delta.schema(idCol).dataType
+    require(
+      stored == incoming,
+      s"line catalogue ${idx.fpTable} stores doc ids as $stored but the delta's " +
+        s"`$idCol` is $incoming — the replay ledger matches ids in their native " +
+        s"type, so a mismatched append could silently double-count on replay; " +
+        s"rebuild the catalogue from a corpus with the intended id type")
   }
 
   /** Bucket-SPREAD surrogate `_fp` for a ledger row: a hash of the doc
@@ -235,20 +259,24 @@ object Lines {
   private def markerRow(
       spark: org.apache.spark.sql.SparkSession,
       hash64: Boolean,
+      didType: org.apache.spark.sql.types.DataType,
       bid: Long
   ): DataFrame = {
     val fpType = if (hash64) "bigint" else "string"
     spark.range(1).select(
       lit(null).cast(fpType).as("_fp"),
       lit(null).cast("bigint").as("_ndocs"),
-      lit(null).cast("bigint").as("_did"),
+      lit(null).cast(didType).as("_did"),
       lit(bid).as("_bid"))
   }
 
-  /** Append the commit marker that makes batch `bid`'s rows visible. */
+  /** Append the commit marker that makes batch `bid`'s rows visible.
+    * The marker's NULL `_did` is typed off the EXISTING table — the
+    * id type was fixed at build time ([[catalogueRows]]).
+    */
   private def commitMarker(idx: LineIndex, bid: Long, spark: org.apache.spark.sql.SparkSession): Unit =
     Dedup.writeBucketedTable(
-      markerRow(spark, idx.hash64, bid),
+      markerRow(spark, idx.hash64, spark.table(idx.fpTable).schema("_did").dataType, bid),
       idx.fpTable, idx.buckets, Seq("_fp"),
       org.apache.spark.sql.SaveMode.Append)
 
@@ -306,7 +334,7 @@ object Lines {
     // the caller re-runs it)
     Dedup.writeBucketedTable(
       catalogueRows(df, textCol, idCol, hash64, delimiter, bid = 0L)
-        .unionByName(markerRow(df.sparkSession, hash64, bid = 0L)),
+        .unionByName(markerRow(df.sparkSession, hash64, df.schema(idCol).dataType, bid = 0L)),
       idx.fpTable,
       buckets,
       Seq("_fp"),
@@ -325,6 +353,7 @@ object Lines {
       idCol: String,
       idx: LineIndex
   ): Unit = {
+    requireLedgerIdType(delta, idCol, idx)
     val bid = newBid()
     Dedup.writeBucketedTable(
       catalogueRows(delta, textCol, idCol, idx.hash64, idx.delimiter, bid),
@@ -389,6 +418,7 @@ object Lines {
       sink: Option[DataFrame => Unit] = None
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2, got $minDocs")
+    requireLedgerIdType(delta, idCol, idx)
     val spark = delta.sparkSession
     // REPLAY SAFETY ([[graft.operators.ReplaySafe]] + the batch commit
     // marker, [[catalogueRows]]): only docs in COMMITTED batches'
@@ -420,11 +450,11 @@ object Lines {
         deltaCounts
           .select(
             col("_fp"), col("_ndocs"),
-            lit(null).cast("bigint").as("_did"), lit(bid).as("_bid"))
+            lit(null).cast(fresh.schema(idCol).dataType).as("_did"), lit(bid).as("_bid"))
           .unionByName(fresh.select(
             ledgerFp(col(idCol), idx.hash64).as("_fp"),
             lit(null).cast("bigint").as("_ndocs"),
-            col(idCol).cast("bigint").as("_did"),
+            col(idCol).as("_did"),
             lit(bid).as("_bid"))),
         idx.fpTable, idx.buckets, Seq("_fp"),
         org.apache.spark.sql.SaveMode.Append)
@@ -516,13 +546,14 @@ object Lines {
           .select(col("_bid"))
           .distinct()
         val vis = t.join(committed, Seq("_bid"), "left_semi")
+        val didT = t.schema("_did").dataType
         val counts = vis
           .filter(col("_ndocs").isNotNull)
           .groupBy(col("_fp"))
           .agg(sum(col("_ndocs")).as("_ndocs"))
           .select(
             col("_fp"), col("_ndocs"),
-            lit(null).cast("bigint").as("_did"), lit(0L).as("_bid"))
+            lit(null).cast(didT).as("_did"), lit(0L).as("_bid"))
         // ledger rows dedup by doc id (a doc commits under exactly one
         // batch, but belt-and-braces against hand-planted states)
         val ledger = vis
@@ -532,7 +563,7 @@ object Lines {
           .distinct()
         counts
           .unionByName(ledger)
-          .unionByName(markerRow(t.sparkSession, idx.hash64, bid = 0L))
+          .unionByName(markerRow(t.sparkSession, idx.hash64, didT, bid = 0L))
       }
     )
 }

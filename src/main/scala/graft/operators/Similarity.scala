@@ -176,7 +176,11 @@ object Similarity {
 
   /** Initial coarse centroids: an evenly-strided sample of the vectors
     * themselves (deterministic). One count + one nCentroids-row collect,
-    * at index-BUILD time only.
+    * at index-BUILD time only. Numeric ids stride directly (unchanged
+    * behavior); any other id type — the surface is type-dynamic, like
+    * the reference's (`/root/reference/R/big.data.table.R:348-355`) —
+    * strides on a deterministic hash of the id instead of failing the
+    * bigint cast.
     */
   def ivfInitCentroids(
       df: DataFrame,
@@ -186,7 +190,11 @@ object Similarity {
   ): Array[Array[Double]] = {
     val n = df.count()
     val stride = math.max(1L, n / nCentroids)
-    df.filter(pmod(col(idCol), lit(stride)) === 0)
+    val strideKey = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol)
+      case _ => xxhash64(col(idCol))
+    }
+    df.filter(pmod(strideKey, lit(stride)) === 0)
       .limit(nCentroids)
       .select(col(vecCol))
       .collect()

@@ -1245,6 +1245,217 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------- string-id replay gates (round 15) -------------------
+  // The lines `_did` bug (the ledger cast doc ids to bigint, so a
+  // string-id corpus' ledger read back NULL, every replay looked fresh,
+  // and shared lines were silently double-counted) was caught by code
+  // reading, not by a test: every fold fixture above uses LONG ids.
+  // These gates rerun the replay-idempotence contract with STRING doc
+  // ids for every fold family — the ledger must match ids in their
+  // NATIVE type, so a full replay emits nothing and no index grows. A
+  // silent-cast regression in any family's ledger fails these.
+
+  private def sPairs(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] = {
+    val s = df.select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    graft.CacheUtil.release(df); s
+  }
+
+  test("string-id replay gate: exact + minhash + simhash64/128/combo folds") {
+    import graft.operators.Dedup
+    val (base, other) = rpTexts
+
+    // ---- exact (the fp table is id-free — the fingerprint IS the
+    // ledger — but the within-delta keep-min must be the STRING min)
+    val eIdx = Dedup.writeExactDedupIndex(
+      Seq(("c-a", "alpha"), ("c-b", "beta")).toDF("doc_id", "text"), "text", "rs_ex", buckets = 4)
+    val eDelta = Seq(("d-a", "alpha"), ("d-b", "fresh"), ("d-c", "fresh"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    try {
+      def ids(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        val s = df.select("doc_id").collect().map(_.getString(0)).toSet
+        graft.CacheUtil.release(df); s
+      }
+      assert(ids(Dedup.exactDedupIncrementalFold(eDelta, "text", "doc_id", eIdx)) === Set("d-b"))
+      val n = spark.table(eIdx.fpTable).count()
+      assert(ids(Dedup.exactDedupIncrementalFold(eDelta, "text", "doc_id", eIdx)) === Set.empty[String],
+        "exact replay re-emitted under string ids")
+      assert(spark.table(eIdx.fpTable).count() === n, "exact index grew on string-id replay")
+    } finally {
+      graft.CacheUtil.release(eDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${eIdx.fpTable}`")
+    }
+
+    // ---- minhash (shingle ledger + row-healed band table)
+    val mCorpus = Seq(("c-a", base), ("c-b", other)).toDF("doc_id", "text")
+    val mDelta = Seq(("d-a", base), ("d-b", base),
+      ("d-c", "completely fresh words nothing shared here at all right now"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val mIdx = Dedup.writeMinHashIndex(mCorpus, "text", "doc_id", "rs_mh", buckets = 4)
+    try {
+      assert(sPairs(Dedup.minHashNearDupsIncrementalFold(mDelta, "text", "doc_id", 0.4, mIdx)).toSet
+        === Set(("c-a", "d-a"), ("c-a", "d-b"), ("d-a", "d-b")), "gate vacuous")
+      val nb = spark.table(mIdx.bandTable).count()
+      val ns = spark.table(mIdx.shingleTable).count()
+      assert(sPairs(Dedup.minHashNearDupsIncrementalFold(mDelta, "text", "doc_id", 0.4, mIdx)).isEmpty,
+        "minhash replay re-emitted under string ids")
+      assert(spark.table(mIdx.bandTable).count() === nb, "band table grew on string-id replay")
+      assert(spark.table(mIdx.shingleTable).count() === ns, "shingle table grew on string-id replay")
+      assert(sPairs(Dedup.minHashNearDupsIncrementalFold(
+        Seq(("e-a", base)).toDF("doc_id", "text"), "text", "doc_id", 0.4, mIdx)).toSet
+        === Set(("c-a", "e-a"), ("d-a", "e-a"), ("d-b", "e-a")), "index stopped ingesting")
+    } finally {
+      graft.CacheUtil.release(mDelta)
+      Seq(mIdx.bandTable, mIdx.shingleTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- simhash64 + simhash128 + combo (single chunk table = ledger)
+    val shCorpus = Seq(("c-a", base), ("c-b", other)).toDF("doc_id", "text")
+    val shDelta = Seq(("d-a", base)).toDF("doc_id", "text").localCheckpoint(true)
+    val s64 = Dedup.writeSimHashIndex(shCorpus, "text", "doc_id", "rs_s64", buckets = 4)
+    val s128 = Dedup.writeSimHash128Index(shCorpus, "text", "doc_id", "rs_s128", buckets = 4)
+    val cb = Dedup.writeSimHashComboIndex(
+      shCorpus, "text", "doc_id", "rs_cb", maxHamming = 3, blocks = 6, buckets = 4)
+    try {
+      assert(sPairs(Dedup.simHashNearDupsIncrementalFold(shDelta, "text", "doc_id", s64))
+        .contains(("c-a", "d-a")), "gate vacuous")
+      val n64 = spark.table(s64.chunkTable).count()
+      assert(sPairs(Dedup.simHashNearDupsIncrementalFold(shDelta, "text", "doc_id", s64)).isEmpty,
+        "simhash64 replay re-emitted under string ids")
+      assert(spark.table(s64.chunkTable).count() === n64, "simhash64 chunk table grew on string-id replay")
+
+      assert(sPairs(Dedup.simHashNearDups128IncrementalFold(shDelta, "text", "doc_id", s128))
+        .contains(("c-a", "d-a")), "gate vacuous")
+      val n128 = spark.table(s128.chunkTable).count()
+      assert(sPairs(Dedup.simHashNearDups128IncrementalFold(shDelta, "text", "doc_id", s128)).isEmpty,
+        "simhash128 replay re-emitted under string ids")
+      assert(spark.table(s128.chunkTable).count() === n128, "simhash128 chunk table grew on string-id replay")
+
+      assert(sPairs(Dedup.simHashNearDupsIncrementalComboFold(shDelta, "text", "doc_id", cb))
+        .contains(("c-a", "d-a")), "gate vacuous")
+      val ncb = spark.table(cb.chunkTable).count()
+      assert(sPairs(Dedup.simHashNearDupsIncrementalComboFold(shDelta, "text", "doc_id", cb)).isEmpty,
+        "combo replay re-emitted under string ids")
+      assert(spark.table(cb.chunkTable).count() === ncb, "combo chunk table grew on string-id replay")
+    } finally {
+      graft.CacheUtil.release(shDelta)
+      Seq(s64.chunkTable, s128.chunkTable, cb.chunkTable)
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+  }
+
+  test("string-id replay gate: vector-LSH + semdedup + passage + line folds (and the lines type fail-fast)") {
+    import graft.operators.{Lines, Passages, Similarity}
+    val (base, other) = rpTexts
+
+    // ---- vector-LSH (vec table = ledger, band table self-gates)
+    def vecRow(id: String, x: Float) = (id, Array(x, 1f, 0.5f, -0.25f))
+    val vCorpus = Seq(vecRow("c-a", 1f), vecRow("c-b", -8f)).toDF("vec_id", "embedding")
+    val vDelta = Seq(vecRow("d-a", 1f)).toDF("vec_id", "embedding").localCheckpoint(true)
+    val vIdx = Similarity.writeLshIndex(
+      vCorpus, "embedding", "vec_id", "rs_lsh", nPlanes = 4, dim = 4, nTables = 2, buckets = 4)
+    try {
+      assert(sPairs(Similarity.lshNearDupsIncrementalFold(vDelta, "embedding", "vec_id", 0.95, vIdx))
+        === Seq(("c-a", "d-a")), "gate vacuous")
+      val nb = spark.table(vIdx.bandTable).count()
+      val nv = spark.table(vIdx.vecTable).count()
+      assert(sPairs(Similarity.lshNearDupsIncrementalFold(vDelta, "embedding", "vec_id", 0.95, vIdx)).isEmpty,
+        "vector-LSH replay re-emitted under string ids")
+      assert(spark.table(vIdx.bandTable).count() === nb, "LSH band table grew on string-id replay")
+      assert(spark.table(vIdx.vecTable).count() === nv, "LSH vec table grew on string-id replay")
+    } finally {
+      graft.CacheUtil.release(vDelta)
+      Seq(vIdx.bandTable, vIdx.vecTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+    // ---- semdedup against written IVF lists
+    val iCorpus = Seq(vecRow("c-a", 1f), vecRow("c-b", -8f), vecRow("c-c", -7.5f))
+      .toDF("vec_id", "embedding")
+    val built = Similarity.ivfBuild(iCorpus, "embedding", "vec_id", nCentroids = 2, refineIters = 1)
+    val iDir = java.nio.file.Files.createTempDirectory("rs_ivf").toString
+    Similarity.ivfWrite(built, iDir)
+    graft.CacheUtil.release(built.assigned)
+    val iDelta = Seq(vecRow("d-a", 1f)).toDF("vec_id", "embedding").localCheckpoint(true)
+    try {
+      assert(sPairs(Similarity.semDedupPairsIncrementalFold(
+        spark, iDelta, iDir, "embedding", "vec_id", threshold = 0.95)) === Seq(("c-a", "d-a")),
+        "gate vacuous")
+      val n = spark.read.parquet(s"$iDir/lists").count()
+      assert(sPairs(Similarity.semDedupPairsIncrementalFold(
+        spark, iDelta, iDir, "embedding", "vec_id", threshold = 0.95)).isEmpty,
+        "semdedup replay re-emitted under string ids")
+      assert(spark.read.parquet(s"$iDir/lists").count() === n, "IVF lists grew on string-id replay")
+    } finally graft.CacheUtil.release(iDelta)
+
+    // ---- passages (per-doc output; windowless marker rows must ledger
+    // the short doc under its STRING id too)
+    val pCorpus = Seq(("c-a", base), ("c-b", other)).toDF("doc_id", "text")
+    val pDelta = Seq(("d-a", base), ("d-b", "tiny doc"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val pIdx = Passages.writePassageIndex(pCorpus, "text", "doc_id", "rs_ps", windowTokens = 4, buckets = 4)
+    try {
+      def prof(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] = {
+        val m = df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        graft.CacheUtil.release(df); m
+      }
+      val p1 = prof(Passages.passageDupFractionIncrementalFold(pDelta, "text", "doc_id", pIdx))
+      assert(p1("d-a")._2 > 0, "shared window not detected — gate vacuous")
+      assert(p1("d-b") === ((0L, 0L)), "short doc must profile at zero windows")
+      val pRows = spark.table(pIdx.fpTable).count()
+      val p2 = prof(Passages.passageDupFractionIncrementalFold(pDelta, "text", "doc_id", pIdx))
+      assert(p2.isEmpty, s"passage replay re-emitted $p2 under string ids")
+      assert(spark.table(pIdx.fpTable).count() === pRows, "passage index grew on string-id replay")
+    } finally {
+      graft.CacheUtil.release(pDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${pIdx.fpTable}`")
+    }
+
+    // ---- lines: THE family the bigint cast broke. The catalogue is
+    // typed off the build corpus (`_did` string here); the replay must
+    // read its own ledger back, so the double-count guard is the
+    // sum(_ndocs) assert — under the old cast it would read 2× after
+    // the replay.
+    val lCorpus = Seq(("c-a", "shared banner line\nuniq a"), ("c-b", "other stuff\nuniq b"))
+      .toDF("doc_id", "text")
+    val lDelta = Seq(("d-a", "shared banner line\nuniq c"), ("d-b", null.asInstanceOf[String]))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val lIdx = Lines.writeLineIndex(lCorpus, "text", "doc_id", "rs_ln", buckets = 4)
+    try {
+      assert(spark.table(lIdx.fpTable).schema("_did").dataType ===
+        org.apache.spark.sql.types.StringType, "ledger _did must keep the id's native type")
+      def cleaned(df: org.apache.spark.sql.DataFrame): Map[String, Option[String]] = {
+        val m = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+        graft.CacheUtil.release(df); m
+      }
+      val l1 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(lDelta, "text", "doc_id", lIdx))
+      assert(l1("d-a") === Some("uniq c"), "hot banner line not removed — gate vacuous")
+      assert(l1("d-b") === None, "NULL text must survive as NULL")
+      val rows = spark.table(lIdx.fpTable).count()
+      val counts = spark.table(lIdx.fpTable).agg(sum($"_ndocs")).collect().head.getLong(0)
+      val l2 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(lDelta, "text", "doc_id", lIdx))
+      assert(l2.isEmpty, s"line replay re-emitted $l2 under string ids")
+      assert(spark.table(lIdx.fpTable).count() === rows, "line catalogue grew on string-id replay")
+      assert(spark.table(lIdx.fpTable).agg(sum($"_ndocs")).collect().head.getLong(0) === counts,
+        "line counts double-folded on string-id replay — the bigint-cast bug")
+      val l3 = cleaned(Lines.dropDuplicatedLinesIncrementalFold(
+        Seq(("e-a", "shared banner line\nuniq d")).toDF("doc_id", "text"), "text", "doc_id", lIdx))
+      assert(l3("e-a") === Some("uniq d"), "catalogue stopped ingesting after replay")
+      // a mismatched id type must fail FAST, not silently coerce
+      val err = intercept[IllegalArgumentException] {
+        Lines.dropDuplicatedLinesIncrementalFold(
+          Seq((99L, "x")).toDF("doc_id", "text"), "text", "doc_id", lIdx)
+      }
+      assert(err.getMessage.contains("native type"), s"unexpected message: ${err.getMessage}")
+      val err2 = intercept[IllegalArgumentException] {
+        Lines.appendToLineIndex(
+          Seq((99L, "x")).toDF("doc_id", "text"), "text", "doc_id", lIdx)
+      }
+      assert(err2.getMessage.contains("native type"))
+    } finally {
+      graft.CacheUtil.release(lDelta)
+      spark.sql(s"DROP TABLE IF EXISTS `${lIdx.fpTable}`")
+    }
+  }
+
   test("every fold family invokes its sink BEFORE its first index append") {
     import graft.operators.{Dedup, Lines, Passages, Similarity}
     // The ordering is THE load-bearing invariant of the sink contract:
