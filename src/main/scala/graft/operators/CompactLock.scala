@@ -15,9 +15,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * overwrite=false)`): a second compactor never steals a LIVE
   * compactor's sentinel. A pre-existing sentinel is reclaimed only
   * when its recorded holder is provably not running here — the pid it
-  * carries is not alive on this machine, is this very JVM (a leftover
-  * from a failed attempt in-process: the failure path deliberately
-  * leaves the sentinel behind, see [[releaseIfCanonical]]), or the
+  * carries is not alive on this machine, is this very JVM with NO
+  * in-flight compactor registered on the path (a leftover from a
+  * failed attempt in-process: the failure path deliberately leaves the
+  * sentinel behind, see [[releaseIfCanonical]]; a sentinel whose path
+  * IS registered belongs to another live thread of this JVM and is
+  * never stolen — [[inFlight]]), or the
   * sentinel is unreadable/unparsable (pre-upgrade format — fail open
   * to reclaim, matching the historical behavior those sentinels were
   * written under). The reclaim itself is an atomic rename of the stale
@@ -47,6 +50,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * safe again immediately.
   */
 private[graft] object CompactLock {
+
+  /** JVM-local registry of sentinel paths held by LIVE in-process
+    * compactors. The pid-liveness rule alone cannot distinguish "this
+    * JVM's leftover from a failed attempt" (reclaimable) from "another
+    * THREAD of this JVM is compacting right now" (stealing its
+    * sentinel would let both proceed through the non-atomic
+    * snapshot/rename swap) — both read as `holder == self`. A path is
+    * registered for exactly the sentinel's critical section:
+    * [[acquire]] adds it after the create that takes the lock,
+    * [[releaseIfCanonical]] removes it unconditionally (even when the
+    * sentinel file deliberately stays behind after a mid-swap failure,
+    * the in-process compactor is finished — the next same-JVM attempt
+    * must be able to reclaim).
+    */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Sentinel path for a partitioned-dir layout (`<dir>_compact_lock`). */
   def forDir(dir: String): Path = new Path(dir + "_compact_lock")
@@ -78,13 +97,30 @@ private[graft] object CompactLock {
         s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
           .getBytes("UTF-8"))
       out.close()
+      inFlight.add(lock.toString)
+      ()
     }
     try create()
     catch {
-      case _: java.io.IOException =>
-        // sentinel already present (create-exclusive refused) — decide
-        // whether the recorded holder is provably not a live foreign
-        // compactor before reclaiming
+      case e: java.io.IOException =>
+        // Only "sentinel already present" (create-exclusive refused) may
+        // enter the reclaim path. Any other I/O failure — permissions, a
+        // flaky mount — must surface as ITSELF: letting it through here
+        // would end in a misleading "reclaimed by a concurrent
+        // compactor" when the rename of the nonexistent sentinel fails.
+        val present =
+          e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            (try fs.exists(lock)
+            catch { case _: java.io.IOException => false })
+        if (!present) throw e
+        // decide whether the recorded holder is provably not a live
+        // compactor (foreign pid, or another thread of THIS JVM) before
+        // reclaiming
+        if (inFlight.contains(lock.toString))
+          throw new IllegalStateException(
+            s"compaction sentinel $lock is held by another thread of this " +
+              "JVM — refusing to steal a running compactor's lock; wait " +
+              "for it to finish")
         val holder = holderPid(fs, lock)
         val self = ProcessHandle.current().pid()
         val liveForeign = holder.exists(p =>
@@ -131,8 +167,12 @@ private[graft] object CompactLock {
       fs: FileSystem,
       lock: Path,
       canonicalPresent: => Boolean
-  ): Unit =
+  ): Unit = {
+    // the in-process critical section is over either way — only the
+    // on-disk sentinel is conditional (see object scaladoc)
+    inFlight.remove(lock.toString)
     if (canonicalPresent) { fs.delete(lock, false); () }
+  }
 
   /** Fail fast when a compaction holds (or died holding) the sentinel:
     * an append that proceeded would be silently dropped by the

@@ -1652,6 +1652,73 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS `${t.fpTable}`")
   }
 
+  test("compaction lock same-pid: a second thread of this JVM cannot reclaim a live lock; a finished attempt's leftover stays reclaimable") {
+    import graft.operators.CompactLock
+    // `holder pid == self` alone cannot distinguish "leftover from a
+    // failed in-process attempt" (reclaimable) from "another THREAD of
+    // this JVM is compacting right now" — stealing the latter's
+    // sentinel would let two compactors race through the non-atomic
+    // snapshot/rename swap. The JVM-local in-flight registry closes it.
+    val dir = java.nio.file.Files.createTempDirectory("cl_samepid").toString
+    val lock = CompactLock.forDir(s"$dir/idx")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CompactLock.acquire(fs, lock) // this thread's live compactor
+    try {
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try CompactLock.acquire(fs, lock)
+        catch { case e: Throwable => err.set(e) })
+      t.start(); t.join()
+      assert(err.get() != null, "a second same-JVM acquire STOLE a live lock")
+      assert(err.get().isInstanceOf[IllegalStateException], s"wrong error: ${err.get()}")
+      assert(err.get().getMessage.contains("another thread of this JVM"),
+        s"wrong refusal: ${err.get().getMessage}")
+      assert(fs.exists(lock), "the live lock was removed by the refused acquire")
+    } finally
+      // the mid-swap failure shape: sentinel deliberately stays behind,
+      // but the in-process critical section is over
+      CompactLock.releaseIfCanonical(fs, lock, canonicalPresent = false)
+    assert(fs.exists(lock), "canonical-absent release must keep the sentinel")
+    // …and the next same-JVM attempt reclaims the leftover as before
+    CompactLock.acquire(fs, lock)
+    CompactLock.releaseIfCanonical(fs, lock, canonicalPresent = true)
+    assert(!fs.exists(lock), "clean release must remove the sentinel")
+  }
+
+  test("compaction lock acquire: a transient IOException surfaces as itself, not as a reclaim race") {
+    import graft.operators.CompactLock
+    import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
+    // every IOException used to be read as "sentinel present", sending a
+    // permissions/network failure into the reclaim path where the rename
+    // of the NONEXISTENT sentinel fails and the caller sees a misleading
+    // "reclaimed by a concurrent compactor" instead of the real error
+    val dir = java.nio.file.Files.createTempDirectory("cl_ioerr").toString
+    val real = new Path(s"$dir/idx_compact_lock")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val failing = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream =
+        throw new java.io.IOException("injected transient failure")
+    }
+    val lock = CompactLock.forDir(s"$dir/idx")
+    val e = intercept[java.io.IOException] { CompactLock.acquire(failing, lock) }
+    assert(e.getMessage === "injected transient failure",
+      s"the real I/O failure was swallowed: ${e.getMessage}")
+    assert(!real.exists(lock), "no sentinel may exist after a failed create")
+    // …while a genuinely-present sentinel still routes into reclaim
+    // (create-exclusive refusal + fs.exists confirms), even when the
+    // filesystem reports it via a plain IOException
+    val out = real.create(lock, false)
+    out.write("unparsable pre-upgrade sentinel".getBytes("UTF-8")); out.close()
+    val failing2 = new org.apache.hadoop.fs.FilterFileSystem(real) {
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream =
+        if (real.exists(f)) throw new java.io.IOException(s"File already exists: $f")
+        else real.create(f, overwrite)
+    }
+    CompactLock.acquire(failing2, lock) // reclaims the unparsable leftover
+    CompactLock.releaseIfCanonical(real, lock, canonicalPresent = true)
+    assert(!real.exists(lock))
+  }
+
   test("NULL-text semantics: line dedup preserves NULL; exact-dedup modes agree NULL is unseen") {
     // line dedup: a NULL-text doc produces no line rows, so it must come
     // back NULL (byte-identical), not coerced to '' like a doc whose
