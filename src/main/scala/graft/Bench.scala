@@ -173,6 +173,21 @@ object Bench {
     if (childMode) runInProcess() else orchestrate()
   }
 
+  /** Env-var integer parse that cannot abort a multi-minute bench run
+    * with an opaque NumberFormatException mid-flight: a malformed value
+    * is reported loudly on stderr and IGNORED, so the caller's default
+    * applies and the run completes.
+    */
+  private def envInt(name: String): Option[Int] =
+    sys.env.get(name).flatMap { v =>
+      val parsed = scala.util.Try(v.trim.toInt).toOption
+      if (parsed.isEmpty)
+        System.err.println(
+          s"[bench] $name must be an integer, got '$v' — ignoring it " +
+            "and using the default")
+      parsed
+    }
+
   // ------------------------------------------------------------------
   // child / dev-loop mode: the round-8 measurement protocol, one JVM
   // ------------------------------------------------------------------
@@ -202,7 +217,7 @@ object Bench {
     // to stop driver-side planning too. The query is recorded FAILED and
     // the bench continues — the failure is still visible in the JSON line.
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "120").toInt
+      envInt("SPARK_GRAFT_QUERY_BUDGET_SEC").getOrElse(120)
 
     def materialize(name: String, dir: String): Unit = {
       val group = s"bench-$name"
@@ -329,7 +344,7 @@ object Bench {
     // floor — warm + one timed pass per scale, identical at every scale,
     // answers it. Numbers from an overridden run are never comparable to
     // the committed min-of-N artifacts and must be labeled as such.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt.max(1)) match {
+    val passes = envInt("SPARK_GRAFT_BENCH_PASSES").map(_.max(1)) match {
       case Some(n) => Seq.fill(n)(timedPass())
       case None =>
         if (tokens.size <= 2) Seq(timedPass(), timedPass(), timedPass())
@@ -397,7 +412,24 @@ object Bench {
     // the end-to-end composition embeds a full 16-band minhash pass —
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with
-    "p11_pipeline")
+    "p11_pipeline",
+    // m05 writes 500 one-doc files and reads them back via binaryFile —
+    // filesystem-bound, and it read 2.12 s in the r14 m-family batch vs
+    // ~1.0 isolated on byte-unchanged code (the d21 in-batch-outlier
+    // class); solo it and give it a floor row
+    "m05_binaryfile_ingest")
+
+  /** The queries whose committed in-batch readings have repeatedly run
+    * ~3× their quiet-box isolated minima on this box (st04 across
+    * r12-r14, m05 in r14) — each gets one extra singleton child after
+    * the batches and an "isolated_floor" entry in the artifact, so the
+    * per-round judge can separate box state from code without a manual
+    * A/B (r14 verdict ask #7).
+    */
+  private val isolatedFloorQueries: Set[String] = Set(
+    "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
+    "st07_stream_restart", "st08_stream_replay", "st09_stream_sink",
+    "st10_stream_exactly_once", "m05_binaryfile_ingest")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     def familyOf(n: String) = n.takeWhile(!_.isDigit)
@@ -413,7 +445,7 @@ object Bench {
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "120").toInt
+      envInt("SPARK_GRAFT_QUERY_BUDGET_SEC").getOrElse(120)
     val small = smallDirFor(sfDir)
     val tokens = headline.filter(SparkEntry.queries.contains) ++
       (if (small.isDefined)
@@ -434,6 +466,42 @@ object Bench {
     val cp = System.getProperty("java.class.path")
 
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench-")
+
+    // One child JVM over `batch`; `fileTag` names its artifact/log files,
+    // `desc` labels the stderr progress lines. Shared by the batch loop
+    // and the isolated-floor pass below.
+    def spawnChild(batch: Seq[String], fileTag: String, desc: String): Option[ChildResult] = {
+      val outFile = tmpDir.resolve(s"$fileTag.json")
+      val logFile = tmpDir.resolve(s"$fileTag.log").toFile
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", batch.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+      pb.environment().remove("SPARK_GRAFT_BENCH_INPROCESS")
+      // children must never write to the parent's stdout: the external
+      // driver parses the parent's single JSON line from process output
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(logFile)
+      System.err.println(s"[bench] $desc: ${batch.mkString(",")}")
+      val p = pb.start()
+      // hang guard only — each query already has its own in-child
+      // budget; this bounds a child that wedges outside any query
+      val timeoutSec = 120L + batch.size.toLong * 3L * budgetSec
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) p.destroyForcibly()
+      val childLine =
+        if (done && p.exitValue() == 0 && java.nio.file.Files.exists(outFile))
+          new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8").trim
+        else ""
+      if (childLine.isEmpty) {
+        System.err.println(
+          s"[bench] $desc FAILED (exit=" +
+            (if (done) p.exitValue().toString else "timeout") +
+            s"); see $logFile")
+        None
+      } else Some(parseChildLine(childLine))
+    }
+
     var merged = Map.empty[String, Double]
     var failed = Seq.empty[String]
     var calibMax = 0.0
@@ -451,40 +519,11 @@ object Bench {
     // Clamped to >= 1 (round-10 advice): 0 must mean "run once, never
     // retry", not "never run the multi-query batches at all".
     val maxAttempts = math.max(
-      1, sys.env.getOrElse("SPARK_GRAFT_CONTENTION_RETRIES", "3").toInt)
+      1, envInt("SPARK_GRAFT_CONTENTION_RETRIES").getOrElse(3))
     batches.zipWithIndex.foreach { case (batch, i) =>
-      def runChild(attempt: Int): Option[ChildResult] = {
-        val outFile = tmpDir.resolve(s"batch_${i}_a$attempt.json")
-        val logFile = tmpDir.resolve(s"batch_${i}_a$attempt.log").toFile
-        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", batch.mkString(","))
-        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
-        pb.environment().remove("SPARK_GRAFT_BENCH_INPROCESS")
-        // children must never write to the parent's stdout: the external
-        // driver parses the parent's single JSON line from process output
-        pb.redirectErrorStream(true)
-        pb.redirectOutput(logFile)
-        System.err.println(
-          s"[bench] batch ${i + 1}/${batches.size} attempt $attempt: ${batch.mkString(",")}")
-        val p = pb.start()
-        // hang guard only — each query already has its own in-child
-        // budget; this bounds a child that wedges outside any query
-        val timeoutSec = 120L + batch.size.toLong * 3L * budgetSec
-        val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) p.destroyForcibly()
-        val childLine =
-          if (done && p.exitValue() == 0 && java.nio.file.Files.exists(outFile))
-            new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8").trim
-          else ""
-        if (childLine.isEmpty) {
-          System.err.println(
-            s"[bench] batch ${i + 1} attempt $attempt FAILED (exit=" +
-              (if (done) p.exitValue().toString else "timeout") +
-              s"); see $logFile")
-          None
-        } else Some(parseChildLine(childLine))
-      }
+      def runChild(attempt: Int): Option[ChildResult] =
+        spawnChild(batch, s"batch_${i}_a$attempt",
+          s"batch ${i + 1}/${batches.size} attempt $attempt")
       var best: Option[ChildResult] = None
       var attempt = 1
       // Singleton batches (the five heavy incremental probes) run TWO
@@ -569,11 +608,36 @@ object Bench {
       )
     }
 
+    // ISOLATED-FLOOR PASS (r14 verdict ask #7): the probe+append/stream
+    // solo class reads up to 3× its quiet-box floor inside a full
+    // orchestration on this box (st04 read 25.7-29.0 committed vs
+    // 6.4-8.7 isolated across r12-r14; m05 2.12 vs ~1.0) — box state,
+    // not code, but two consecutive rounds burned a diagnosis cycle
+    // proving that with manual A/B runs. Record the floor evidence IN
+    // the artifact: one extra singleton child per class member AFTER
+    // the batches complete, reported under "isolated_floor" as the MIN
+    // over every observation of the query this run. Regression hunts
+    // compare floors; the in-batch "queries" values stay the
+    // round-over-round comparable series. Skippable for ad-hoc runs
+    // via SPARK_GRAFT_SKIP_FLOOR=1.
+    var floors = Map.empty[String, Double]
+    if (!sys.env.get("SPARK_GRAFT_SKIP_FLOOR").contains("1")) {
+      val floorTokens = tokens.filter(isolatedFloorQueries.contains)
+      floorTokens.zipWithIndex.foreach { case (q, j) =>
+        spawnChild(Seq(q), s"floor_$j",
+          s"isolated floor ${j + 1}/${floorTokens.size}").foreach { r =>
+          r.queries.get(q).foreach { v =>
+            floors += q -> math.min(v, merged.getOrElse(q, Double.MaxValue))
+          }
+        }
+      }
+    }
+
     val line = renderLine(
       merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
       ref, contended, contendedQueries, leaked, sfDir,
       isolation = "fresh-jvm-batches", batches = batches.size,
-      batchesDone = batches.size)
+      batchesDone = batches.size, isolatedFloor = floors)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
@@ -625,7 +689,8 @@ object Bench {
       sfDir: String,
       isolation: String,
       batches: Int,
-      batchesDone: Int = -1
+      batchesDone: Int = -1,
+      isolatedFloor: Map[String, Double] = Map.empty
   ): String = {
     // single-jvm callers pass no batchesDone — their one batch is done
     val doneN = if (batchesDone < 0) batches else batchesDone
@@ -638,6 +703,9 @@ object Bench {
     val (smallRes, mainRes) = results.partition(_._1.endsWith(smallSuffix))
     val total = mainRes.map(_._2).sum
     val smallTotal = smallRes.map(_._2).sum
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f}"""
+    val floorJson = isolatedFloor.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":$floorJson}"""
   }
 }
