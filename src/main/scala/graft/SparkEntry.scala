@@ -2930,8 +2930,11 @@ object SparkEntry {
     ),
     // the SINK half of exactly-once, end-to-end: st05's probe-then-
     // append loop where every batch's emissions are committed through
-    // [[graft.operators.IdempotentSink]] (atomic rename, first write
-    // wins) via the fold's `sink` callback — which fires BEFORE the
+    // [[graft.operators.IdempotentSink]] (first write wins; the commit
+    // point is an atomic dir rename on posix/HDFS and a marker-object
+    // PUT on object stores — CommitMode.Auto picks by scheme, and the
+    // manifest crash window has its own StreamingSpec gate) via the
+    // fold's `sink` callback — which fires BEFORE the
     // index appends, so by the time the replay ledger can suppress a
     // batch its emissions are already durable. The middle batch walks
     // BOTH crash windows: (a) crash after the sink commit but before

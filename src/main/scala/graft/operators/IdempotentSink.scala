@@ -42,11 +42,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-derivation is empty — still skips at step 1, so it can never
   * erase a first attempt's rows.
   *
-  * Object stores without atomic rename (S3) need a manifest commit
-  * instead of step 2 — pair the store with a table format there; the
-  * first-write-wins contract (step 1) is what any implementation must
-  * keep. Assumes one writer per batch id at a time (Structured
-  * Streaming replays are sequential by the offset log).
+  * Object stores without atomic directory rename (s3a, gs, …) take
+  * the MANIFEST commit instead ([[CommitMode.Manifest]], selected
+  * automatically by filesystem scheme): parquet files land directly in
+  * the target dir, and a single `_committed-<k>` marker object —
+  * written LAST, one PUT, atomic on every object store — is the
+  * batch's commit point. Readers ([[read]], [[committedBatches]]) gate
+  * on the marker, so a crash mid-write leaves an invisible partial dir
+  * that the retry clears and rewrites; first-write-wins becomes
+  * "first MARKER wins" (step 1 checks the marker, not the dir). A
+  * store lives its whole life under ONE mode — [[CommitMode.Auto]]
+  * picks deterministically from the scheme, so mixed-mode states only
+  * arise from explicit overrides, which are for tests. Assumes one
+  * writer per batch id at a time (Structured Streaming replays are
+  * sequential by the offset log).
   *
   * Provenance: the overwrite/skip-by-batchId discipline is the standard
   * Structured Streaming foreachBatch exactly-once recipe (Apache Spark
@@ -57,17 +66,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IdempotentSink {
 
+  /** Which commit protocol a batch write uses. `Auto` (the default
+    * everywhere) picks by filesystem scheme: rename-commit on the
+    * schemes whose directory rename is atomic (`file`, `hdfs`,
+    * `viewfs`), manifest-commit on everything else (s3a, s3, gs, …).
+    * The explicit modes exist for tests (exercising the manifest
+    * protocol on the local fs) and for operators who know their fs
+    * better than its scheme tells — a store must use the same mode for
+    * every write and read of its life.
+    */
+  sealed trait CommitMode
+  object CommitMode {
+    case object Auto extends CommitMode
+    case object Rename extends CommitMode
+    case object Manifest extends CommitMode
+  }
+
+  private def resolvedMode(
+      fs: org.apache.hadoop.fs.FileSystem,
+      mode: CommitMode
+  ): CommitMode = mode match {
+    case CommitMode.Auto =>
+      Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("file") match {
+        case "file" | "hdfs" | "viewfs" => CommitMode.Rename
+        case _ => CommitMode.Manifest
+      }
+    case m => m
+  }
+
+  private def markerPath(base: Path, batchId: Long): Path =
+    new Path(base, s"_committed-$batchId")
+
   /** The canonical fold `sink` argument:
     * `fold(..., sink = Some(IdempotentSink.batchWriter(dir, batchId)))`.
     */
-  def batchWriter(dir: String, batchId: Long): DataFrame => Unit =
-    df => { writeBatch(df, dir, batchId); () }
+  def batchWriter(
+      dir: String,
+      batchId: Long,
+      mode: CommitMode = CommitMode.Auto
+  ): DataFrame => Unit =
+    df => { writeBatch(df, dir, batchId, mode); () }
 
   /** Commit `emissions` as batch `batchId` of `dir` under the
     * first-write-wins protocol above. Returns true iff THIS call
     * committed the batch (false = already committed, nothing written).
     */
-  def writeBatch(emissions: DataFrame, dir: String, batchId: Long): Boolean = {
+  def writeBatch(
+      emissions: DataFrame,
+      dir: String,
+      batchId: Long,
+      mode: CommitMode = CommitMode.Auto
+  ): Boolean = {
     require(
       !emissions.columns.contains("batch_id"),
       "emissions must not carry a batch_id column — the sink adds it as " +
@@ -77,28 +126,48 @@ object IdempotentSink {
     val base = new Path(dir)
     val fs = base.getFileSystem(conf)
     val target = new Path(base, s"batch_id=$batchId")
-    if (fs.exists(target)) return false
-    fs.mkdirs(base)
-    sweepStaging(spark, dir, batchId)
-    val staging =
-      new Path(base, s".staging-$batchId-${java.util.UUID.randomUUID()}")
-    emissions.write.parquet(staging.toString)
-    // rename-commit
-    if (!fs.rename(staging, target)) {
-      fs.delete(staging, true)
-      return false
+    resolvedMode(fs, mode) match {
+      case CommitMode.Manifest =>
+        // first MARKER wins: the marker object is the commit point
+        val marker = markerPath(base, batchId)
+        if (fs.exists(marker)) return false
+        fs.mkdirs(base)
+        // a crashed prior attempt may have left a partial, marker-less
+        // dir — invisible to gated readers, so clear and rewrite whole
+        fs.delete(target, true)
+        emissions.write.parquet(target.toString)
+        // single-object PUT, written LAST — atomic on object stores,
+        // where a directory rename is a non-atomic copy+delete
+        val out = fs.create(marker, false)
+        out.write(
+          s"batch $batchId committed ${java.time.Instant.now()}\n"
+            .getBytes("UTF-8"))
+        out.close()
+        true
+      case _ =>
+        if (fs.exists(target)) return false
+        fs.mkdirs(base)
+        sweepStaging(spark, dir, batchId)
+        val staging =
+          new Path(base, s".staging-$batchId-${java.util.UUID.randomUUID()}")
+        emissions.write.parquet(staging.toString)
+        // rename-commit
+        if (!fs.rename(staging, target)) {
+          fs.delete(staging, true)
+          return false
+        }
+        // Hadoop rename semantics: if target already existed (a concurrent
+        // winner landed between the exists check and the rename), our
+        // staging dir was moved INSIDE it rather than becoming it — the
+        // litter is dot-prefixed (invisible to reads) either way; detect,
+        // clean, and yield to the winner
+        val movedInside = new Path(target, staging.getName)
+        if (fs.exists(movedInside)) {
+          fs.delete(movedInside, true)
+          return false
+        }
+        true
     }
-    // Hadoop rename semantics: if target already existed (a concurrent
-    // winner landed between the exists check and the rename), our
-    // staging dir was moved INSIDE it rather than becoming it — the
-    // litter is dot-prefixed (invisible to reads) either way; detect,
-    // clean, and yield to the winner
-    val movedInside = new Path(target, staging.getName)
-    if (fs.exists(movedInside)) {
-      fs.delete(movedInside, true)
-      return false
-    }
-    true
   }
 
   /** Delete staging litter for `batchId` left by a crashed prior
@@ -115,25 +184,58 @@ object IdempotentSink {
 
   /** Every committed batch's emissions as one frame, with the
     * `batch_id` partition column. Requires at least one committed
-    * batch (parquet needs a schema source).
+    * batch (parquet needs a schema source). In manifest mode only
+    * marker-committed batch dirs are read — a torn, marker-less dir is
+    * invisible, exactly like a marker-less line-catalogue batch
+    * ([[Lines.catalogueRows]]).
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+  def read(
+      spark: SparkSession,
+      dir: String,
+      mode: CommitMode = CommitMode.Auto
+  ): DataFrame = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    resolvedMode(fs, mode) match {
+      case CommitMode.Manifest =>
+        val committed = committedBatches(spark, dir, mode)
+        require(
+          committed.nonEmpty,
+          s"sink store $dir has no committed batches (no _committed-* " +
+            "markers) — nothing to read")
+        spark.read
+          .option("basePath", dir)
+          .parquet(committed.map(k => s"$dir/batch_id=$k"): _*)
+      case _ => spark.read.parquet(dir)
+    }
+  }
 
   /** Batch ids committed so far, ascending — the store's progress
-    * ledger (empty batches count: they committed a zero-row dir).
+    * ledger (empty batches count: they committed a zero-row dir; in
+    * manifest mode the ledger is the marker objects, so a torn dir
+    * never counts).
     */
-  def committedBatches(spark: SparkSession, dir: String): Seq[Long] = {
+  def committedBatches(
+      spark: SparkSession,
+      dir: String,
+      mode: CommitMode = CommitMode.Auto
+  ): Seq[Long] = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) Seq.empty
-    else
-      fs.listStatus(base)
-        .map(_.getPath.getName)
-        .collect { case s if s.startsWith("batch_id=") =>
-          s.stripPrefix("batch_id=").toLong
-        }
-        .sorted
-        .toSeq
+    else {
+      val names = fs.listStatus(base).map(_.getPath.getName)
+      val ids = resolvedMode(fs, mode) match {
+        case CommitMode.Manifest =>
+          names.collect { case s if s.startsWith("_committed-") =>
+            s.stripPrefix("_committed-").toLong
+          }
+        case _ =>
+          names.collect { case s if s.startsWith("batch_id=") =>
+            s.stripPrefix("batch_id=").toLong
+          }
+      }
+      ids.sorted.toSeq
+    }
   }
 }

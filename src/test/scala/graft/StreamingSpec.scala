@@ -1578,6 +1578,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("IdempotentSink manifest mode: the marker is the commit point; a torn marker-less dir is invisible and healed") {
+    import graft.operators.IdempotentSink
+    import IdempotentSink.CommitMode
+    // the object-store protocol (no atomic directory rename): parquet
+    // files land in the target dir and a single _committed-<k> marker
+    // object, PUT last, is the batch's commit point. Forced explicitly
+    // here — the local fs auto-resolves to Rename.
+    val dir = java.nio.file.Files.createTempDirectory("rp_sink_mf").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val a = Seq((1L, 10L)).toDF("id_a", "id_b")
+    val b = Seq((2L, 20L)).toDF("id_a", "id_b")
+    def stored(): Set[(Long, Long)] =
+      IdempotentSink.read(spark, dir, CommitMode.Manifest)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(IdempotentSink.writeBatch(a, dir, 0L, CommitMode.Manifest), "first write must commit")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_committed-0")), "marker not written")
+    assert(!IdempotentSink.writeBatch(b, dir, 0L, CommitMode.Manifest), "first MARKER must win")
+    assert(stored() === Set((1L, 10L)), "a replay clobbered a committed batch")
+    // CRASH WINDOW: batch 1's parquet files landed but the crash hit
+    // before the marker PUT — the torn dir must be invisible to the
+    // ledger and the reader both
+    b.write.parquet(s"$dir/batch_id=1")
+    assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L),
+      "a marker-less dir counted as committed")
+    assert(stored() === Set((1L, 10L)), "a marker-less dir was readable")
+    // …and the retry clears the partial dir and commits ITS frame whole
+    val c = Seq((3L, 30L)).toDF("id_a", "id_b")
+    assert(IdempotentSink.writeBatch(c, dir, 1L, CommitMode.Manifest),
+      "retry of a torn batch must commit")
+    assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L, 1L))
+    assert(stored() === Set((1L, 10L), (3L, 30L)),
+      "the healed batch must hold the retry's rows, not the torn leftovers")
+    assert(IdempotentSink.read(spark, dir, CommitMode.Manifest).columns.contains("batch_id"),
+      "partition-column discovery lost under the explicit-dir read")
+    // empty batches commit here too (the store is the progress ledger)
+    assert(IdempotentSink.writeBatch(a.limit(0), dir, 2L, CommitMode.Manifest))
+    assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L, 1L, 2L))
+    assert(stored() === Set((1L, 10L), (3L, 30L)))
+    assert(!IdempotentSink.writeBatch(b, dir, 2L, CommitMode.Manifest),
+      "an empty committed batch must still win over a replay")
+    // a store with no committed batches reads as a loud error, not a
+    // confusing parquet schema failure
+    val none = java.nio.file.Files.createTempDirectory("rp_sink_mf0").toString
+    a.write.parquet(s"$none/batch_id=0") // torn: no marker
+    val err = intercept[IllegalArgumentException] {
+      IdempotentSink.read(spark, none, CommitMode.Manifest)
+    }
+    assert(err.getMessage.contains("no committed batches"))
+  }
+
   test("sink half end-to-end: minhash fold + IdempotentSink across the crash windows") {
     import graft.operators.{Dedup, IdempotentSink}
     val (base, other) = rpTexts
