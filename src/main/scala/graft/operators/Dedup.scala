@@ -2633,8 +2633,11 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // `_sid` keeps the id's native type (joins and the `<` pair order
+    // are type-generic) — the surface is type-dynamic, like the
+    // reference's
     val sh = df.select(
-      col(idCol).cast("long").as("_sid"),
+      col(idCol).as("_sid"),
       TextFunctions.shingleSet(col(textCol), shingleSize).as("_sh")
     )
     val sigCols = (0 until numHashes).map { i =>
@@ -2680,7 +2683,7 @@ object Dedup {
       shingleSize: Int
   ): DataFrame =
     df.select(
-        col(idCol).cast("long").as("_sid"),
+        col(idCol).as("_sid"),
         explode(TextFunctions.shingleSet(col(textCol), shingleSize)).as("_x")
       )
       .select(
@@ -2768,8 +2771,11 @@ object Dedup {
       recomputed: (Column, Column) => Column,
       thresholdOk: Column => Column
   ): DataFrame = {
+    // ids stay in their native type throughout — the equality joins and
+    // the id_a < id_b order check are type-generic, so the audit
+    // composes with string-id pair sets too
     val t = docs.select(
-      col(idCol).cast("long").as("_vid"),
+      col(idCol).as("_vid"),
       col(textCol).as("_vtext")
     )
     val m = col(measureCol).cast("double")
@@ -2777,8 +2783,8 @@ object Dedup {
       .join(t.as("ta"), col("id_a") === col("ta._vid"), "left")
       .join(t.as("tb"), col("id_b") === col("tb._vid"), "left")
       .select(
-        col("id_a").cast("long").as("id_a"),
-        col("id_b").cast("long").as("id_b"),
+        col("id_a"),
+        col("id_b"),
         when(col("id_a") >= col("id_b"), "pair order violated: id_a >= id_b")
           .when(
             col("ta._vid").isNull || col("tb._vid").isNull,

@@ -73,10 +73,18 @@ object Packing {
     // peers — one unbounded pack that packTexts would then concatenate
     // into a single giant string. The id defines the pack order, so a
     // NULL id is a contract violation: reject it loudly per row.
+    // numeric ids bucket by value (unchanged behavior); any other id
+    // type — the surface is type-dynamic like the reference's — buckets
+    // on a deterministic hash instead of failing the ANSI numeric cast.
+    // Pack ORDER stays the id's native ordering either way.
+    val bucketKey = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol)
+      case _ => xxhash64(col(idCol))
+    }
     val bucket = when(
       col(idCol).isNull,
       raise_error(lit(s"packGreedy: NULL $idCol — pack order needs non-null ids"))
-    ).otherwise(pmod(col(idCol), lit(nBuckets)).cast("long"))
+    ).otherwise(pmod(bucketKey, lit(nBuckets)).cast("long"))
     val win = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
     df.withColumn("pack_bucket", bucket)
       .withColumn(

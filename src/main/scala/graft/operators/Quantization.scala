@@ -81,9 +81,16 @@ object Quantization {
     val subDim = dim / m
     val n = df.count()
     val stride = math.max(1L, n / k)
-    // init: the same stride-sampled rows seed every subspace
+    // init: the same stride-sampled rows seed every subspace. Numeric
+    // ids stride directly (unchanged); any other id type strides on a
+    // deterministic hash instead of failing the ANSI numeric cast
+    // (same type-dynamic rule as [[Similarity.ivfInitCentroids]]).
+    val strideKey = df.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol)
+      case _ => xxhash64(col(idCol))
+    }
     val seeds = df
-      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .filter(pmod(strideKey, lit(stride)) === 0)
       .orderBy(col(idCol))
       .limit(k)
       .select(col(vecCol).cast("array<double>"))

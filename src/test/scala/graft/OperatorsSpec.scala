@@ -2994,6 +2994,54 @@ class OperatorsSpec extends AnyFunSuite {
       out.orderBy("doc_id").collect().toSeq)
   }
 
+  test("string-id type dynamism: packGreedy, pqTrain, ivfBuild, md5 twins, pair audit accept string ids") {
+    // the reference surface is type-dynamic; Spark 4 runs ANSI-on, so a
+    // baked-in numeric cast on an id column fails loudly but pointlessly
+    // for string-id corpora. These entry points (the ones outside the
+    // fold families, which have their own replay gates) must work with
+    // string ids: numeric ids keep their exact historical behavior,
+    // non-numeric ids bucket/stride on a deterministic hash.
+    import operators.{Dedup, Packing, Quantization, Similarity}
+    // packGreedy: packs fill identically to the numeric case per bucket
+    val sdf = (1 to 40).map(i => (f"doc-$i%03d", 100L)).toDF("doc_id", "w")
+    val packs = Packing.packGreedy(sdf, "doc_id", "w", budget = 300L, nBuckets = 4)
+    val sizes = packs.groupBy("pack_bucket", "pack_seq").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.forall(s => s == 3 || s == 1), s"pack sizes: ${sizes.toSeq}")
+    assert(packs.select("doc_id").distinct().count() === 40)
+    // pqTrain + ivfBuild: quantizers train off string-keyed vectors
+    val vecs = (1 to 32).map(i => (s"v-$i", Array.tabulate(8)(j => (i * 7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = Quantization.pqTrain(vecs, "embedding", "vec_id", m = 2, k = 4, iters = 1)
+    assert(cb.k === 4 && cb.m === 2)
+    val built = Similarity.ivfBuild(vecs, "embedding", "vec_id", nCentroids = 2, refineIters = 1)
+    assert(built.assigned.select("vec_id").distinct().count() === 32)
+    graft.CacheUtil.release(built.assigned)
+    // md5 oracle twins: identical docs pair under string ids, ordered by
+    // the ids' native (string) ordering
+    val docs = Seq(
+      ("a-1", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("a-2", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("b-9", "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minHashMd5NearDups(docs, "text", "doc_id", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mh === Set(("a-1", "a-2")), s"md5 minhash twin under string ids: $mh")
+    val sh = Dedup.simHashMd5NearDups(docs, "text", "doc_id")
+      .select("id_a", "id_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sh.contains(("a-1", "a-2")), s"md5 simhash twin under string ids: $sh")
+    // the pair-invariant audit composes with the string-id pair set
+    val pairs = Dedup.minHashMd5NearDups(docs, "text", "doc_id", 0.9)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val bad = Dedup.pairInvariantViolations(
+      pairs, docs, "text", "doc_id", "jaccard",
+      (a, b) => Dedup.jaccard(
+        graft.functions.TextFunctions.shingleSet(a, 3),
+        graft.functions.TextFunctions.shingleSet(b, 3)),
+      m => m >= 0.9)
+    assert(bad.isEmpty, s"audit flagged a clean string-id pair set: ${bad.collect().toSeq}")
+  }
+
   test("redactPii replaces each PII shape and leaves clean text alone") {
     val df = Seq(
       Doc(1, "write to jane.doe+test@sub.example.org today"),
