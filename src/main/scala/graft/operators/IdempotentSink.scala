@@ -225,15 +225,15 @@ object IdempotentSink {
     if (!fs.exists(base)) Seq.empty
     else {
       val names = fs.listStatus(base).map(_.getPath.getName)
+      // parse defensively: a foreign file that happens to share the
+      // prefix (editor droppings, a hand-written note) must not crash
+      // every reader of the store with a NumberFormatException
+      def idsWithPrefix(prefix: String): Array[Long] =
+        names.collect { case s if s.startsWith(prefix) => s.stripPrefix(prefix) }
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
       val ids = resolvedMode(fs, mode) match {
-        case CommitMode.Manifest =>
-          names.collect { case s if s.startsWith("_committed-") =>
-            s.stripPrefix("_committed-").toLong
-          }
-        case _ =>
-          names.collect { case s if s.startsWith("batch_id=") =>
-            s.stripPrefix("batch_id=").toLong
-          }
+        case CommitMode.Manifest => idsWithPrefix("_committed-")
+        case _ => idsWithPrefix("batch_id=")
       }
       ids.sorted.toSeq
     }
