@@ -413,7 +413,7 @@ object Bench {
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with
     "p11_pipeline",
-    // m05 writes 500 one-doc files and reads them back via binaryFile —
+    // m05 writes one file per doc (5000 at sf0.1) and reads them back via binaryFile —
     // filesystem-bound, and it read 2.12 s in the r14 m-family batch vs
     // ~1.0 isolated on byte-unchanged code (the d21 in-batch-outlier
     // class); solo it and give it a floor row
