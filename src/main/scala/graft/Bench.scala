@@ -624,12 +624,37 @@ object Bench {
     if (!sys.env.get("SPARK_GRAFT_SKIP_FLOOR").contains("1")) {
       val floorTokens = tokens.filter(isolatedFloorQueries.contains)
       floorTokens.zipWithIndex.foreach { case (q, j) =>
-        spawnChild(Seq(q), s"floor_$j",
-          s"isolated floor ${j + 1}/${floorTokens.size}").foreach { r =>
-          r.queries.get(q).foreach { v =>
-            floors += q -> math.min(v, merged.getOrElse(q, Double.MaxValue))
-          }
+        // a CONTENDED floor child defeats the row's whole purpose
+        // (quiet-box evidence) — retry once in a fresh JVM; if both
+        // attempts ran loaded, record NO floor (absence beats a number
+        // the next judge would misread as a regression)
+        def attempt(a: Int): Option[ChildResult] =
+          spawnChild(Seq(q), s"floor_${j}_a$a",
+            s"isolated floor ${j + 1}/${floorTokens.size} attempt $a")
+        val first = attempt(1)
+        val attempts =
+          if (first.exists(_.contended)) first.toSeq ++ attempt(2) else first.toSeq
+        val clean = attempts.filterNot(_.contended)
+        (if (clean.nonEmpty) clean else Nil)
+          .flatMap(_.queries.get(q)) match {
+          case Nil =>
+            if (attempts.nonEmpty)
+              System.err.println(
+                s"[bench] floor for $q stayed contended across attempts — not recorded")
+          case vs =>
+            floors += q -> math.min(vs.min, merged.getOrElse(q, Double.MaxValue))
         }
+        // same crash-safe rewrite discipline as the batch loop: a
+        // budget kill mid-pass must not discard completed floors
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+          (renderLine(
+            merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
+            ref, contended, contendedQueries, leaked, sfDir,
+            isolation = "fresh-jvm-batches", batches = batches.size,
+            batchesDone = batches.size, isolatedFloor = floors) + "\n").getBytes("UTF-8")
+        )
       }
     }
 

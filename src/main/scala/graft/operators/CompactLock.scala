@@ -93,11 +93,24 @@ private[graft] object CompactLock {
   def acquire(fs: FileSystem, lock: Path): Unit = {
     def create(): Unit = {
       val out = fs.create(lock, false)
-      out.write(
-        s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
-          .getBytes("UTF-8"))
-      out.close()
+      // register the moment the create-exclusive succeeds — BEFORE the
+      // body write: a sibling thread whose create just failed reads this
+      // set next, and an unregistered freshly-created sentinel (empty or
+      // partial body ⇒ holderPid None ⇒ fail-open) would be reclaimable
+      // in exactly that window
       inFlight.add(lock.toString)
+      try {
+        out.write(
+          s"compaction started ${java.time.Instant.now()} pid ${ProcessHandle.current().pid()}\n"
+            .getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          // the acquire failed — this thread holds nothing in-process
+          // (the on-disk sentinel stays for the next attempt's reclaim)
+          inFlight.remove(lock.toString)
+          throw e
+      }
       ()
     }
     try create()

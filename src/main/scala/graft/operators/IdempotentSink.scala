@@ -184,30 +184,27 @@ object IdempotentSink {
 
   /** Every committed batch's emissions as one frame, with the
     * `batch_id` partition column. Requires at least one committed
-    * batch (parquet needs a schema source). In manifest mode only
-    * marker-committed batch dirs are read — a torn, marker-less dir is
-    * invisible, exactly like a marker-less line-catalogue batch
-    * ([[Lines.catalogueRows]]).
+    * batch (parquet needs a schema source). In manifest mode a torn,
+    * marker-less dir is invisible, exactly like a marker-less
+    * line-catalogue batch ([[Lines.catalogueRows]]).
     */
   def read(
       spark: SparkSession,
       dir: String,
       mode: CommitMode = CommitMode.Auto
   ): DataFrame = {
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    resolvedMode(fs, mode) match {
-      case CommitMode.Manifest =>
-        val committed = committedBatches(spark, dir, mode)
-        require(
-          committed.nonEmpty,
-          s"sink store $dir has no committed batches (no _committed-* " +
-            "markers) — nothing to read")
-        spark.read
-          .option("basePath", dir)
-          .parquet(committed.map(k => s"$dir/batch_id=$k"): _*)
-      case _ => spark.read.parquet(dir)
-    }
+    // BOTH modes read exactly the parsed ledger's batches
+    // ([[committedBatches]]): serving whatever partition discovery
+    // finds would let foreign litter (`batch_id=5.bak`) slip rows into
+    // the frame that the ledger — and every invariant checked against
+    // it — never sees.
+    val committed = committedBatches(spark, dir, mode)
+    require(
+      committed.nonEmpty,
+      s"sink store $dir has no committed batches — nothing to read")
+    spark.read
+      .option("basePath", dir)
+      .parquet(committed.map(k => s"$dir/batch_id=$k"): _*)
   }
 
   /** Batch ids committed so far, ascending — the store's progress

@@ -224,16 +224,27 @@ object Lines {
           lit(bid).as("_bid")))
   }
 
-  /** Fail fast when a delta's id type differs from the `_did` type the
-    * catalogue was built with. The replay ledger matches ids in their
-    * native type; letting Spark coerce the join instead would reopen
-    * the silent-NULL / lossy-comparison hole this check closes.
+  /** Fail fast when a delta's id type is incompatible with the `_did`
+    * type the catalogue was built with. The replay ledger matches ids
+    * in their native type; letting Spark coerce an arbitrary join
+    * instead would reopen the silent-NULL / lossy-comparison hole this
+    * check closes. A LOSSLESS integral widening is accepted — a
+    * pre-round-15 catalogue from an int-id corpus stores bigint `_did`
+    * with correct values (the old cast was a lossless upcast), and
+    * failing such a healthy store would demand a pointless rebuild.
     */
   private def requireLedgerIdType(delta: DataFrame, idCol: String, idx: LineIndex): Unit = {
+    import org.apache.spark.sql.types._
     val stored = delta.sparkSession.table(idx.fpTable).schema("_did").dataType
     val incoming = delta.schema(idCol).dataType
+    def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 4
+      case LongType => 8; case _ => -1
+    }
+    val ok = stored == incoming ||
+      (width(stored) > 0 && width(incoming) > 0 && width(stored) >= width(incoming))
     require(
-      stored == incoming,
+      ok,
       s"line catalogue ${idx.fpTable} stores doc ids as $stored but the delta's " +
         s"`$idCol` is $incoming — the replay ledger matches ids in their native " +
         s"type, so a mismatched append could silently double-count on replay; " +

@@ -9,6 +9,33 @@ import org.apache.spark.sql.types.NumericType
   */
 object Ops {
 
+  /** Type-dynamic id handling, shared by every entry point that
+    * buckets or strides on an id column (the reference surface infers
+    * types, never casts — `/root/reference/R/big.data.table.R:348-355`):
+    * numeric ids keep their exact historical key; any other type maps
+    * through xxhash64 so Spark 4's ANSI numeric casts never fire.
+    */
+  private[operators] def isNumericId(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType.isInstanceOf[NumericType]
+
+  /** The id-derived bucket/stride key per the rule above. */
+  private[operators] def idBucketKey(df: DataFrame, idCol: String): Column =
+    if (isNumericId(df, idCol)) col(idCol) else xxhash64(col(idCol))
+
+  /** A deterministic `want`-row sample for NON-numeric ids: ordered by
+    * the id's hash (id itself tiebreaks a collision), so exactly
+    * min(want, n) rows come back. The numeric stride-filter shape can
+    * UNDER-select here — hash residues are ~Binomial(n, 1/stride), so
+    * a filter-then-limit would return fewer than `want` rows on
+    * roughly half of real id sets (and possibly zero).
+    */
+  private[operators] def hashOrderedSample(
+      df: DataFrame,
+      idCol: String,
+      want: Int
+  ): DataFrame =
+    df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(want)
+
   /** `lapply(.SD, f)` ≈ aggregate every (numeric) column by group
     * (reference README.md:221-224, tests/tests-06-readme.R:244-253).
     * Single shuffle; all partial aggregates computed map-side.

@@ -74,13 +74,9 @@ object Packing {
     // into a single giant string. The id defines the pack order, so a
     // NULL id is a contract violation: reject it loudly per row.
     // numeric ids bucket by value (unchanged behavior); any other id
-    // type — the surface is type-dynamic like the reference's — buckets
-    // on a deterministic hash instead of failing the ANSI numeric cast.
-    // Pack ORDER stays the id's native ordering either way.
-    val bucketKey = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => col(idCol)
-      case _ => xxhash64(col(idCol))
-    }
+    // type buckets on a deterministic hash ([[Ops.idBucketKey]]). Pack
+    // ORDER stays the id's native ordering either way.
+    val bucketKey = Ops.idBucketKey(df, idCol)
     val bucket = when(
       col(idCol).isNull,
       raise_error(lit(s"packGreedy: NULL $idCol — pack order needs non-null ids"))

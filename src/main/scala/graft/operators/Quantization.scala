@@ -79,20 +79,18 @@ object Quantization {
       .getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val subDim = dim / m
-    val n = df.count()
-    val stride = math.max(1L, n / k)
-    // init: the same stride-sampled rows seed every subspace. Numeric
-    // ids stride directly (unchanged); any other id type strides on a
-    // deterministic hash instead of failing the ANSI numeric cast
-    // (same type-dynamic rule as [[Similarity.ivfInitCentroids]]).
-    val strideKey = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => col(idCol)
-      case _ => xxhash64(col(idCol))
-    }
-    val seeds = df
-      .filter(pmod(strideKey, lit(stride)) === 0)
-      .orderBy(col(idCol))
-      .limit(k)
+    // init: the same sampled rows seed every subspace. Numeric ids
+    // stride directly (unchanged); any other id type takes a
+    // hash-ORDERED k-row sample ([[Ops.hashOrderedSample]] — a
+    // hash-residue stride filter would under-select binomially and trip
+    // the seeds require on ~half of real string-id corpora).
+    val sampled =
+      if (Ops.isNumericId(df, idCol)) {
+        val n = df.count()
+        val stride = math.max(1L, n / k)
+        df.filter(pmod(col(idCol), lit(stride)) === 0).orderBy(col(idCol)).limit(k)
+      } else Ops.hashOrderedSample(df, idCol, k)
+    val seeds = sampled
       .select(col(vecCol).cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)

@@ -178,9 +178,10 @@ object Similarity {
     * themselves (deterministic). One count + one nCentroids-row collect,
     * at index-BUILD time only. Numeric ids stride directly (unchanged
     * behavior); any other id type — the surface is type-dynamic, like
-    * the reference's (`/root/reference/R/big.data.table.R:348-355`) —
-    * strides on a deterministic hash of the id instead of failing the
-    * bigint cast.
+    * the reference's — takes a hash-ORDERED sample instead
+    * ([[Ops.hashOrderedSample]]): a hash-residue stride filter would
+    * under-select (binomially, possibly to zero), and zero centroids
+    * here would silently assign every vector a NULL centroid downstream.
     */
   def ivfInitCentroids(
       df: DataFrame,
@@ -188,17 +189,21 @@ object Similarity {
       idCol: String,
       nCentroids: Int
   ): Array[Array[Double]] = {
-    val n = df.count()
-    val stride = math.max(1L, n / nCentroids)
-    val strideKey = df.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => col(idCol)
-      case _ => xxhash64(col(idCol))
-    }
-    df.filter(pmod(strideKey, lit(stride)) === 0)
-      .limit(nCentroids)
+    val sampled =
+      if (Ops.isNumericId(df, idCol)) {
+        val n = df.count()
+        val stride = math.max(1L, n / nCentroids)
+        df.filter(pmod(col(idCol), lit(stride)) === 0).limit(nCentroids)
+      } else Ops.hashOrderedSample(df, idCol, nCentroids)
+    val seeds = sampled
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(
+      seeds.nonEmpty,
+      s"ivfInitCentroids selected zero seed vectors for nCentroids=$nCentroids — " +
+        "an empty centroid set would silently NULL every assignment; is the corpus empty?")
+    seeds
   }
 
   /** Lloyd refinement of the coarse quantizer, expressed as DataFrame

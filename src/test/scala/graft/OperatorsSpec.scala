@@ -3014,6 +3014,18 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val cb = Quantization.pqTrain(vecs, "embedding", "vec_id", m = 2, k = 4, iters = 1)
     assert(cb.k === 4 && cb.m === 2)
+    // the hash-ORDERED sample is exact: a hash-residue stride filter
+    // would select ~Binomial(n, 1/stride) rows and fail the k-seeds
+    // require on roughly half of string-id corpora at this shape
+    val many = (1 to 100).map(i => (s"w-$i", Array.tabulate(8)(j => (i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb16 = Quantization.pqTrain(many, "embedding", "vec_id", m = 2, k = 16, iters = 0)
+    assert(cb16.k === 16, "hash-ordered seed sample must select exactly k seeds")
+    // an empty corpus fails ivf init LOUDLY, not with NULL assignments
+    val e0 = intercept[IllegalArgumentException] {
+      Similarity.ivfInitCentroids(many.limit(0), "embedding", "vec_id", nCentroids = 2)
+    }
+    assert(e0.getMessage.contains("zero seed vectors"))
     val built = Similarity.ivfBuild(vecs, "embedding", "vec_id", nCentroids = 2, refineIters = 1)
     assert(built.assigned.select("vec_id").distinct().count() === 32)
     graft.CacheUtil.release(built.assigned)

@@ -1454,6 +1454,26 @@ class StreamingSpec extends AnyFunSuite {
       graft.CacheUtil.release(lDelta)
       spark.sql(s"DROP TABLE IF EXISTS `${lIdx.fpTable}`")
     }
+
+    // …while a LOSSLESS integral widening is accepted: a pre-round-15
+    // catalogue built from int-like ids stores bigint _did with correct
+    // values, and the join widens losslessly — only genuinely lossy or
+    // cross-kind mismatches fail fast
+    val wCorpus = Seq((1L, "shared w\nuniq a"), (2L, "other\nuniq b")).toDF("doc_id", "text")
+    val wIdx = Lines.writeLineIndex(wCorpus, "text", "doc_id", "rs_lnw", buckets = 4)
+    try {
+      val intDelta = Seq((10, "shared w\nuniq c")).toDF("doc_id", "text").localCheckpoint(true)
+      val w1 = Lines.dropDuplicatedLinesIncrementalFold(intDelta, "text", "doc_id", wIdx)
+      assert(w1.collect().map(r => Option(r.getString(1))).toSeq === Seq(Some("uniq c")),
+        "int-id delta into a long-id catalogue must clean normally")
+      graft.CacheUtil.release(w1)
+      val rows = spark.table(wIdx.fpTable).count()
+      val w2 = Lines.dropDuplicatedLinesIncrementalFold(intDelta, "text", "doc_id", wIdx)
+      assert(w2.isEmpty, "widened-id replay re-emitted")
+      graft.CacheUtil.release(w2)
+      assert(spark.table(wIdx.fpTable).count() === rows, "catalogue grew on widened-id replay")
+      graft.CacheUtil.release(intDelta)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `${wIdx.fpTable}`")
   }
 
   test("every fold family invokes its sink BEFORE its first index append") {
