@@ -84,6 +84,7 @@ object Bench {
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
     "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
     "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
+    "st11_sink_manifest",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
@@ -408,7 +409,7 @@ object Bench {
     // incremental probes above (per-JVM slow mode dominates)
     "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
     "st07_stream_restart", "st08_stream_replay", "st09_stream_sink",
-    "st10_stream_exactly_once",
+    "st10_stream_exactly_once", "st11_sink_manifest",
     // the end-to-end composition embeds a full 16-band minhash pass —
     // heavy enough to distort (and be distorted by) the cheap p-family
     // batch it would otherwise share a JVM with
@@ -429,7 +430,7 @@ object Bench {
   private val isolatedFloorQueries: Set[String] = Set(
     "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
     "st07_stream_restart", "st08_stream_replay", "st09_stream_sink",
-    "st10_stream_exactly_once", "m05_binaryfile_ingest")
+    "st10_stream_exactly_once", "st11_sink_manifest", "m05_binaryfile_ingest")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     def familyOf(n: String) = n.takeWhile(!_.isDigit)

@@ -3020,6 +3020,97 @@ object SparkEntry {
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
     ),
+    // st09's OBJECT-STORE twin: the same probe-then-append loop, but
+    // every sink commit goes through [[graft.operators.IdempotentSink]]'s
+    // MANIFEST protocol (CommitMode.Manifest — parquet files land in the
+    // target dir, a single _committed-<k> marker object PUT last is the
+    // batch's atomic commit point; the protocol object stores need,
+    // where a directory rename is a non-atomic copy+delete). The middle
+    // batch walks the manifest-specific crash window: its parquet files
+    // are planted WITHOUT the marker (a mid-write driver death on s3a),
+    // so the torn dir must be invisible to the ledger and the retry's
+    // fold must clear and recommit it whole. Same FULL d02-template
+    // oracle as st09: a batch served from the torn dir, a lost batch, or
+    // a replay clobbering a committed one all break the hash.
+    Q(
+      "st11_sink_manifest",
+      (s, d) => {
+        import s.implicits._
+        import operators.IdempotentSink.CommitMode
+        val all = documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(nearDupPlantedDocs.toDF("doc_id", "text"))
+          .as[(Long, String)].collect()
+        val chunks = (0 to 2).map(k => all.filter(_._1 % 3 == k))
+        val idx = operators.Dedup.writeMinHashIndex(
+          documents(s, d).limit(0).select(col("doc_id"), col("text")),
+          "text", "doc_id", "st11_idx", bands = 16, buckets = 8)
+        val sinkDir =
+          java.nio.file.Files.createTempDirectory("st11_sink").toString
+        try {
+          chunks.zipWithIndex.foreach { case (c, k) =>
+            val delta = c.toIndexedSeq.toDF("doc_id", "text").localCheckpoint(true)
+            val writer = Some(operators.IdempotentSink.batchWriter(
+              sinkDir, k.toLong, CommitMode.Manifest))
+            if (k == 1) {
+              // the manifest crash window: parquet files landed, marker
+              // missing — the batch must read as UNCOMMITTED
+              val pre = operators.Dedup
+                .minHashNearDupsIncremental(delta, "text", "doc_id", 0.4, idx)
+              pre.write.parquet(s"$sinkDir/batch_id=1")
+              graft.CacheUtil.release(pre)
+              require(
+                operators.IdempotentSink
+                  .committedBatches(s, sinkDir, CommitMode.Manifest) == Seq(0L),
+                "a marker-less dir counted as committed")
+            }
+            val out = operators.Dedup
+              .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx, writer)
+            graft.CacheUtil.release(out)
+            if (k == 1) {
+              // full replay after the heal: first MARKER wins
+              val bandRows = s.table(idx.bandTable).count()
+              val committedRows = operators.IdempotentSink
+                .read(s, sinkDir, CommitMode.Manifest).count()
+              val replay = operators.Dedup
+                .minHashNearDupsIncrementalFold(delta, "text", "doc_id", 0.4, idx, writer)
+              val reEmitted = replay.count()
+              graft.CacheUtil.release(replay)
+              require(reEmitted == 0L, s"replayed batch re-emitted $reEmitted pairs")
+              require(s.table(idx.bandTable).count() == bandRows,
+                "replayed batch grew the band table")
+              require(
+                operators.IdempotentSink
+                  .read(s, sinkDir, CommitMode.Manifest).count() == committedRows,
+                "replay disturbed the committed sink store")
+            }
+            graft.CacheUtil.release(delta)
+          }
+          require(
+            operators.IdempotentSink
+              .committedBatches(s, sinkDir, CommitMode.Manifest) == Seq(0L, 1L, 2L),
+            "sink store must hold exactly the three batches")
+          operators.IdempotentSink.read(s, sinkDir, CommitMode.Manifest)
+            .select(col("id_a"), col("id_b"), col("jaccard"))
+        } finally {
+          s.sql(s"DROP TABLE IF EXISTS `${idx.bandTable}`")
+          s.sql(s"DROP TABLE IF EXISTS `${idx.shingleTable}`")
+        }
+      },
+      Some(s"""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL ${valuesSql(nearDupPlantedDocs)}),
+             |sh AS (
+             |  SELECT doc_id,
+             |         list_distinct(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |              ELSE list_transform(range(len(w) - 2), i -> w[i+1]||' '||w[i+2]||' '||w[i+3])
+             |         END) AS s
+             |  FROM (SELECT doc_id, split(text, ' ') w FROM all_docs))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+             |FROM sh a, sh b
+             |WHERE a.doc_id < b.doc_id
+             |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
     // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
     // checkpoint restart), st08 (replay idempotence), and st09 (sink
     // durability) — driven through Structured Streaming's ACTUAL
