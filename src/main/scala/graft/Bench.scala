@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR.
+/** Driver-run benchmark: JSON lines with per-query seconds at
+  * SPARK_GRAFT_SF_DIR — the LAST complete stdout line is the artifact.
+  * The orchestrator re-emits the merged line after every batch and
+  * every isolated floor (r15 verdict ask #1: the r15 official artifact
+  * was rc 124 / parsed null because the single end-of-run line never
+  * printed when the driver's timeout hit during the floor pass), so an
+  * external kill at ANY point after the first batch leaves a parseable
+  * artifact, self-described by "batches_done"/"floor_skipped".
   *
   * Round-9 shape — FRESH JVM PER FAMILY BATCH. The round-8 full run
   * executed all 96 queries in one JVM and inflated the heavy d-family up
@@ -60,7 +66,7 @@ object Bench {
     "q19_union_id", "q20_head_keyed", "q21_dims", "q22_per_node",
     "q23_generator", "q24_join_copart", "q25_outer_agg_fn",
     "q27_json_extract", "q28_csv_roundtrip", "q29_jsonl_roundtrip",
-    "q30_window_rank", "q31_rollup", "q32_setops",
+    "q30_window_rank", "q31_rollup", "q32_setops", "q38_orc_roundtrip",
     "q33_pivot_case", "q34_quantiles", "q35_stats",
     "q36_global_sort", "q37_salted_agg",
     "e01_window_hourly", "e02_window_5min", "e03_sessionize", "e04_asof_join",
@@ -84,7 +90,7 @@ object Bench {
     "st02_stream_lines", "st03_stream_decontaminate", "st04_stream_passages",
     "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
     "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
-    "st11_sink_manifest",
+    "st11_sink_manifest", "st12_stream_join",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
@@ -115,7 +121,8 @@ object Bench {
       "d25_simhash_audit", "d26_simhash128_audit", "d27_combo_audit",
       "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit",
       "s09_semdedup_audit", "d32_incremental_simhash_audit",
-      "d33_incremental_lsh_audit", "s10_pq_audit", "s11_ivfpq_audit")
+      "d33_incremental_lsh_audit", "s10_pq_audit", "s11_ivfpq_audit",
+      "s12_semdedup_batch_audit")
 
   private val smallSuffix = "@sf0.01"
 
@@ -339,6 +346,11 @@ object Bench {
     // or box state), and min-of-3 lands on the distribution's floor far
     // more reliably than min-of-2. Cost: one extra pass on ≤2-query
     // children only.
+    // Small-fixture batches (every token "@sf0.01") ALSO take min-of-3
+    // (r15 verdict ask #4): d04/d06/d12@sf0.01 swung 2-4× across four
+    // rounds purely on batch/box state, burning a diagnosis paragraph
+    // each round; the rows are cheap (0.8-4.5 s), so a third pass costs
+    // seconds and pins the committed number to the distribution floor.
     // SPARK_GRAFT_BENCH_PASSES overrides the pass count for the scale
     // smoke (10×/100× fixtures): at 100× a min-of-3 protocol costs hours
     // for a measurement whose question is the scaling EXPONENT, not the
@@ -348,7 +360,8 @@ object Bench {
     val passes = envInt("SPARK_GRAFT_BENCH_PASSES").map(_.max(1)) match {
       case Some(n) => Seq.fill(n)(timedPass())
       case None =>
-        if (tokens.size <= 2) Seq(timedPass(), timedPass(), timedPass())
+        if (tokens.size <= 2 || tokens.forall(_.endsWith(smallSuffix)))
+          Seq(timedPass(), timedPass(), timedPass())
         else Seq(timedPass(), timedPass())
     }
     val results = tokens.flatMap { n =>
@@ -433,12 +446,18 @@ object Bench {
     "st10_stream_exactly_once", "st11_sink_manifest", "m05_binaryfile_ingest")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
-    def familyOf(n: String) = n.takeWhile(!_.isDigit)
+    // Small-fixture ("@sf0.01") tokens batch among THEMSELVES: mixing
+    // them into a target-SF chunk both denies them the min-of-3 pass
+    // protocol (keyed off an all-small batch in runInProcess — r15
+    // verdict ask #4) and lets a heavy target-SF neighbor contaminate
+    // their sub-second readings.
+    def familyOf(n: String) =
+      (if (n.endsWith(smallSuffix)) "small:" else "") + n.takeWhile(!_.isDigit)
     val families = tokens.map(familyOf).distinct
     families.flatMap { f =>
       val qs = tokens.filter(familyOf(_) == f)
       val (solos, grouped) = qs.partition(soloQueries)
-      val size = if (f == "d") 4 else 14
+      val size = if (f.endsWith("d")) 4 else 14
       solos.map(Seq(_)) ++ grouped.grouped(size).toSeq
     }
   }
@@ -447,6 +466,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val budgetSec =
       envInt("SPARK_GRAFT_QUERY_BUDGET_SEC").getOrElse(120)
+    // WALL-CLOCK BUDGET (r15 verdict ask #1): the round-15 driver rerun
+    // was killed by the DRIVER's external timeout at isolated floor 2/9
+    // (rc 124) and — because the stdout JSON line printed only after the
+    // floor pass — the official artifact was unparseable despite all 33
+    // batches having completed. Three fixes in this round's shape:
+    // (a) the complete batches-done line prints to STDOUT immediately
+    //     after the batch loop (the driver parses the LAST complete
+    //     line, so a mid-floor kill still yields a full-batch artifact);
+    // (b) this soft budget stops issuing OPTIONAL work — contention
+    //     retries beyond each batch's first attempt, min-of-2 second
+    //     solo children, and remaining isolated floors — once elapsed
+    //     time crosses it, so the run converges instead of racing the
+    //     external kill;
+    // (c) the floor pass has its own sub-budget below.
+    // The default (45 min) sits well under the observed driver limit
+    // (~60 min: r15 completed a 51-min batch loop plus 2 floors before
+    // the kill). Skipped floors are recorded under "floor_skipped".
+    val benchBudgetSec =
+      envInt("SPARK_GRAFT_BENCH_BUDGET_SEC").getOrElse(2700)
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    def overBudget: Boolean = elapsedSec > benchBudgetSec
     val small = smallDirFor(sfDir)
     val tokens = headline.filter(SparkEntry.queries.contains) ++
       (if (small.isDefined)
@@ -538,7 +579,13 @@ object Bench {
       val wantClean = if (batch.size == 1) 2 else 1
       var clean = 0
       var crashed = false
-      while (!crashed && clean < wantClean && attempt <= maxAttempts + (wantClean - 1)) {
+      // every batch gets its FIRST attempt regardless of budget (a
+      // never-timed query is worse than a possibly-loaded number);
+      // retries and second solo children are the optional work the
+      // wall-clock budget sheds — r15 spent 4 attempts on one contended
+      // batch and the run outlived the driver's timeout
+      while (!crashed && clean < wantClean && attempt <= maxAttempts + (wantClean - 1) &&
+             (attempt == 1 || !overBudget)) {
         runChild(attempt) match {
           case Some(r) =>
             best = best match {
@@ -578,6 +625,11 @@ object Bench {
             crashed = true
         }
       }
+      if (!crashed && clean < wantClean &&
+          attempt <= maxAttempts + (wantClean - 1) && overBudget)
+        System.err.println(
+          f"[bench] wall-clock budget ($benchBudgetSec s) exceeded at " +
+            f"$elapsedSec%.0f s — shedding further attempts for batch ${i + 1}")
       best match {
         case Some(r) =>
           merged = merged ++ r.queries
@@ -597,17 +649,29 @@ object Bench {
       // end-only write would leave NO artifact at all. Rewrite the
       // merged line after every batch — a killed run leaves the batches
       // that completed, self-described by "batches_done" < "batches"
-      // (a complete artifact has them equal).
+      // (a complete artifact has them equal). The SAME line also goes
+      // to STDOUT (r15 verdict ask #1): the external driver parses the
+      // LAST complete line of this process's output, so a kill at any
+      // point from the first batch on still yields a parseable official
+      // artifact instead of r15's rc-124/parsed-null.
+      val partialLine = renderLine(
+        merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
+        ref, contended, contendedQueries, leaked, sfDir,
+        isolation = "fresh-jvm-batches", batches = batches.size,
+        batchesDone = i + 1)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-        (renderLine(
-          merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
-          ref, contended, contendedQueries, leaked, sfDir,
-          isolation = "fresh-jvm-batches", batches = batches.size,
-          batchesDone = i + 1) + "\n").getBytes("UTF-8")
+        (partialLine + "\n").getBytes("UTF-8")
       )
+      println(partialLine)
+      Console.out.flush()
     }
+
+    // The last per-batch println above IS the batches-done line to
+    // stdout, before the floor pass (r15 verdict ask #1a): a kill
+    // anywhere in the ~9-solo-JVM floor pass below still leaves a
+    // parseable official artifact carrying every batch timing.
 
     // ISOLATED-FLOOR PASS (r14 verdict ask #7): the probe+append/stream
     // solo class reads up to 3× its quiet-box floor inside a full
@@ -622,9 +686,27 @@ object Bench {
     // round-over-round comparable series. Skippable for ad-hoc runs
     // via SPARK_GRAFT_SKIP_FLOOR=1.
     var floors = Map.empty[String, Double]
+    var floorSkipped = Seq.empty[String]
     if (!sys.env.get("SPARK_GRAFT_SKIP_FLOOR").contains("1")) {
+      // floor-pass sub-budget (r15 verdict ask #1b): the pass spawns up
+      // to ~9 extra solo JVMs (~1.5-2 min each) AFTER the batch loop has
+      // already spent most of the external budget; it must degrade by
+      // SKIPPING remaining floors loudly — recorded under
+      // "floor_skipped" — rather than running into the driver's kill.
+      // Both clocks apply: the pass's own budget and the global one.
+      val floorBudgetSec =
+        envInt("SPARK_GRAFT_FLOOR_BUDGET_SEC").getOrElse(900)
+      val floorStart = System.nanoTime()
+      def floorElapsed: Double = (System.nanoTime() - floorStart) / 1e9
       val floorTokens = tokens.filter(isolatedFloorQueries.contains)
       floorTokens.zipWithIndex.foreach { case (q, j) =>
+        if (floorElapsed > floorBudgetSec || overBudget) {
+          floorSkipped = floorSkipped :+ q
+          System.err.println(
+            f"[bench] floor budget exhausted (pass $floorElapsed%.0f/" +
+              f"$floorBudgetSec s, total $elapsedSec%.0f/$benchBudgetSec s) " +
+              s"— skipping floor for $q")
+        } else {
         // a CONTENDED floor child defeats the row's whole purpose
         // (quiet-box evidence) — retry once in a fresh JVM; if both
         // attempts ran loaded, record NO floor (absence beats a number
@@ -634,7 +716,9 @@ object Bench {
             s"isolated floor ${j + 1}/${floorTokens.size} attempt $a")
         val first = attempt(1)
         val attempts =
-          if (first.exists(_.contended)) first.toSeq ++ attempt(2) else first.toSeq
+          if (first.exists(_.contended) && !overBudget)
+            first.toSeq ++ attempt(2)
+          else first.toSeq
         val clean = attempts.filterNot(_.contended)
         (if (clean.nonEmpty) clean else Nil)
           .flatMap(_.queries.get(q)) match {
@@ -645,17 +729,23 @@ object Bench {
           case vs =>
             floors += q -> math.min(vs.min, merged.getOrElse(q, Double.MaxValue))
         }
-        // same crash-safe rewrite discipline as the batch loop: a
-        // budget kill mid-pass must not discard completed floors
+        // same crash-safe rewrite discipline as the batch loop, file
+        // AND stdout: a budget kill mid-pass must not discard completed
+        // floors from either artifact channel
+        val floorLine = renderLine(
+          merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
+          ref, contended, contendedQueries, leaked, sfDir,
+          isolation = "fresh-jvm-batches", batches = batches.size,
+          batchesDone = batches.size, isolatedFloor = floors,
+          floorSkipped = floorSkipped)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(
             sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-          (renderLine(
-            merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
-            ref, contended, contendedQueries, leaked, sfDir,
-            isolation = "fresh-jvm-batches", batches = batches.size,
-            batchesDone = batches.size, isolatedFloor = floors) + "\n").getBytes("UTF-8")
+          (floorLine + "\n").getBytes("UTF-8")
         )
+        println(floorLine)
+        Console.out.flush()
+        }
       }
     }
 
@@ -663,7 +753,8 @@ object Bench {
       merged.toSeq.sortBy(t => tokens.indexOf(t._1)), failed, calibMax,
       ref, contended, contendedQueries, leaked, sfDir,
       isolation = "fresh-jvm-batches", batches = batches.size,
-      batchesDone = batches.size, isolatedFloor = floors)
+      batchesDone = batches.size, isolatedFloor = floors,
+      floorSkipped = floorSkipped)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
@@ -716,7 +807,8 @@ object Bench {
       isolation: String,
       batches: Int,
       batchesDone: Int = -1,
-      isolatedFloor: Map[String, Double] = Map.empty
+      isolatedFloor: Map[String, Double] = Map.empty,
+      floorSkipped: Seq[String] = Nil
   ): String = {
     // single-jvm callers pass no batchesDone — their one batch is done
     val doneN = if (batchesDone < 0) batches else batchesDone
@@ -732,6 +824,8 @@ object Bench {
     val floorJson = isolatedFloor.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":$floorJson}"""
+    val floorSkippedJson =
+      floorSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":$floorJson,"floor_skipped":$floorSkippedJson}"""
   }
 }

@@ -86,18 +86,37 @@ private[graft] object CompactLock {
         .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
         .toString + "_compact_lock")
 
+  /** Per-sentinel-path monitors serializing same-JVM [[acquire]] calls.
+    * Registration into [[inFlight]] necessarily happens some instant
+    * AFTER the create-exclusive succeeds; without serialization a
+    * sibling thread whose create failed inside that window would read
+    * the set as empty, read the still-empty sentinel (holderPid None ⇒
+    * fail-open), and reclaim a LIVE lock — two compactors in one JVM
+    * (r15 advice). With the monitor, the create + register pair is
+    * atomic relative to every same-JVM sibling: a sibling's acquire
+    * can only observe "no sentinel" (before ours) or "sentinel +
+    * registered" (after ours). Cross-JVM holders were never exposed to
+    * this window — they are covered by the pid-liveness rule.
+    */
+  private val acquireMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Take the sentinel (create-exclusive; reclaim only per the
     * staleness rules in the object scaladoc). Throws
     * [[IllegalStateException]] when a LIVE foreign holder has it.
     */
-  def acquire(fs: FileSystem, lock: Path): Unit = {
+  def acquire(fs: FileSystem, lock: Path): Unit =
+    acquireMonitors
+      .computeIfAbsent(lock.toString, _ => new Object)
+      .synchronized(acquireSerialized(fs, lock))
+
+  private def acquireSerialized(fs: FileSystem, lock: Path): Unit = {
     def create(): Unit = {
       val out = fs.create(lock, false)
-      // register the moment the create-exclusive succeeds — BEFORE the
-      // body write: a sibling thread whose create just failed reads this
-      // set next, and an unregistered freshly-created sentinel (empty or
-      // partial body ⇒ holderPid None ⇒ fail-open) would be reclaimable
-      // in exactly that window
+      // register before the body write (the same-JVM window between the
+      // create-exclusive and this add is CLOSED by the per-path monitor
+      // above — siblings cannot run their failed-create reclaim check
+      // inside it)
       inFlight.add(lock.toString)
       try {
         out.write(

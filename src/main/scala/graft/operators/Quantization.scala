@@ -84,16 +84,27 @@ object Quantization {
     // hash-ORDERED k-row sample ([[Ops.hashOrderedSample]] — a
     // hash-residue stride filter would under-select binomially and trip
     // the seeds require on ~half of real string-id corpora).
-    val sampled =
-      if (Ops.isNumericId(df, idCol)) {
-        val n = df.count()
-        val stride = math.max(1L, n / k)
-        df.filter(pmod(col(idCol), lit(stride)) === 0).orderBy(col(idCol)).limit(k)
-      } else Ops.hashOrderedSample(df, idCol, k)
-    val seeds = sampled
+    // SPARSE numeric ids (snowflake/random longs) under-select the
+    // residue filter the same way (r15 verdict ask #2): when the strided
+    // sample comes back short, fall back to the hash-ordered sample —
+    // dense 0..n id corpora still hit the exact historical seeds, so
+    // committed bench/oracle rows don't move.
+    def collectSeeds(s: DataFrame): Array[Array[Double]] = s
       .select(col(vecCol).cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    val seeds = {
+      val strided = if (Ops.isNumericId(df, idCol)) {
+        val n = df.count()
+        val stride = math.max(1L, n / k)
+        Some(collectSeeds(
+          df.filter(pmod(col(idCol), lit(stride)) === 0).orderBy(col(idCol)).limit(k)))
+      } else None
+      strided match {
+        case Some(s) if s.length == k => s
+        case _ => collectSeeds(Ops.hashOrderedSample(df, idCol, k))
+      }
+    }
     require(seeds.length == k, s"corpus too small for k=$k (got ${seeds.length} seeds)")
     var cb = PQCodebooks(
       m, k, dim,

@@ -189,16 +189,26 @@ object Similarity {
       idCol: String,
       nCentroids: Int
   ): Array[Array[Double]] = {
-    val sampled =
-      if (Ops.isNumericId(df, idCol)) {
-        val n = df.count()
-        val stride = math.max(1L, n / nCentroids)
-        df.filter(pmod(col(idCol), lit(stride)) === 0).limit(nCentroids)
-      } else Ops.hashOrderedSample(df, idCol, nCentroids)
-    val seeds = sampled
+    // SPARSE numeric ids (snowflake/random longs) under-select the
+    // residue filter binomially, just like string ids did before r15
+    // (r15 verdict ask #2): when the strided sample returns fewer rows
+    // than the corpus could supply (min(n, nCentroids)), fall back to
+    // the hash-ordered sample. Dense 0..n ids always stride to exactly
+    // min(n, nCentroids) rows, so every historical corpus keeps its
+    // exact seed set and order — committed bench/oracle rows don't move.
+    def collectSeeds(s: DataFrame): Array[Array[Double]] = s
       .select(col(vecCol))
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val seeds =
+      if (Ops.isNumericId(df, idCol)) {
+        val n = df.count()
+        val stride = math.max(1L, n / nCentroids)
+        val strided = collectSeeds(
+          df.filter(pmod(col(idCol), lit(stride)) === 0).limit(nCentroids))
+        if (strided.length >= math.min(n, nCentroids.toLong)) strided
+        else collectSeeds(Ops.hashOrderedSample(df, idCol, nCentroids))
+      } else collectSeeds(Ops.hashOrderedSample(df, idCol, nCentroids))
     require(
       seeds.nonEmpty,
       s"ivfInitCentroids selected zero seed vectors for nCentroids=$nCentroids — " +

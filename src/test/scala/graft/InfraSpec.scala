@@ -17,17 +17,23 @@ class InfraSpec extends AnyFunSuite {
       "q01_global_agg", "q02_group_year",
       "d01_dedup_exact", "d08_incremental_dedup", "d09_incremental_simhash",
       "d10_decontaminate", "d11_contamination_report", "d13_incremental_lsh",
-      "m01_binary_meta")
+      "m01_binary_meta",
+      "d04_jaccard_pairs@sf0.01", "d06_dup_clusters@sf0.01",
+      "d12_near_dedup@sf0.01", "s07_ann_audit@sf0.01")
     val batches = Bench.batchesOf(tokens)
     // partition: every token exactly once
     assert(batches.flatten.sorted === tokens.sorted)
     // the heavy incremental probes ride alone
     for (solo <- Seq("d08_incremental_dedup", "d09_incremental_simhash", "d13_incremental_lsh"))
       assert(batches.contains(Seq(solo)), s"$solo not a singleton batch: $batches")
-    // batches never mix families, and d-batches stay ≤ 4
+    // batches never mix families, never mix fixtures (a small-fixture
+    // token sharing a JVM with a target-SF neighbor would lose the
+    // min-of-3 protocol — r15 verdict ask #4), and d-batches stay ≤ 4
     def fam(s: String) = s.takeWhile(!_.isDigit)
     for (b <- batches) {
       assert(b.map(fam).distinct.size === 1, s"mixed-family batch: $b")
+      assert(b.map(_.endsWith("@sf0.01")).distinct.size === 1,
+        s"mixed-fixture batch: $b")
       if (fam(b.head) == "d") assert(b.size <= 4)
     }
   }

@@ -1685,6 +1685,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!fs.exists(lock), "clean release must remove the sentinel")
   }
 
+  test("compaction lock races: concurrent same-JVM acquires yield exactly one holder") {
+    import graft.operators.CompactLock
+    // the r15 advice window: between a winner's create-exclusive and its
+    // in-flight registration, a loser's reclaim check could read the
+    // still-empty sentinel as fail-open and steal a LIVE lock. acquire()
+    // is now serialized per path on an interned monitor, so the pair is
+    // atomic relative to siblings — hammer it: across repeated rounds of
+    // simultaneous acquires, exactly ONE thread may ever win per round.
+    val dir = java.nio.file.Files.createTempDirectory("cl_race").toString
+    val lock = CompactLock.forDir(s"$dir/idx")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (round <- 1 to 20) {
+      val n = 8
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val unexpected = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = (1 to n).map { _ =>
+        new Thread(() => {
+          gate.await()
+          try { CompactLock.acquire(fs, lock); wins.incrementAndGet(); () }
+          catch {
+            case _: IllegalStateException => () // refused — the correct loss
+            case e: Throwable => unexpected.set(e)
+          }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(unexpected.get() == null, s"round $round: ${unexpected.get()}")
+      assert(wins.get() === 1, s"round $round: ${wins.get()} concurrent winners")
+      assert(fs.exists(lock), s"round $round: winner's sentinel missing")
+      CompactLock.releaseIfCanonical(fs, lock, canonicalPresent = true)
+      assert(!fs.exists(lock))
+    }
+  }
+
   test("compaction lock acquire: a transient IOException surfaces as itself, not as a reclaim race") {
     import graft.operators.CompactLock
     import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path}
@@ -3052,6 +3087,44 @@ class OperatorsSpec extends AnyFunSuite {
         graft.functions.TextFunctions.shingleSet(b, 3)),
       m => m >= 0.9)
     assert(bad.isEmpty, s"audit flagged a clean string-id pair set: ${bad.collect().toSeq}")
+  }
+
+  test("sparse numeric ids: PQ/IVF seeding falls back to the hash-ordered sample (exactly k seeds)") {
+    // Snowflake/random-long id corpora under-select the historical
+    // pmod(id, stride) == 0 residue filter binomially — the same hole
+    // r15 closed for string ids, one type class over (r15 verdict ask
+    // #2). These ids are all ODD, so with an even stride (n/k here) the
+    // residue filter deterministically selects ZERO rows: without the
+    // fallback pqTrain fails its k-seeds require and ivfInitCentroids
+    // fails nonEmpty. With it, both must return exactly k seeds.
+    import operators.{Quantization, Similarity}
+    val sparse = (1 to 100)
+      .map(i => (i.toLong * 2654435762L + 1L, // odd: never ≡ 0 (mod even stride)
+        Array.tabulate(8)(j => (i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(sparse.filter(pmod(col("vec_id"), lit(100L / 16)) === 0).count() === 0,
+      "fixture must deterministically defeat the stride filter")
+    val cb = Quantization.pqTrain(sparse, "embedding", "vec_id", m = 2, k = 16, iters = 0)
+    assert(cb.k === 16, "sparse-numeric-id fallback must select exactly k PQ seeds")
+    val cents = Similarity.ivfInitCentroids(sparse, "embedding", "vec_id", nCentroids = 8)
+    assert(cents.length === 8,
+      s"sparse-numeric-id fallback must select exactly nCentroids seeds, got ${cents.length}")
+    // end-to-end: the built index assigns every vector a real centroid
+    val built = Similarity.ivfBuild(sparse, "embedding", "vec_id", nCentroids = 4, refineIters = 1)
+    assert(built.assigned.filter(col("_centroid").isNull).count() === 0)
+    assert(built.assigned.select("vec_id").distinct().count() === 100)
+    graft.CacheUtil.release(built.assigned)
+    // DENSE ids keep their exact historical seed set: the strided sample
+    // already returns k rows, so the fallback never engages and the
+    // seeds are the ordered stride multiples (committed rows don't move)
+    val dense = (0 until 100)
+      .map(i => (i.toLong, Array.tabulate(8)(j => (i * 13 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val denseCents = Similarity.ivfInitCentroids(dense, "embedding", "vec_id", nCentroids = 8)
+    val expected = (0 until 100 by (100 / 8)).take(8)
+      .map(i => Array.tabulate(8)(j => (i * 13 + j).toDouble).toSeq)
+    assert(denseCents.map(_.toSeq).toSeq === expected,
+      "dense ids must keep the exact historical strided seeds")
   }
 
   test("redactPii replaces each PII shape and leaves clean text alone") {
