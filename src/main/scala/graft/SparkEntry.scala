@@ -3028,8 +3028,9 @@ object SparkEntry {
     // where a directory rename is a non-atomic copy+delete). The middle
     // batch walks the manifest-specific crash window: its parquet files
     // are planted WITHOUT the marker (a mid-write driver death on s3a),
-    // so the torn dir must be invisible to the ledger and the retry's
-    // fold must clear and recommit it whole. Same FULL d02-template
+    // so the torn dir must be invisible to the ledger, and the retry's
+    // fold must commit its own manifest-listed file set (the torn
+    // litter stays unreferenced forever). Same FULL d02-template
     // oracle as st09: a batch served from the torn dir, a lost batch, or
     // a replay clobbering a committed one all break the hash.
     Q(
@@ -3110,6 +3111,61 @@ object SparkEntry {
              |FROM sh a, sh b
              |WHERE a.doc_id < b.doc_id
              |  AND len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin)
+    ),
+    // STREAM-STREAM interval join through the state store (new r16 —
+    // the one Structured Streaming join shape the registry lacked; e04
+    // is the batch as-of): each error event matched to the same user's
+    // clicks within the trailing hour, BOTH sides unbounded streams
+    // with 2-hour watermarks, append mode. Three event-time-ordered
+    // micro-batches (ts tertiles via [[streaming.Streams
+    // .writeTsOrderedChunks]] + maxFilesPerTrigger=1) force cross-batch
+    // matches THROUGH the join state store — an error in batch k
+    // reaching a click from batch k-1 — while keeping watermark parity
+    // exact (event time advances monotonically across batches, so
+    // nothing is late and no needed state is evicted; watermark 2h ≥
+    // the 1h join window). FULL oracle: the batch interval join —
+    // a dropped cross-batch pair or a double-emitted match breaks the
+    // hash. State is bounded by the watermark at any corpus size; the
+    // fixture feed is 3 files, not a driver collect.
+    Q(
+      "st12_stream_join",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val srcDir = s"/root/repo/target/tmp/st12_src_${d.replaceAll("[^0-9.]", "")}"
+        val schema = streaming.Streams.writeTsOrderedChunks(ev, "ts", srcDir, n = 3)
+        val raw = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val joined = streaming.Streams.intervalJoin(
+          left = raw.filter(col("event_type") === "error")
+            .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+          right = raw.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+          window = "1 hour", watermark = "2 hours")
+        val name = s"st12_out_${streamOutSeq.incrementAndGet()}"
+        val q = joined
+          .select(col("err_id"), col("click_id"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val out = s.table(name).localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""SELECT l.event_id AS err_id, r.event_id AS click_id
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'error') l
+             |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
     ),
     // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
     // checkpoint restart), st08 (replay idempotence), and st09 (sink
@@ -3697,6 +3753,42 @@ object SparkEntry {
       },
       Some(auditOracle("corpus_only_pair" -> 0L))
     ),
+    // batch-SemDeDup audit (s06's emitter — r15 verdict ask #5: the one
+    // rows-only row without a hash-matching twin): standard pair
+    // invariants over the FULL semDedupPairs output, with the cosine
+    // recomputed bit-for-bit from re-normalized vectors through an
+    // independent join (same orientation-invariance argument as s09 —
+    // identical floats, identical index order), plus a planted-twin
+    // recall-floor leg: the near-colinear echoes (cosine ~0.999) are
+    // SemDeDup's own target class, so missing more than 10% of them
+    // would mean the cluster machinery, not boundary loss, broke
+    // (OperatorsSpec holds the same ≥90% floor at nClusters=8).
+    Q(
+      "s12_semdedup_batch_audit",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val all = emb.unionByName(nudgedEchoes(emb, 100000L))
+        val pairs = operators.Similarity.semDedupPairs(
+          all, "embedding", "vec_id", nClusters = 8, threshold = 0.9)
+        val perDoc = all.select(
+          col("vec_id").as("_cid"),
+          graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))
+        val audit = operators.Dedup.pairInvariants(
+          pairs,
+          perDoc,
+          graft.functions.VectorFunctions.dot(col("fa._nv"), col("fb._nv")) =!=
+            col("cosine") || col("cosine") < lit(0.9))
+        val nTwins = emb.count()
+        val found = pairs
+          .filter(col("id_b") === col("id_a") + 100000L)
+          .select(countDistinct(col("id_a")))
+          .head.getLong(0)
+        audit.withColumn(
+          "echo_recall_below_floor",
+          lit(if (found.toDouble >= 0.9 * nTwins) 0L else 1L))
+      },
+      Some(auditOracle("echo_recall_below_floor" -> 0L))
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(
@@ -3892,6 +3984,30 @@ object SparkEntry {
       Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
              |       max(s_name) AS max_name
              |FROM supplier GROUP BY 1""".stripMargin)
+    ),
+    // ORC scan & sink round-trip (new r16): the Hive-era columnar format
+    // a migrating warehouse's corpora arrive in — Spark's native ORC
+    // reader keeps predicate pushdown + column pruning, so the engine
+    // serves ORC-resident data without a conversion pass. Same
+    // write-through/read-back/aggregate shape as q28/q29; oracle is the
+    // original table.
+    Q(
+      "q38_orc_roundtrip",
+      (s, d) => {
+        val tmp = s"/root/repo/target/tmp/q38_orc_${d.replaceAll("[^0-9.]", "")}"
+        val rt = sources.Sources.roundTrip(
+          part(s, d).select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+          tmp,
+          "orc"
+        )
+        rt.groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("p_retailprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(p_retailprice), 2) AS sum_price
+             |FROM part GROUP BY 1""".stripMargin)
     ),
     // window functions (beyond-reference extra): top-3 orders per market
     // segment by value, deterministic tie-break

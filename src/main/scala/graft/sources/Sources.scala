@@ -40,6 +40,16 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC — the columnar interchange format Hive-era warehouses ship in;
+    * Spark's reader is native (predicate pushdown + column pruning like
+    * parquet), so an ORC-resident corpus needs no conversion pass.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Persist `df` hash-bucketed (and sorted) by `key` as a catalog table —
     * the cross-JOB analogue of the reference's key-partitioned node shards
     * (reference: R/as.big.data.table.R:9-10 partitions each node's shard by
@@ -133,6 +143,7 @@ object Sources {
     format match {
       case "csv" => writeCsv(df, path); readCsv(spark, path)
       case "json" => writeJson(df, path); readJson(spark, path)
+      case "orc" => writeOrc(df, path); readOrc(spark, path)
       case _ => writeParquet(df, path); readParquet(spark, path)
     }
   }

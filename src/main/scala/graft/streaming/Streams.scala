@@ -88,4 +88,102 @@ object Streams {
     q.processAllAvailable()
     q
   }
+
+  /** Materialize `df` as `n` EVENT-TIME-ORDERED parquet files in a fresh
+    * `dir` (chunk k = the k-th `tsCol` quantile slice, one file each,
+    * modification times strictly ascending with k), so a file-source
+    * stream with `maxFilesPerTrigger=1` replays it as `n` micro-batches
+    * whose event time advances monotonically — the arrival order real
+    * ingest has and the order watermarks assume. An id-keyed split (the
+    * %3 fixture convention of the fold rows) would interleave event
+    * times across batches and make the watermark drop "late" rows that
+    * a production stream would never see late. Returns the chunk
+    * schema for the caller's `readStream.schema(...)`.
+    *
+    * Fixture-scale helper (each chunk is coalesced to ONE file — the
+    * point is deterministic micro-batch boundaries, not write
+    * throughput); production streams read from a real source.
+    */
+  def writeTsOrderedChunks(
+      df: DataFrame,
+      tsCol: String,
+      dir: String,
+      n: Int = 3
+  ): org.apache.spark.sql.types.StructType = {
+    require(n >= 2, "need at least two chunks to exercise cross-batch state")
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(root)
+    // exact interpolated percentiles of the event time — deterministic
+    // boundaries for a given fixture
+    val qs = (1 until n).map(_.toDouble / n)
+    val bounds = df
+      .select(expr(
+        s"percentile(unix_micros($tsCol), array(${qs.mkString(",")}))"))
+      .head.getSeq[Double](0).map(_.toLong)
+    val micros = unix_micros(col(tsCol))
+    (0 until n).foreach { k =>
+      val lo = if (k == 0) None else Some(bounds(k - 1))
+      val hi = if (k == n - 1) None else Some(bounds(k))
+      val chunk = df
+        .filter(lo.map(micros >= lit(_)).getOrElse(lit(true)))
+        .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
+      val tmp = s"$dir/.chunk_$k"
+      chunk.coalesce(1).write.parquet(tmp)
+      val partFile = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow(() =>
+          new IllegalStateException(s"no parquet file written for chunk $k"))
+      val dest = root.resolve(f"chunk-$k%03d.parquet")
+      java.nio.file.Files.move(partFile, dest)
+      // the file source orders same-listing files by modification time —
+      // pin it explicitly so chunk order never depends on write latency
+      java.nio.file.Files.setLastModifiedTime(
+        dest, java.nio.file.attribute.FileTime.fromMillis(1000L * (k + 1)))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    df.schema
+  }
+
+  /** Watermarked STREAM-STREAM interval join (the Structured Streaming
+    * state-store join, not a broadcast of a static side): each left
+    * event is matched to same-key right events whose event time falls
+    * in `[left.ts - window, left.ts]`. Both sides carry a `watermark`
+    * delay; Spark derives the state retention bound from the interval
+    * condition, so right-side state is evicted once no future left row
+    * (by the watermark) can reach back to it — bounded state at
+    * 100 TB/day, the property a raw self-join lacks. Append-mode
+    * output: each matched pair emits exactly once.
+    *
+    * Parity contract (gated stream == batch in StreamingSpec): with
+    * event-time-ordered micro-batches ([[writeTsOrderedChunks]]) and
+    * `watermark >= window`, no row is ever late and no state a future
+    * batch needs is evicted, so the append stream equals the batch
+    * interval join row-for-row.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      window: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right
+      .withColumnRenamed(key, s"_r_$key")
+      .withWatermark(rightTs, watermark).as("r")
+    l.join(
+      r,
+      col(s"l.$key") === col(s"r._r_$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $window") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
 }

@@ -82,6 +82,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch, and the cross-batch match flows through the join state store (st12 twin)") {
+    def th(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // 9 events whose ts tertiles give three clean micro-batches:
+    // chunk0 = {1,2,3}, chunk1 = {4,5,6}, chunk2 = {7,8,9}. Expected
+    // matches: error 4 ← click 2 (CROSS-BATCH, 50 min — must survive in
+    // the right-side state store across the trigger boundary) and
+    // error 6 ← click 5 (same batch, 5 min). Non-matches prove each
+    // boundary: click 8 is AFTER error 7 (trailing window only), click
+    // 1 is 2.5 h before error 9 (outside the 1 h window).
+    val rows = Seq(
+      (1L, th("00:00"), 3L, "click"),
+      (2L, th("00:10"), 1L, "click"),
+      (3L, th("00:20"), 5L, "view"),
+      (4L, th("01:00"), 1L, "error"),
+      (5L, th("01:10"), 2L, "click"),
+      (6L, th("01:15"), 2L, "error"),
+      (7L, th("02:00"), 4L, "error"),
+      (8L, th("02:10"), 4L, "click"),
+      (9L, th("02:30"), 3L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("st12_gate").toString + "/src"
+    val schema = Streams.writeTsOrderedChunks(rows, "ts", dir, n = 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 3, "one file per chunk")
+    // chunks are EVENT-TIME ordered (the property watermark parity needs)
+    val spans = files.map(f => spark.read.parquet(f.toString)
+      .agg(min(col("ts")), max(col("ts"))).head)
+    for (k <- 0 until 2)
+      assert(spans(k).getTimestamp(1).before(spans(k + 1).getTimestamp(0)),
+        s"chunk $k overlaps chunk ${k + 1} in event time")
+    assert(spark.read.parquet(dir).count() === 9, "chunks must partition the input")
+    val raw = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = Streams.intervalJoin(
+      left = raw.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+      right = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+      key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+      window = "1 hour", watermark = "2 hours")
+    val q = joined.select(col("err_id"), col("click_id"))
+      .writeStream.format("memory").queryName("st12_gate_out")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("st12_gate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.dropTempView("st12_gate_out")
+    assert(got === Set((4L, 2L), (6L, 5L)),
+      s"stream interval join diverged from the batch expectation: $got")
+  }
+
   test("watermark drops late rows: out-of-order micro-batches through MemoryStream (NEXT §6)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -1624,7 +1677,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L),
       "a marker-less dir counted as committed")
     assert(stored() === Set((1L, 10L)), "a marker-less dir was readable")
-    // …and the retry clears the partial dir and commits ITS frame whole
+    // …and the retry commits ITS OWN complete file set; the torn
+    // leftovers stay on disk but are manifest-unlisted, so no reader
+    // ever serves them (the retry never deletes — a delete could hit a
+    // live concurrent writer's in-flight files)
     val c = Seq((3L, 30L)).toDF("id_a", "id_b")
     assert(IdempotentSink.writeBatch(c, dir, 1L, CommitMode.Manifest),
       "retry of a torn batch must commit")
@@ -1647,6 +1703,48 @@ class StreamingSpec extends AnyFunSuite {
       IdempotentSink.read(spark, none, CommitMode.Manifest)
     }
     assert(err.getMessage.contains("no committed batches"))
+  }
+
+  test("IdempotentSink manifest mode: concurrent duplicate writers of one batch can neither tear nor double it; the loser yields") {
+    import graft.operators.IdempotentSink
+    import IdempotentSink.CommitMode
+    // the r15 advice scenario: a zombie driver re-running a batch id
+    // concurrently with the live retry. Both writers pass the
+    // marker-absence check (they start together), both write their
+    // attempt-unique files, and exactly one marker PUT wins. The
+    // committed batch must be EXACTLY one attempt's complete frame —
+    // never a mix, never the union — and the loser must RETURN false
+    // (the old protocol threw FileAlreadyExistsException out of
+    // writeBatch and let the loser's delete(target) clobber the
+    // winner's in-progress files).
+    val dir = java.nio.file.Files.createTempDirectory("rp_sink_race").toString
+    val rowsA = Set((1L, 10L), (2L, 20L))
+    val rowsB = Set((3L, 30L), (4L, 40L))
+    for (k <- 0L to 4L) {
+      val a = rowsA.toSeq.toDF("id_a", "id_b")
+      val b = rowsB.toSeq.toDF("id_a", "id_b")
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val errors = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = Seq(a, b).map { df =>
+        new Thread(() => {
+          gate.await()
+          try { results.add(IdempotentSink.writeBatch(df, dir, k, CommitMode.Manifest)); () }
+          catch { case e: Throwable => errors.set(e) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(errors.get() == null,
+        s"batch $k: a duplicate writer threw instead of yielding: ${errors.get()}")
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.count(identity) === 1,
+        s"batch $k: ${results.asScala.count(identity)} writers claimed the commit")
+      val served = IdempotentSink.read(spark, dir, CommitMode.Manifest)
+        .filter(col("batch_id") === k)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served === rowsA || served === rowsB,
+        s"batch $k: served rows are not one attempt's whole frame: $served")
+    }
   }
 
   test("sink half end-to-end: minhash fold + IdempotentSink across the crash windows") {
