@@ -3768,8 +3768,16 @@ object SparkEntry {
       (s, d) => {
         val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
         val all = emb.unionByName(nudgedEchoes(emb, 100000L))
-        val pairs = operators.Similarity.semDedupPairs(
+        // the pair self-join feeds BOTH the invariant aggregate and the
+        // recall count: checkpoint it once (perf rule: every reused
+        // subplan), then free the un-checkpointed plan's internal
+        // blocks (capped members) immediately — the returned frame's
+        // lineage only pins the pairs checkpoint, which the harness
+        // releases after materializing
+        val pairsLazy = operators.Similarity.semDedupPairs(
           all, "embedding", "vec_id", nClusters = 8, threshold = 0.9)
+        val pairs = pairsLazy.localCheckpoint(true)
+        graft.CacheUtil.release(pairsLazy)
         val perDoc = all.select(
           col("vec_id").as("_cid"),
           graft.functions.VectorFunctions.l2Normalize(col("embedding")).as("_nv"))

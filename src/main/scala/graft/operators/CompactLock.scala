@@ -95,20 +95,29 @@ private[graft] object CompactLock {
     * (r15 advice). With the monitor, the create + register pair is
     * atomic relative to every same-JVM sibling: a sibling's acquire
     * can only observe "no sentinel" (before ours) or "sentinel +
-    * registered" (after ours). Cross-JVM holders were never exposed to
-    * this window — they are covered by the pid-liveness rule.
+    * registered" (after ours). [[releaseIfCanonical]] holds the SAME
+    * monitor — its unregister + conditional-delete pair has the mirror
+    * window (unregistered-but-sentinel-still-present reads as a
+    * reclaimable leftover; a sibling could reclaim and then have its
+    * fresh sentinel deleted by the releaser's delayed delete).
+    * Cross-JVM holders were never exposed to either window — they are
+    * covered by the pid-liveness rule. Entries are never evicted
+    * (removal would let two threads hold DIFFERENT monitors for one
+    * path, reopening the race); the map is bounded by the distinct
+    * index paths a driver compacts, a handful per JVM life.
     */
   private val acquireMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def monitorFor(lock: Path): Object =
+    acquireMonitors.computeIfAbsent(lock.toString, _ => new Object)
 
   /** Take the sentinel (create-exclusive; reclaim only per the
     * staleness rules in the object scaladoc). Throws
     * [[IllegalStateException]] when a LIVE foreign holder has it.
     */
   def acquire(fs: FileSystem, lock: Path): Unit =
-    acquireMonitors
-      .computeIfAbsent(lock.toString, _ => new Object)
-      .synchronized(acquireSerialized(fs, lock))
+    monitorFor(lock).synchronized(acquireSerialized(fs, lock))
 
   private def acquireSerialized(fs: FileSystem, lock: Path): Unit = {
     def create(): Unit = {
@@ -199,9 +208,13 @@ private[graft] object CompactLock {
       fs: FileSystem,
       lock: Path,
       canonicalPresent: => Boolean
-  ): Unit = {
+  ): Unit = monitorFor(lock).synchronized {
     // the in-process critical section is over either way — only the
-    // on-disk sentinel is conditional (see object scaladoc)
+    // on-disk sentinel is conditional (see object scaladoc). The
+    // unregister + delete pair runs under the SAME per-path monitor as
+    // acquire: unserialized, a sibling's acquire could slip between
+    // them (inFlight empty + holder==self ⇒ reclaim) and then lose its
+    // FRESH sentinel to this delayed delete — two live compactors.
     inFlight.remove(lock.toString)
     if (canonicalPresent) { fs.delete(lock, false); () }
   }

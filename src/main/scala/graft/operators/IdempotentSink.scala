@@ -57,11 +57,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Atomicity, stated precisely (r15 verdict ask #3): the marker PUT's
   * VISIBILITY is atomic on every real object store (a reader sees the
-  * whole marker or none). Create-EXCLUSIVE (`create(marker,
-  * overwrite=false)`) additionally holds on local/HDFS and on stores
-  * with conditional writes (S3 If-None-Match, GCS preconditions via
-  * their connectors); on a store WITHOUT it, two concurrent writers of
-  * the SAME batch id dissolve to last-marker-visible-wins. The
+  * whole marker or none; the `manifest-v2` body tag additionally
+  * witnesses completeness on filesystems whose in-flight writes ARE
+  * visible, and a tag-less marker reads as NOT committed everywhere).
+  * Create-EXCLUSIVE (`create(marker, overwrite=false)`) holds on HDFS
+  * and on stores with conditional writes (S3 If-None-Match, GCS
+  * preconditions via their connectors); Hadoop's LOCAL fs implements it
+  * as a non-atomic exists-then-create, so same-JVM writers (the test
+  * configuration) are serialized by a per-marker monitor instead. On a
+  * store with neither, two concurrent writers of the SAME batch id
+  * dissolve to last-marker-visible-wins. The
   * manifest makes even that benign: each marker body lists one
   * attempt's COMPLETE file set, every attempt's files coexist under
   * unique names, and no attempt deletes another's — so the served
@@ -116,38 +121,104 @@ object IdempotentSink {
   private def markerPath(base: Path, batchId: Long): Path =
     new Path(base, s"_committed-$batchId")
 
-  /** Marker-body line prefix for a manifest file entry. The body's
-    * first line is a human-readable header; `file:`-prefixed lines are
-    * the committed file names (relative to the batch dir). A marker
-    * with a header but NO `manifest-v2` tag predates the true-manifest
-    * protocol — its batch is served whole-dir, the only correct read
-    * for a store written under the old single-writer contract.
+  /** Marker-body format. The first line is a human-readable header
+    * ending in the `manifest-v2` tag; `file:`-prefixed lines are the
+    * committed file names (relative to the batch dir). The TAG is the
+    * marker's own completeness witness: a body without it is a TORN
+    * marker — a crash (or, on a non-atomic-visibility fs, an in-flight
+    * write) between the marker's create and its close — and is treated
+    * as NOT COMMITTED everywhere ([[committedBatches]] skips it,
+    * [[writeBatch]] heals it by deleting and recommitting). Serving a
+    * tag-less marker whole-dir would union every attempt's litter into
+    * the frame — the doubling this protocol exists to prevent.
     */
   private val ManifestTag = "manifest-v2"
   private val FileLinePrefix = "file:"
 
+  /** JVM-local per-marker monitors serializing the marker PUT of
+    * same-JVM writers: `create(marker, overwrite=false)` is atomic on
+    * HDFS and on object stores with conditional writes, but Hadoop's
+    * RawLocalFileSystem implements it as a non-atomic exists-then-create
+    * — two same-JVM racers could both "win" and interleave bodies. The
+    * monitor makes same-JVM marker races deterministic (tests run
+    * manifest mode on the local fs); cross-PROCESS local-fs racers fall
+    * under the same last-marker-visible-wins analysis as plain S3 in
+    * the object scaladoc. Entries are never evicted — removal would let
+    * two threads hold different monitors for one path — and the map is
+    * bounded by the distinct sink dirs a driver writes (small).
+    */
+  private val markerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def markerMonitor(marker: Path): Object =
+    markerMonitors.computeIfAbsent(marker.toString, _ => new Object)
+
+  private def readMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path
+  ): Option[String] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** True iff the batch's marker exists AND carries the completeness
+    * tag — the only state that counts as committed.
+    */
+  private def markerCommitted(
+      fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path
+  ): Boolean =
+    readMarker(fs, marker).exists(_.contains(ManifestTag))
+
   /** The file names (relative to `batch_id=<k>/`) recorded in a
-    * committed batch's marker, or None for a legacy (pre-manifest-v2)
-    * marker whose batch must be served whole-dir.
+    * committed batch's marker. Loud on a torn (tag-less) marker —
+    * [[committedBatches]] never lists one, so a caller reaching this
+    * found the store mid-heal or corrupted.
     */
   private def manifestFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       base: Path,
       batchId: Long
-  ): Option[Seq[String]] = {
-    val in = fs.open(markerPath(base, batchId))
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    if (!txt.contains(ManifestTag)) None
-    else
-      Some(
-        txt.linesIterator
-          .filter(_.startsWith(FileLinePrefix))
-          .map(_.stripPrefix(FileLinePrefix).trim)
-          .filter(_.nonEmpty)
-          .toSeq)
+  ): Seq[String] = {
+    val txt = readMarker(fs, markerPath(base, batchId)).getOrElse(
+      throw new IllegalStateException(
+        s"batch $batchId of $base has no marker — it is not committed"))
+    require(
+      txt.contains(ManifestTag),
+      s"batch $batchId of $base has a torn (tag-less) marker — a crash " +
+        "landed between the marker's create and its close; a writeBatch " +
+        "retry of the batch heals it")
+    txt.linesIterator
+      .filter(_.startsWith(FileLinePrefix))
+      .map(_.stripPrefix(FileLinePrefix).trim)
+      .filter(_.nonEmpty)
+      .toSeq
   }
+
+  /** Reclaim `.mstaging-<batchId>-*` dirs left by CRASHED attempts.
+    * Only dirs older than [[StagingSweepAgeMs]] are touched: a younger
+    * dir may belong to a LIVE concurrent attempt mid-write (deleting it
+    * would abort that attempt with an IOException instead of letting it
+    * lose gracefully), and a crashed attempt's dir is immortal anyway —
+    * age costs nothing but bounded patience. Pre-commit copies are
+    * provably safe to delete: no manifest ever references staging paths.
+    */
+  private val StagingSweepAgeMs = 10 * 60 * 1000L
+
+  private def sweepManifestStaging(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: Path,
+      batchId: Long
+  ): Unit =
+    if (fs.exists(base))
+      fs.listStatus(base)
+        .filter(s =>
+          s.getPath.getName.startsWith(s".mstaging-$batchId-") &&
+            System.currentTimeMillis() - s.getModificationTime > StagingSweepAgeMs)
+        .foreach(s => fs.delete(s.getPath, true))
 
   /** The canonical fold `sink` argument:
     * `fold(..., sink = Some(IdempotentSink.batchWriter(dir, batchId)))`.
@@ -180,9 +251,12 @@ object IdempotentSink {
     val target = new Path(base, s"batch_id=$batchId")
     resolvedMode(fs, mode) match {
       case CommitMode.Manifest =>
-        // first MARKER wins: the marker object is the commit point
+        // first (complete) MARKER wins: the tag-bearing marker object is
+        // the commit point. Reclaim aged crashed-attempt staging litter
+        // on the way through either path.
         val marker = markerPath(base, batchId)
-        if (fs.exists(marker)) return false
+        sweepManifestStaging(fs, base, batchId)
+        if (markerCommitted(fs, marker)) return false
         // ATTEMPT-UNIQUE files (r15 advice): a zombie/concurrent
         // duplicate writer of the same batch id must never be able to
         // delete, overwrite, or interleave with this attempt's files —
@@ -190,8 +264,8 @@ object IdempotentSink {
         // three. Each attempt writes to a hidden staging dir, then
         // moves its files into the target dir under its own UUID
         // prefix; NOTHING in the target dir is ever deleted by a
-        // writer, so a crashed or concurrent attempt's files are inert
-        // litter that no manifest references.
+        // writer except its own files, so a crashed or concurrent
+        // attempt's files are inert litter that no manifest references.
         val attemptId = java.util.UUID.randomUUID().toString
         val staging = new Path(base, s".mstaging-$batchId-$attemptId")
         emissions.write.parquet(staging.toString)
@@ -214,31 +288,63 @@ object IdempotentSink {
         // body lists exactly this attempt's complete file set, and
         // readers serve only listed files — so whichever marker body is
         // visible, the batch reads as one attempt's whole frame (see
-        // the object scaladoc's atomicity contract)
-        val body =
-          (s"batch $batchId committed ${java.time.Instant.now()} $ManifestTag" +:
-            committedNames.map(FileLinePrefix + _)).mkString("", "\n", "\n")
-        try {
-          val out = fs.create(marker, false)
-          out.write(body.getBytes("UTF-8"))
-          out.close()
-          true
-        } catch {
-          case e: java.io.IOException =>
-            // create-exclusive refused ⇒ lost the marker race to a
-            // concurrent winner: yield like the rename path does
-            // (return false, never throw) and remove this attempt's
-            // now-unreferenced files. Any OTHER I/O failure surfaces
-            // as itself — same discipline as CompactLock.acquire
-            // (not every fs raises FileAlreadyExistsException here).
-            val lostRace =
-              e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
-                (try fs.exists(marker)
-                catch { case _: java.io.IOException => false })
-            if (!lostRace) throw e
-            committedNames.foreach(n => fs.delete(new Path(target, n), false))
-            false
+        // the object scaladoc's atomicity contract). The PUT runs under
+        // the JVM-local per-marker monitor ([[markerMonitors]]) so
+        // same-JVM racers are genuinely exclusive even on the local fs,
+        // whose create(overwrite=false) is a non-atomic
+        // exists-then-create.
+        val won = markerMonitor(marker).synchronized {
+          if (markerCommitted(fs, marker)) false
+          else {
+            if (fs.exists(marker)) {
+              // tag-less marker: a crash landed between a previous
+              // attempt's create and close (same-JVM in-flight writers
+              // are excluded by this monitor; foreign in-flight writers
+              // by the single-writer-per-batch contract) — heal it so
+              // this attempt can commit instead of the batch reading
+              // torn forever
+              fs.delete(marker, false)
+            }
+            val body =
+              (s"batch $batchId committed ${java.time.Instant.now()} $ManifestTag" +:
+                committedNames.map(FileLinePrefix + _)).mkString("", "\n", "\n")
+            var created: org.apache.hadoop.fs.FSDataOutputStream = null
+            try {
+              created = fs.create(marker, false)
+              created.write(body.getBytes("UTF-8"))
+              created.close()
+              true
+            } catch {
+              case e: java.io.IOException =>
+                if (created != null) {
+                  // our create WON but the body write/close failed: the
+                  // marker on disk is torn and OURS. Delete it so a
+                  // retry can recommit, and surface the failure — this
+                  // is a failed commit, never a lost race (classifying
+                  // it as one would return false while committedBatches
+                  // may briefly count the torn marker: silent loss).
+                  try fs.delete(marker, false)
+                  catch { case _: java.io.IOException => () }
+                  throw e
+                }
+                // create-exclusive refused ⇒ lost the marker race to a
+                // concurrent winner: yield like the rename path does
+                // (return false, never throw). Any OTHER I/O failure
+                // surfaces as itself — same discipline as
+                // CompactLock.acquire (not every fs raises
+                // FileAlreadyExistsException here).
+                val lostRace =
+                  e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+                    (try fs.exists(marker)
+                    catch { case _: java.io.IOException => false })
+                if (!lostRace) throw e
+                false
+            }
+          }
         }
+        // a loser's files are unreferenced — remove them
+        if (!won) committedNames.foreach(n => fs.delete(new Path(target, n), false))
+        won
       case _ =>
         if (fs.exists(target)) return false
         fs.mkdirs(base)
@@ -304,15 +410,8 @@ object IdempotentSink {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths = resolvedMode(fs, mode) match {
       case CommitMode.Manifest =>
-        committed.flatMap { k =>
-          manifestFiles(fs, base, k) match {
-            case Some(names) => names.map(n => s"$dir/batch_id=$k/$n")
-            // legacy (pre-manifest-v2) marker: its store was written
-            // under the old single-writer whole-dir protocol — serve
-            // the dir, the only listing that store ever had
-            case None => Seq(s"$dir/batch_id=$k")
-          }
-        }
+        committed.flatMap(k =>
+          manifestFiles(fs, base, k).map(n => s"$dir/batch_id=$k/$n"))
       case _ => committed.map(k => s"$dir/batch_id=$k")
     }
     require(
@@ -347,7 +446,13 @@ object IdempotentSink {
         names.collect { case s if s.startsWith(prefix) => s.stripPrefix(prefix) }
           .flatMap(s => scala.util.Try(s.toLong).toOption)
       val ids = resolvedMode(fs, mode) match {
-        case CommitMode.Manifest => idsWithPrefix("_committed-")
+        case CommitMode.Manifest =>
+          // a TORN (tag-less) marker is not a commit: counting it would
+          // make a crash inside the marker write look committed while
+          // the body lists nothing — one tiny read per marker, a
+          // per-BATCH constant
+          idsWithPrefix("_committed-")
+            .filter(k => markerCommitted(fs, markerPath(base, k)))
         case _ => idsWithPrefix("batch_id=")
       }
       ids.sorted.toSeq

@@ -111,12 +111,18 @@ object Streams {
       n: Int = 3
   ): org.apache.spark.sql.types.StructType = {
     require(n >= 2, "need at least two chunks to exercise cross-batch state")
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+    // java.nio directory streams hold an open descriptor until closed —
+    // consume them through this closing wrapper (the helper runs three
+    // times per bench pass; leaked descriptors accumulate per JVM)
+    def walkAll(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(p)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+      finally s.close()
     }
+    def deleteTree(p: java.nio.file.Path): Unit =
+      walkAll(p).reverse.foreach(java.nio.file.Files.delete)
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) deleteTree(root)
     java.nio.file.Files.createDirectories(root)
     // exact interpolated percentiles of the event time — deterministic
     // boundaries for a given fixture
@@ -134,19 +140,17 @@ object Streams {
         .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
       val tmp = s"$dir/.chunk_$k"
       chunk.coalesce(1).write.parquet(tmp)
-      val partFile = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst.orElseThrow(() =>
-          new IllegalStateException(s"no parquet file written for chunk $k"))
+      val partFile = walkAll(java.nio.file.Paths.get(tmp))
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(
+          throw new IllegalStateException(s"no parquet file written for chunk $k"))
       val dest = root.resolve(f"chunk-$k%03d.parquet")
       java.nio.file.Files.move(partFile, dest)
       // the file source orders same-listing files by modification time —
       // pin it explicitly so chunk order never depends on write latency
       java.nio.file.Files.setLastModifiedTime(
         dest, java.nio.file.attribute.FileTime.fromMillis(1000L * (k + 1)))
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-        .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      deleteTree(java.nio.file.Paths.get(tmp))
     }
     df.schema
   }

@@ -1695,6 +1695,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored() === Set((1L, 10L), (3L, 30L)))
     assert(!IdempotentSink.writeBatch(b, dir, 2L, CommitMode.Manifest),
       "an empty committed batch must still win over a replay")
+    // TORN MARKER: a crash between the marker's create and its close
+    // leaves a tag-less body — it must read as NOT committed (counting
+    // it would silently lose the batch: retries would skip forever)
+    // and the retry must heal it by recommitting
+    val torn = new org.apache.hadoop.fs.Path(dir, "_committed-3")
+    val out = fs.create(torn, false)
+    out.write("batch 3 committed 2026-01-01T00:00:00Z\n".getBytes("UTF-8"))
+    out.close() // complete write, but NO manifest-v2 tag = torn shape
+    assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L, 1L, 2L),
+      "a torn (tag-less) marker counted as committed")
+    val e4 = Seq((4L, 40L)).toDF("id_a", "id_b")
+    assert(IdempotentSink.writeBatch(e4, dir, 3L, CommitMode.Manifest),
+      "retry of a torn-marker batch must heal and commit")
+    assert(IdempotentSink.committedBatches(spark, dir, CommitMode.Manifest) === Seq(0L, 1L, 2L, 3L))
+    assert(stored() === Set((1L, 10L), (3L, 30L), (4L, 40L)),
+      "the healed batch must serve the retry's manifest-listed rows")
     // a store with no committed batches reads as a loud error, not a
     // confusing parquet schema failure
     val none = java.nio.file.Files.createTempDirectory("rp_sink_mf0").toString
