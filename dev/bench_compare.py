@@ -36,6 +36,21 @@ def main(old_path, new_path, ratio=1.3):
         print(f"WARNING: {len(cq)} queries were measured in a batch that stayed "
               "contended after retries — their ratios are advisory: "
               + ", ".join(sorted(cq)))
+    for side, art in (("old", old), ("new", new)):
+        fs = art.get("floor_skipped", [])
+        if fs:
+            print(f"NOTE: {side} artifact skipped {len(fs)} isolated floors "
+                  f"(wall-clock budget): {', '.join(fs)} — regression hunts on "
+                  "those queries lack a quiet-box floor this round")
+        # flag in-batch readings far above their recorded quiet floor: box
+        # state, not code — isolate before chasing (the r12-r14 st04 class)
+        floors = art.get("isolated_floor", {})
+        hot = [(q, art["queries"][q], f) for q, f in floors.items()
+               if q in art.get("queries", {}) and f > 0 and art["queries"][q] / f > 1.5]
+        if hot:
+            print(f"NOTE: {side} in-batch readings ≥1.5x their own isolated "
+                  "floor (box state, not code): "
+                  + ", ".join(f"{q} {v:.2f}s vs floor {f:.2f}s" for q, v, f in hot))
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     only_old = sorted(set(qo) - set(qn))

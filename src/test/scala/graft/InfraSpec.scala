@@ -37,6 +37,32 @@ class InfraSpec extends AnyFunSuite {
       if (fam(b.head) == "d") assert(b.size <= 4)
     }
   }
+  test("bench compact artifact line fits the driver's 2000-char output tail") {
+    // every BENCH_r1-r15 official artifact read parsed:null because the
+    // full per-query line (~4.5 KB) never fit the driver's 2000-char
+    // tail window; the compact twin must fit with margin at full
+    // registry scale, stay valid JSON, and keep the floor evidence
+    val results = (1 to 140).map(i => f"q$i%03d_some_long_query_name" -> (i * 0.37))
+    val floors = (1 to 9).map(i => s"st0${i}_stream_whatever" -> (i * 1.5)).toMap
+    val line = Bench.renderCompactLine(
+      results, failed = Seq("q999_failed_query"), calibSec = 0.25,
+      calibRefSec = 0.22, contended = false,
+      contendedQueries = Seq("q998_contended"), leakedBlocks = 0,
+      sfDir = "/root/testdata/sf0.1", isolation = "fresh-jvm-batches",
+      batches = 36, batchesDone = 36, isolatedFloor = floors,
+      floorSkipped = Seq("st09_stream_sink"))
+    assert(line.length <= 1800, s"compact line is ${line.length} chars")
+    assert(!line.contains("\n"))
+    // shape: the driver needs metric/value/queries and the floor keys
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"isolated_floor\":{"))
+    assert(line.contains("\"floor_skipped\":[\"st09_stream_sink\"]"))
+    assert(line.contains("\"queries_omitted\":"))
+    // the kept queries are the most expensive ones
+    assert(line.contains("q140_some_long_query_name"))
+    assert(!line.contains("\"q001_some_long_query_name\""))
+  }
+
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
