@@ -480,11 +480,14 @@ object Bench {
     //     time crosses it, so the run converges instead of racing the
     //     external kill;
     // (c) the floor pass has its own sub-budget below.
-    // The default (45 min) sits well under the observed driver limit
-    // (~60 min: r15 completed a 51-min batch loop plus 2 floors before
-    // the kill). Skipped floors are recorded under "floor_skipped".
+    // The default (55 min) sits under the observed driver limit with
+    // margin for one in-flight floor child: the r14 driver run
+    // COMPLETED at 55:01 (rc 0) and the r15 run was killed (rc 124)
+    // after its ~51-min batch loop plus 2 of 9 floors, bracketing the
+    // driver budget at ~60 min. A tighter default would shed every
+    // floor on the driver's box (its batch loop alone runs ~50 min).
     val benchBudgetSec =
-      envInt("SPARK_GRAFT_BENCH_BUDGET_SEC").getOrElse(2700)
+      envInt("SPARK_GRAFT_BENCH_BUDGET_SEC").getOrElse(3300)
     val startNanos = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
     def overBudget: Boolean = elapsedSec > benchBudgetSec
