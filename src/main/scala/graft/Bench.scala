@@ -92,7 +92,8 @@ object Bench {
     "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
     "st11_sink_manifest", "st12_stream_join",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
-    "s06_semdedup", "s08_semdedup_incremental",
+    "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
+    "s14_sq8_incremental",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",

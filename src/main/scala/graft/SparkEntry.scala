@@ -3797,6 +3797,88 @@ object SparkEntry {
       },
       Some(auditOracle("echo_recall_below_floor" -> 0L))
     ),
+    // uniform 8-bit scalar-quantized top-k (faiss QT_8bit_uniform idea):
+    // the first quantized ANN row with a FULL oracle — the per-tensor
+    // scale makes symmetric distance a pure int64 sum over codes whose
+    // derivation chain (float min/max → double floor) is bit-identical
+    // cross-engine, so DuckDB hash-matches the SCORES, not just a
+    // rank-gap-stable id list (PQ/IVF stay rows-only: their codebooks
+    // are float-sum-order-dependent k-means means)
+    Q(
+      "s13_sq8_search",
+      (s, d) =>
+        operators.Quantization
+          .sq8TopK(embeddings(s, d), "embedding", "vec_id", queryId = 0L, k = 5),
+      Some("""WITH p AS (
+             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+             |  FROM (SELECT unnest(embedding) AS u FROM embeddings)),
+             |enc AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           CAST(least(255.0, greatest(0.0,
+             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
+             |           AS BIGINT)) AS code
+             |  FROM embeddings, p),
+             |q AS (SELECT code FROM enc WHERE vec_id = 0)
+             |SELECT vec_id AS neighbor_id,
+             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
+             |       CAST(sdc AS BIGINT) AS sdc_l2
+             |FROM (
+             |  SELECT e.vec_id,
+             |         list_sum(list_transform(range(1, len(e.code) + 1),
+             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
+             |  FROM enc e, q
+             |  WHERE e.vec_id != 0)
+             |ORDER BY sdc, vec_id LIMIT 5""".stripMargin)
+    ),
+    // incremental SQ8 ANN ingest: index built on the corpus 2/3, the
+    // delta 1/3 appended under the FROZEN corpus params (saturating at
+    // the trained range — the daily-crawl shape that never retrains),
+    // then one probe over the written table. The closed-form quantizer
+    // makes this the first incremental-ANN row with a FULL oracle:
+    // DuckDB trains on the same corpus subset, encodes everything under
+    // those params, and hash-matches ids + integer scores (ivfAppend/
+    // ivfPqAppend keep their parity gates but can never hash-match —
+    // float-sum-order centroids)
+    Q(
+      "s14_sq8_incremental",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+        val delta = emb.filter(col("vec_id") % 3 === 0)
+        val idx = operators.Quantization
+          .writeSq8Index(corpus, "embedding", "vec_id", "s14_idx")
+        operators.Quantization.appendToSq8Index(delta, "embedding", "vec_id", idx)
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        operators.Quantization
+          .sq8TopKIndexed(s, idx, qv, k = 5, excludeId = Some(0L))
+      },
+      Some("""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 3 != 0),
+             |p AS (
+             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+             |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
+             |enc AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           CAST(least(255.0, greatest(0.0,
+             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
+             |           AS BIGINT)) AS code
+             |  FROM embeddings, p),
+             |q AS (SELECT code FROM enc WHERE vec_id = 0)
+             |SELECT vec_id AS neighbor_id,
+             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
+             |       CAST(sdc AS BIGINT) AS sdc_l2
+             |FROM (
+             |  SELECT e.vec_id,
+             |         list_sum(list_transform(range(1, len(e.code) + 1),
+             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
+             |  FROM enc e, q
+             |  WHERE e.vec_id != 0)
+             |ORDER BY sdc, vec_id LIMIT 5""".stripMargin)
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

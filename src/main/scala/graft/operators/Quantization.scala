@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Product quantization (PQ) for embedding columns — the storage layout
   * that makes 100 TB of vectors searchable: each vector is split into `m`
@@ -604,6 +604,249 @@ object Quantization {
     ivfPqSearch(idx, q, topK, nProbe, Some(queryId))
   }
 
+  // ----------------------------------------------- scalar quantization
+
+  /** Uniform (per-tensor) 8-bit scalar quantization parameters: one
+    * [mn, mx] range shared by EVERY element of the corpus (the faiss
+    * `ScalarQuantizer` QT_8bit_uniform layout — a published idea,
+    * independent implementation). 4× smaller than float32.
+    *
+    * The per-tensor (not per-dimension) scale is a deliberate trade:
+    * with one scale, the decoded L2 distance is `(span/255)² ×` the
+    * INTEGER squared distance between code arrays, so symmetric distance
+    * computation (SDC — Jégou et al., TPAMI 2011 §III.A) ranks in pure
+    * int64 arithmetic: no float LUT, no summation-order sensitivity, and
+    * the whole chain (min/max → codes → distances → ranks) is exactly
+    * reproducible by any engine — s13's DuckDB oracle hash-matches the
+    * scores themselves, which no per-dimension or PQ variant can offer
+    * (their ADC sums are float-order-dependent). Per-dimension scaling's
+    * accuracy niche is already covered by [[pqTrain]]/[[ivfPqBuild]].
+    */
+  final case class SQ8Params(mn: Double, mx: Double) {
+    def span: Double = mx - mn
+  }
+
+  /** Train = ONE corpus scan for the element-wise min/max (`array_min`
+    * per row, then a plain agg — partial-aggregated map-side, no
+    * shuffle beyond the final 2-double reduce; at 100 TB this is the
+    * cheapest possible pass over the vectors). Exact for float inputs:
+    * min/max are comparisons, not accumulations, so the result is
+    * bit-identical under any partitioning or row order.
+    */
+  def sq8Train(df: DataFrame, vecCol: String): SQ8Params = {
+    val r = df
+      .agg(
+        min(array_min(col(vecCol))).cast("double").as("mn"),
+        max(array_max(col(vecCol))).cast("double").as("mx")
+      )
+      .head()
+    require(
+      !r.isNullAt(0) && !r.isNullAt(1),
+      s"sq8Train: column '$vecCol' has no non-null vectors"
+    )
+    SQ8Params(r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Per-element code: `floor((x - mn) / span * 255)` clamped to
+    * [0, 255], computed in double ([[SQ8Kernels.codeOf]]). Compiled
+    * kernel per row — no HOF lambda in the scan (the
+    * [[graft.functions.VectorKernels]] CodegenFallback lesson). Vectors
+    * outside the trained range (a delta encoded under frozen params —
+    * the incremental-ingest shape) saturate at 0/255 rather than wrap.
+    */
+  def sq8Encode(
+      df: DataFrame,
+      vecCol: String,
+      p: SQ8Params,
+      codeCol: String = "_sq8"
+  ): DataFrame =
+    df.withColumn(codeCol, sq8EncodeExpr(col(vecCol), p))
+
+  private def sq8EncodeExpr(vec: Column, p: SQ8Params): Column =
+    Shim.toColumn(
+      SQ8Encode(Shim.toExpression(vec.cast("array<double>")), p.mn, p.span)
+    )
+
+  /** Integer squared L2 distance between a code column and one query's
+    * codes (SDC). Exact int64 — overflow-free up to 2^46 dimensions.
+    */
+  def sq8Sdc(codes: Column, qCodes: Array[Int]): Column =
+    Shim.toColumn(SQ8Sdc(Shim.toExpression(codes), qCodes))
+
+  /** Top-k nearest neighbors of one query id under SQ8 symmetric
+    * distance, ties broken by id. Output: neighbor_id, rank, sdc_l2
+    * (the integer score — hash-exact cross-engine, so unlike the
+    * float-ranked s01/s02 this row's ORACLE verifies the scores too).
+    *
+    * Scale shape: train is one scan; search is one encode+score scan
+    * into a TakeOrdered (per-partition heaps, driver merge of k) — no
+    * shuffle, no join, same plan class as [[Similarity.knn]] but over
+    * 4×-compressed codes. Production amortizes `sq8Train`/`sq8Encode`
+    * across queries; this end-to-end form is the deterministic
+    * registry/gate entry.
+    */
+  def sq8TopK(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryId: Long,
+      k: Int
+  ): DataFrame = {
+    val p = sq8Train(df, vecCol)
+    val qCodes =
+      SQ8Kernels.encodeLocal(lookupQueryVec(df, vecCol, idCol, queryId), p.mn, p.span)
+    val scored = sq8Encode(df.filter(col(idCol) =!= queryId), vecCol, p)
+      .withColumn("_sdc", sq8Sdc(col("_sq8"), qCodes))
+      .orderBy(col("_sdc").asc, col(idCol).asc)
+      .limit(k)
+    Similarity.rankLimited(scored, idCol, keep = Seq("_sdc" -> "sdc_l2"))
+  }
+
+  /** A persisted SQ8 index: one bucketed code table (`_vid`, `_code`)
+    * plus the FROZEN training params riding in the handle (the
+    * [[Similarity.LshIndex]] convention — params are deterministic
+    * corpus statistics, so rebuilding a handle is one [[sq8Train]]
+    * scan, never a retrain). Codes are 0..255 ints; parquet dictionary/
+    * bit-pack encoding stores them at ~1 byte each, the 4×-compressed
+    * layout that makes a 100 TB float corpus a 25 TB scan.
+    */
+  final case class Sq8Index(
+      codeTable: String,
+      params: SQ8Params,
+      dim: Int,
+      buckets: Int
+  )
+
+  /** Build and persist an SQ8 index under catalog table
+    * `<name>_codes`, bucketed by id (so later id-joins — e.g. an
+    * exact-refine against the raw vectors — co-locate without a
+    * shuffle). Params come from THIS corpus; deltas appended later are
+    * encoded under them unchanged (saturating at the range edges), so
+    * the index never needs retraining — the unbounded-corpus ANN
+    * ingest shape, same contract as [[Similarity.ivfAppend]] but with
+    * a closed-form quantizer: unlike IVF/PQ, an SQ8 probe over
+    * build+append is exactly reproducible by any engine (s14's FULL
+    * oracle).
+    */
+  def writeSq8Index(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      name: String,
+      buckets: Int = 32
+  ): Sq8Index = {
+    val p = sq8Train(df, vecCol)
+    val dim = df
+      .filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)))
+      .head(1)
+      .headOption
+      .map(_.getInt(0))
+      .getOrElse(
+        throw new IllegalArgumentException(
+          s"writeSq8Index: no rows to infer vector dim from column '$vecCol'"
+        )
+      )
+    val idx = Sq8Index(s"${name}_codes", p, dim, buckets)
+    writeSq8Table(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
+    idx
+  }
+
+  /** Fold a delta into the index under the handle's frozen params.
+    * The dim probe is one 1-row job per BATCH — it fails a
+    * wrong-corpus append before any row lands (the SDC kernel would
+    * only catch it at probe time, after the table is poisoned).
+    *
+    * Replay-idempotent under the at-least-once foreachBatch contract
+    * ([[ReplaySafe]]: the index is the ledger): ids the table already
+    * holds are dropped before the write, so a replayed batch appends
+    * nothing — duplicate `_vid` rows would otherwise eat top-k slots.
+    * One row per id, so id-level healing suffices (no within-id torn
+    * commits to complete); first attempts skip the filter entirely.
+    */
+  def appendToSq8Index(
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: Sq8Index
+  ): Unit = {
+    delta
+      .filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)))
+      .head(1)
+      .headOption
+      .foreach { r =>
+        require(
+          r.getInt(0) == idx.dim,
+          s"appendToSq8Index: delta dim ${r.getInt(0)} != index dim ${idx.dim}"
+        )
+      }
+    val spark = delta.sparkSession
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(spark.table(idx.codeTable), "_vid", rids)
+    val fresh =
+      if (ReplaySafe.noneSeen(seen)) delta
+      else ReplaySafe.dropSeen(delta, idCol, seen)
+    writeSq8Table(fresh, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+    graft.CacheUtil.release(rids)
+    graft.CacheUtil.release(seen)
+  }
+
+  /** Compact an append-fragmented SQ8 code table: one row per id under
+    * the replay-safe append contract, so this is a pure small-file
+    * merge through [[Dedup.compactBucketedIndexTable]]'s crash-safe
+    * rename-aside swap (same wrapper shape as every other index
+    * family).
+    */
+  def compactSq8Index(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: Sq8Index
+  ): Unit =
+    Dedup.compactBucketedIndexTable(spark, idx.codeTable, idx.buckets, Seq("_vid"))
+
+  private def writeSq8Table(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: Sq8Index,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
+    Dedup.writeBucketedTable(
+      sq8Encode(df, vecCol, idx.params, "_code")
+        .select(col(idCol).as("_vid"), col("_code")),
+      idx.codeTable,
+      idx.buckets,
+      Seq("_vid"),
+      mode
+    )
+
+  /** Top-k over a WRITTEN SQ8 index: one code-table scan (4× smaller
+    * than the floats) + compiled integer SDC + TakeOrdered — no
+    * shuffle, no join. Output: neighbor_id, rank, sdc_l2, with the
+    * integer scores hash-exact cross-engine like [[sq8TopK]].
+    */
+  def sq8TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: Sq8Index,
+      query: Array[Double],
+      k: Int,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(
+      query.length == idx.dim,
+      s"sq8TopKIndexed: query dim ${query.length} != index dim ${idx.dim}"
+    )
+    val qCodes = SQ8Kernels.encodeLocal(query, idx.params.mn, idx.params.span)
+    val base = spark.table(idx.codeTable)
+    val candidates =
+      excludeId.map(id => base.filter(col("_vid") =!= id)).getOrElse(base)
+    val scored = candidates
+      .withColumn("_sdc", sq8Sdc(col("_code"), qCodes))
+      .orderBy(col("_sdc").asc, col("_vid").asc)
+      .limit(k)
+    Similarity.rankLimited(scored, "_vid", keep = Seq("_sdc" -> "sdc_l2"))
+  }
+
   /** Fetch the query vector by id, naming the id/column in the error when
     * absent (a bare `.head()` surfaces a missing id as "next on empty
     * iterator" with no hint the query id was wrong).
@@ -748,5 +991,128 @@ object PQKernels {
     }
 
     override protected def withNewChildInternal(newChild: Expression): PQAdc =
+      copy(child = newChild)
+  }
+
+/** Row-level SQ8 kernels — top-level for the same static-forwarder
+  * reason as [[PQKernels]]. Shared by interpreted eval, generated Java,
+  * and the driver-side query-vector encode, so all three paths run the
+  * identical IEEE sequence.
+  */
+object SQ8Kernels {
+
+  /** `floor((x - mn) / span * 255)` clamped to [0, 255]. The chain stays
+    * in double until the final cast — the exact expression the DuckDB
+    * oracle replays (`least(255.0, greatest(0.0, floor(...)))`), so codes
+    * are bit-identical cross-engine: subtraction, division, and
+    * multiplication of identical doubles are each correctly rounded, and
+    * floor of identical doubles is identical. `span == 0` (a constant
+    * corpus) maps everything to code 0.
+    */
+  def codeOf(x: Double, mn: Double, span: Double): Int =
+    if (span == 0d) 0
+    else {
+      val v = math.floor((x - mn) / span * 255.0)
+      if (v <= 0.0) 0 else if (v >= 255.0) 255 else v.toInt
+    }
+
+  def encode(vec: ArrayData, mn: Double, span: Double): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = codeOf(vec.getDouble(i), mn, span)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Driver-side twin of [[encode]] for the query vector. */
+  def encodeLocal(vec: Array[Double], mn: Double, span: Double): Array[Int] = {
+    val out = new Array[Int](vec.length)
+    var i = 0
+    while (i < vec.length) {
+      out(i) = codeOf(vec(i), mn, span)
+      i += 1
+    }
+    out
+  }
+
+  /** Integer squared L2 distance between two code arrays. Fails fast on
+    * a length mismatch (the [[graft.functions.VectorKernels]]
+    * checkSameLength policy — reading past the input would return
+    * garbage on UnsafeArrayData).
+    */
+  def sdc(codes: ArrayData, q: Array[Int]): Long = {
+    if (codes.numElements() != q.length)
+      throw new IllegalArgumentException(
+        s"sq8_sdc requires code length == query length, got " +
+          s"${codes.numElements()} and ${q.length}"
+      )
+    var s = 0L
+    var i = 0
+    while (i < q.length) {
+      val d = (codes.getInt(i) - q(i)).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
+  case class SQ8Encode(child: Expression, mn: Double, span: Double)
+      extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "sq8_encode"
+
+    override protected def nullSafeEval(input: Any): Any =
+      SQ8Kernels.encode(input.asInstanceOf[ArrayData], mn, span)
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode = {
+      // Embed the two scalars via their raw bits: always-valid Java
+      // source (a printed shortest-repr literal breaks on ±Infinity)
+      // and exactly the constructor's doubles.
+      val mnBits = java.lang.Double.doubleToRawLongBits(mn)
+      val spanBits = java.lang.Double.doubleToRawLongBits(span)
+      defineCodeGen(
+        ctx,
+        ev,
+        c =>
+          s"graft.operators.SQ8Kernels.encode($c, " +
+            s"Double.longBitsToDouble(${mnBits}L), " +
+            s"Double.longBitsToDouble(${spanBits}L))"
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SQ8Encode =
+      copy(child = newChild)
+  }
+
+  case class SQ8Sdc(child: Expression, q: Array[Int])
+      extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sq8_sdc"
+
+    override protected def nullSafeEval(input: Any): Any =
+      SQ8Kernels.sdc(input.asInstanceOf[ArrayData], q)
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode = {
+      val qRef = ctx.addReferenceObj("sq8Query", q, "int[]")
+      defineCodeGen(
+        ctx,
+        ev,
+        c => s"graft.operators.SQ8Kernels.sdc($c, $qRef)"
+      )
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SQ8Sdc =
       copy(child = newChild)
   }

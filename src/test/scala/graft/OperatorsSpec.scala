@@ -3669,6 +3669,139 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean recall@5=$mean per-query=$recalls")
   }
 
+  test("sq8 codes == HOF formulation bit-for-bit; clamped; round-trip within half a cell (s13 kernel gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val p = Quantization.sq8Train(emb, "embedding")
+    assert(p.span > 0, "fixture corpus must not be constant")
+    // compiled kernel == the HOF formulation of the same double chain
+    // (the expression the DuckDB oracle replays); the HOF side is
+    // CodegenFallback, so this also pins interpreted == codegen'd
+    val hof = transform(
+      col("embedding").cast("array<double>"),
+      x =>
+        least(lit(255.0), greatest(lit(0.0),
+          floor((x - lit(p.mn)) / lit(p.span) * lit(255.0)))).cast("int"))
+    val mismatches = Quantization
+      .sq8Encode(emb, "embedding", p)
+      .withColumn("_hof", hof)
+      .filter(col("_sq8") =!= col("_hof"))
+      .count()
+    assert(mismatches === 0L)
+    // range + reconstruction bound: midpoint decode sits within half a
+    // quantization cell of the original (the uniform-SQ8 error contract)
+    val cell = p.span / 255.0
+    Quantization
+      .sq8Encode(emb, "embedding", p)
+      .select(col("embedding").cast("array<double>"), col("_sq8"))
+      .collect()
+      .foreach { r =>
+        r.getSeq[Double](0).zip(r.getSeq[Int](1)).foreach { case (x, c) =>
+          assert(c >= 0 && c <= 255, s"code $c out of range")
+          val decoded = p.mn + (c + 0.5) * cell
+          assert(math.abs(x - decoded) <= cell / 2 + 1e-12, s"x=$x code=$c")
+        }
+      }
+    // frozen-params encode of an out-of-range delta saturates, not wraps
+    // (the incremental-ingest shape: new vectors under yesterday's params)
+    val delta = Seq(Vec(9000L, Array(1e9f, -1e9f))).toDS.toDF
+    val sat = Quantization
+      .sq8Encode(delta, "embedding", p)
+      .select(col("_sq8"))
+      .head
+      .getSeq[Int](0)
+    assert(sat === Seq(255, 0))
+  }
+
+  test("sq8TopK: integer scores rank-consistent, recall@5 vs brute L2 on the fixture (s13 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val queryIds = Seq(0L, 1L, 2L)
+    val recalls = queryIds.map { qid =>
+      val res = Quantization
+        .sq8TopK(emb, "embedding", "vec_id", qid, k = 5)
+        .collect()
+      assert(res.length === 5)
+      assert(res.map(_.getInt(1)).sorted.toSeq === (1 to 5))
+      val byRank = res.sortBy(_.getInt(1))
+      val sdcs = byRank.map(_.getAs[Long]("sdc_l2"))
+      assert(sdcs.zip(sdcs.tail).forall { case (a, b) => a <= b },
+        s"scores must be nondecreasing with rank: ${sdcs.toSeq}")
+      // exact L2 top-5 (brute, full floats) as the recall reference
+      val qv = emb
+        .filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val qLit = array(qv.map(lit): _*)
+      val brute = emb
+        .filter(col("vec_id") =!= qid)
+        .withColumn("_d", VectorFunctions.sqDist(col("embedding"), qLit))
+        .orderBy(col("_d").asc, col("vec_id").asc)
+        .limit(5)
+        .collect().map(_.getLong(0)).toSet
+      (brute intersect byRank.map(_.getLong(0)).toSet).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@5=$mean per-query=$recalls")
+  }
+
+  test("sq8 index: probe-after-append == frozen-params union; replay appends nothing; compaction keeps probes; wrong-dim fails fast (s14 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val idx = Quantization.writeSq8Index(corpus, "embedding", "vec_id", "sq8_gate_idx")
+    try {
+      // the handle's frozen params are exactly a plain train on the corpus
+      assert(idx.params === Quantization.sq8Train(corpus, "embedding"))
+      Quantization.appendToSq8Index(delta, "embedding", "vec_id", idx)
+      val qv = emb
+        .filter(col("vec_id") === 1L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      def probe() = Quantization
+        .sq8TopKIndexed(spark, idx, qv, k = 10, excludeId = Some(1L))
+        .collect()
+        .sortBy(_.getInt(1))
+        .map(r => (r.getLong(0), r.getAs[Long]("sdc_l2")))
+        .toSeq
+      val probed = probe()
+      // direct form: encode the union under the SAME frozen params — the
+      // written build+append table must be observationally identical
+      val qCodes = SQ8Kernels.encodeLocal(qv, idx.params.mn, idx.params.span)
+      val direct = Quantization
+        .sq8Encode(emb.filter(col("vec_id") =!= 1L), "embedding", idx.params)
+        .withColumn("_sdc", Quantization.sq8Sdc(col("_sq8"), qCodes))
+        .orderBy(col("_sdc").asc, col("vec_id").asc)
+        .limit(10)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("_sdc")))
+        .toSeq
+      assert(probed === direct)
+      // a replayed batch (at-least-once foreachBatch) appends NOTHING:
+      // duplicate _vid rows would eat top-k slots
+      val rowsAfterFirst = spark.table(idx.codeTable).count()
+      Quantization.appendToSq8Index(delta, "embedding", "vec_id", idx)
+      assert(spark.table(idx.codeTable).count() === rowsAfterFirst,
+        "replayed append duplicated rows")
+      assert(probe() === probed, "replayed append changed probe results")
+      // compaction: small-file merge, identical probes, bucket layout kept
+      def tableDir = new java.io.File(
+        spark.sql(s"DESCRIBE TABLE EXTENDED ${idx.codeTable}")
+          .filter($"col_name" === "Location").head().getString(1).stripPrefix("file:"))
+      def nFiles = tableDir.listFiles().count(_.getName.startsWith("part-"))
+      val filesBefore = nFiles
+      Quantization.compactSq8Index(spark, idx)
+      assert(probe() === probed, "compaction changed probe results")
+      assert(nFiles <= filesBefore, s"file count grew ($filesBefore -> $nFiles)")
+      assert(spark.table(idx.codeTable).count() === rowsAfterFirst)
+      // a wrong-dim delta fails BEFORE any row lands in the table
+      val bad = Seq(Vec(99999L, Array(1f, 2f))).toDS.toDF
+      val e = intercept[IllegalArgumentException] {
+        Quantization.appendToSq8Index(bad, "embedding", "vec_id", idx)
+      }
+      assert(e.getMessage.contains("dim"))
+      assert(spark.table(idx.codeTable).filter(col("_vid") === 99999L).count() === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS sq8_gate_idx_codes")
+  }
+
   test("lshNearDups precision-exact + recall vs brute on the fixture (d07 gate)") {
     // fixture pairs all sit at cosine 0.3-0.5 — near-threshold, the hard
     // case for hyperplane LSH. nPlanes=2/nTables=8 gives theoretical
