@@ -3756,12 +3756,20 @@ class OperatorsSpec extends AnyFunSuite {
         .filter(col("vec_id") === 1L)
         .select(col("embedding").cast("array<double>"))
         .head.getSeq[Double](0).toArray
-      def probe() = Quantization
-        .sq8TopKIndexed(spark, idx, qv, k = 10, excludeId = Some(1L))
+      def probeDf() =
+        Quantization.sq8TopKIndexed(spark, idx, qv, k = 10, excludeId = Some(1L))
+      def probe() = probeDf()
         .collect()
         .sortBy(_.getInt(1))
         .map(r => (r.getLong(0), r.getAs[Long]("sdc_l2")))
         .toSeq
+      // the probe is one code-table scan into per-partition heaps — a
+      // global sort (Exchange) here would be the 100 TB scale-killer
+      val plan = probeDf().queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"probe lost its TakeOrdered shape:\n${plan.take(2000)}")
+      assert(!plan.contains("Exchange"),
+        s"probe plan contains a shuffle:\n${plan.take(2000)}")
       val probed = probe()
       // direct form: encode the union under the SAME frozen params — the
       // written build+append table must be observationally identical
