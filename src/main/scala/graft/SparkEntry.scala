@@ -3167,6 +3167,77 @@ object SparkEntry {
              |  ON l.user_id = r.user_id
              | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
     ),
+    // STREAMING ANN INGEST (new r16): the foreachBatch composition the
+    // st-family lacked — every streaming row so far grows a DEDUP
+    // index; this one grows the SQ8 ANN index. Micro-batch 0 TRAINS the
+    // quantizer and writes the index; batches 1-2 fold in under the
+    // frozen params ([[operators.Quantization.appendToSq8Index]] — the
+    // replay-idempotent, never-retrain ingest contract), state living
+    // in the bucketed code table, not the state store. FULL oracle
+    // (the SQ8 closed-form property): DuckDB trains on batch 0's
+    // tertile, encodes everything, and hash-matches the top-100 ids +
+    // integer scores — k=100 spans all three tertiles, so a batch lost
+    // or doubled in flight breaks the hash, not just the top-5 fringe.
+    Q(
+      "st13_stream_sq8",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val srcDir =
+          s"/root/repo/target/tmp/st13_src_${d.replaceAll("[^0-9.]", "")}"
+        val schema = streaming.Streams.writeIdModChunks(emb, "vec_id", srcDir, n = 3)
+        @volatile var idx: operators.Quantization.Sq8Index = null
+        val q = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (batchId == 0L)
+              idx = operators.Quantization
+                .writeSq8Index(batch, "embedding", "vec_id", "st13_idx")
+            else
+              operators.Quantization
+                .appendToSq8Index(batch, "embedding", "vec_id", idx)
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        // the fold ran on the stream's CLONED session — refresh before
+        // the main session reads the table (the round-13 gotcha)
+        s.catalog.refreshTable(idx.codeTable)
+        require(
+          s.table(idx.codeTable).count() == emb.count(),
+          "streamed SQ8 index must hold every vector exactly once")
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        operators.Quantization.sq8TopKIndexed(s, idx, qv, k = 100, excludeId = Some(0L))
+      },
+      Some("""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+             |p AS (
+             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+             |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
+             |enc AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           CAST(least(255.0, greatest(0.0,
+             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
+             |           AS BIGINT)) AS code
+             |  FROM embeddings, p),
+             |q AS (SELECT code FROM enc WHERE vec_id = 0)
+             |SELECT vec_id AS neighbor_id,
+             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
+             |       CAST(sdc AS BIGINT) AS sdc_l2
+             |FROM (
+             |  SELECT e.vec_id,
+             |         list_sum(list_transform(range(1, len(e.code) + 1),
+             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
+             |  FROM enc e, q
+             |  WHERE e.vec_id != 0)
+             |ORDER BY sdc, vec_id LIMIT 100""".stripMargin)
+    ),
     // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
     // checkpoint restart), st08 (replay idempotence), and st09 (sink
     // durability) — driven through Structured Streaming's ACTUAL

@@ -110,6 +110,46 @@ object Streams {
       dir: String,
       n: Int = 3
   ): org.apache.spark.sql.types.StructType = {
+    // exact interpolated percentiles of the event time — deterministic
+    // boundaries for a given fixture
+    val qs = (1 until n).map(_.toDouble / n)
+    val bounds = df
+      .select(expr(
+        s"percentile(unix_micros($tsCol), array(${qs.mkString(",")}))"))
+      .head.getSeq[Double](0).map(_.toLong)
+    val micros = unix_micros(col(tsCol))
+    writeOrderedChunkFiles(df, dir, n) { k =>
+      val lo = if (k == 0) None else Some(bounds(k - 1))
+      val hi = if (k == n - 1) None else Some(bounds(k))
+      df.filter(lo.map(micros >= lit(_)).getOrElse(lit(true)))
+        .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
+    }
+  }
+
+  /** [[writeTsOrderedChunks]]'s sibling for keyless (no event time)
+    * fixtures: chunk k = rows with `idCol % n == k` — the %3 split the
+    * fold rows use — arrival order still pinned by modification time.
+    * Numeric ids only (the fixture convention); event-time tables
+    * should use the ts-ordered form so watermark semantics hold.
+    */
+  def writeIdModChunks(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      n: Int = 3
+  ): org.apache.spark.sql.types.StructType =
+    writeOrderedChunkFiles(df, dir, n)(k => df.filter(pmod(col(idCol), lit(n)) === k))
+
+  /** Shared chunk-file plumbing: a fresh `dir` of `n` one-file parquet
+    * chunks with strictly ascending modification times, so a file
+    * source with `maxFilesPerTrigger=1` replays chunk k as micro-batch
+    * k deterministically.
+    */
+  private def writeOrderedChunkFiles(
+      df: DataFrame,
+      dir: String,
+      n: Int
+  )(chunk: Int => DataFrame): org.apache.spark.sql.types.StructType = {
     require(n >= 2, "need at least two chunks to exercise cross-batch state")
     // java.nio directory streams hold an open descriptor until closed —
     // consume them through this closing wrapper (the helper runs three
@@ -124,22 +164,9 @@ object Streams {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) deleteTree(root)
     java.nio.file.Files.createDirectories(root)
-    // exact interpolated percentiles of the event time — deterministic
-    // boundaries for a given fixture
-    val qs = (1 until n).map(_.toDouble / n)
-    val bounds = df
-      .select(expr(
-        s"percentile(unix_micros($tsCol), array(${qs.mkString(",")}))"))
-      .head.getSeq[Double](0).map(_.toLong)
-    val micros = unix_micros(col(tsCol))
     (0 until n).foreach { k =>
-      val lo = if (k == 0) None else Some(bounds(k - 1))
-      val hi = if (k == n - 1) None else Some(bounds(k))
-      val chunk = df
-        .filter(lo.map(micros >= lit(_)).getOrElse(lit(true)))
-        .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
       val tmp = s"$dir/.chunk_$k"
-      chunk.coalesce(1).write.parquet(tmp)
+      chunk(k).coalesce(1).write.parquet(tmp)
       val partFile = walkAll(java.nio.file.Paths.get(tmp))
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(

@@ -1839,4 +1839,48 @@ class StreamingSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS `${eIdx.fpTable}`")
     }
   }
+
+  test("streaming SQ8 ingest == batch build+append: identical table and probe (st13 gate)") {
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // batch twin: train on tertile 0, fold 1 and 2 in under frozen params
+    val bidx = Quantization.writeSq8Index(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+      "embedding", "vec_id", "sq8_gate_batch_twin")
+    try {
+      Seq(1, 2).foreach(k =>
+        Quantization.appendToSq8Index(
+          emb.filter(pmod(col("vec_id"), lit(3)) === k),
+          "embedding", "vec_id", bidx))
+      // the streaming form (the registry row: three micro-batches
+      // through foreachBatch on the cloned session)
+      val streamed = SparkEntry.queries("st13_stream_sq8")(spark, SparkTestSession.sfDir)
+        .collect()
+        .sortBy(_.getInt(1))
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("sdc_l2")))
+        .toSeq
+      val qv = emb
+        .filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val batch = Quantization
+        .sq8TopKIndexed(spark, bidx, qv, k = 100, excludeId = Some(0L))
+        .collect()
+        .sortBy(_.getInt(1))
+        .map(r => (r.getLong(0), r.getInt(1), r.getAs[Long]("sdc_l2")))
+        .toSeq
+      assert(streamed === batch)
+      // the two tables hold the identical (id, codes) row set
+      def rowSet(t: String) = {
+        spark.catalog.refreshTable(t)
+        spark.table(t).collect()
+          .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+      }
+      assert(rowSet("st13_idx_codes") === rowSet("sq8_gate_batch_twin_codes"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sq8_gate_batch_twin_codes")
+      spark.sql("DROP TABLE IF EXISTS st13_idx_codes")
+    }
+  }
 }
