@@ -3950,6 +3950,56 @@ object SparkEntry {
              |  WHERE e.vec_id != 0)
              |ORDER BY sdc, vec_id LIMIT 5""".stripMargin)
     ),
+    // two-stage retrieval (the IVFADC+R refinement idea over SQ8): an
+    // integer-SDC shortlist of k×4 candidates, then an EXACT re-rank of
+    // only those rows against the raw vectors through a broadcast
+    // semi-join — the first REFINED ANN row with an oracle: the
+    // shortlist set is integer-exact cross-engine, and the final ranks
+    // ride exact-distance gaps (~1e-3 at sf0.01, the s01 argument), so
+    // DuckDB replays shortlist + re-rank end-to-end
+    Q(
+      "s15_sq8_refined",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val idx = operators.Quantization
+          .writeSq8Index(emb, "embedding", "vec_id", "s15_idx")
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        operators.Quantization.sq8TopKRefined(
+          emb, "embedding", "vec_id", idx, qv, k = 5, refine = 4,
+          excludeId = Some(0L))
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+             |  FROM (SELECT unnest(embedding) AS u FROM embeddings)),
+             |enc AS (
+             |  SELECT vec_id,
+             |         list_transform(embedding, x ->
+             |           CAST(least(255.0, greatest(0.0,
+             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
+             |           AS BIGINT)) AS code
+             |  FROM embeddings, p),
+             |q AS (SELECT code FROM enc WHERE vec_id = 0),
+             |cand AS (
+             |  SELECT e.vec_id,
+             |         list_sum(list_transform(range(1, len(e.code) + 1),
+             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
+             |  FROM enc e, q
+             |  WHERE e.vec_id != 0
+             |  ORDER BY sdc, vec_id LIMIT 20),
+             |qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+             |SELECT vec_id AS neighbor_id,
+             |       CAST(row_number() OVER (ORDER BY d, vec_id) AS INT) AS rank
+             |FROM (
+             |  SELECT c.vec_id,
+             |         list_distance(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]) AS d
+             |  FROM cand c
+             |  JOIN embeddings e ON e.vec_id = c.vec_id
+             |  CROSS JOIN qv)
+             |ORDER BY d, vec_id LIMIT 5""".stripMargin)
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

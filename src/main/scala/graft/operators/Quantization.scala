@@ -792,6 +792,49 @@ object Quantization {
     graft.CacheUtil.release(seen)
   }
 
+  /** Two-stage SQ8 search (the IVFADC+R refinement idea, Jégou et al.
+    * TPAMI 2011 §V, applied to the scalar quantizer): over-fetch
+    * `k × refine` candidates by integer SDC — cheap, codes only — then
+    * re-rank exactly those rows by EXACT squared L2 against the raw
+    * vectors and keep the true top-k. The exact pass touches only
+    * `k × refine` vectors, fetched through a broadcast semi-join
+    * against the raw scan (no shuffle), so recall approaches brute
+    * while the shortlist scan stays 4×-compressed.
+    *
+    * Oracle shape (s15): the candidate SET is integer-exact
+    * cross-engine (the SQ8 property), so the oracle replays it in
+    * closed form and re-ranks with its own exact distance; the final
+    * ranks are stable because exact-distance gaps dwarf engine float
+    * noise (the s01 argument) — output is ids + rank.
+    */
+  def sq8TopKRefined(
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: Sq8Index,
+      query: Array[Double],
+      k: Int,
+      refine: Int = 4,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cands =
+      sq8TopKIndexed(vectors.sparkSession, idx, query, k * refine, excludeId)
+        .select(col("neighbor_id"))
+    val qLit = array(query.map(lit): _*)
+    Similarity.rankLimited(
+      vectors
+        .join(broadcast(cands), col(idCol) === col("neighbor_id"), "left_semi")
+        .withColumn(
+          "_d",
+          graft.functions.VectorFunctions.sqDist(col(vecCol), qLit)
+        )
+        .orderBy(col("_d").asc, col(idCol).asc)
+        .limit(k),
+      idCol
+    )
+  }
+
   /** Compact an append-fragmented SQ8 code table: one row per id under
     * the replay-safe append contract, so this is a pure small-file
     * merge through [[Dedup.compactBucketedIndexTable]]'s crash-safe

@@ -3810,6 +3810,39 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sq8_gate_idx_codes")
   }
 
+  test("sq8TopKRefined == brute L2 top-k; broadcast-only plan (s15 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val idx = Quantization.writeSq8Index(emb, "embedding", "vec_id", "sq8_gate_refine")
+    try {
+      Seq(0L, 1L, 2L).foreach { qid =>
+        val qv = emb
+          .filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val refinedDf = Quantization.sq8TopKRefined(
+          emb, "embedding", "vec_id", idx, qv, k = 5, refine = 4,
+          excludeId = Some(qid))
+        // exact pass touches only the broadcast candidate list: a
+        // shuffle in this plan would defeat the two-stage design
+        val plan = refinedDf.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastExchange"), plan.take(2000))
+        assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+          s"refine plan shuffles:\n${plan.take(2000)}")
+        val refined = refinedDf.collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+        val qLit = array(qv.map(lit): _*)
+        val brute = emb
+          .filter(col("vec_id") =!= qid)
+          .withColumn("_d", VectorFunctions.sqDist(col("embedding"), qLit))
+          .orderBy(col("_d").asc, col("vec_id").asc)
+          .limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        // 8-bit shortlist at refine=4 recovers the exact top-5 in ORDER
+        // on the fixture (quantization noise ≪ inter-vector gaps)
+        assert(refined === brute, s"query $qid: $refined != $brute")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS sq8_gate_refine_codes")
+  }
+
   test("lshNearDups precision-exact + recall vs brute on the fixture (d07 gate)") {
     // fixture pairs all sit at cosine 0.3-0.5 — near-threshold, the hard
     // case for hyperplane LSH. nPlanes=2/nTables=8 gives theoretical
