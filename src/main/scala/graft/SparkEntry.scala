@@ -44,6 +44,44 @@ object SparkEntry {
       .map { case (n, v) => s"CAST($v AS BIGINT) AS $n" }
       .mkString("SELECT ", ", ", "")
 
+  /** The SQ8 oracle's shared derivation: train the quantizer on
+    * `corpusSql`, encode EVERY embedding under those params, query =
+    * vec 0's codes. ONE text source for the double chain all four SQ8
+    * rows replay (s13/s14/st13/s15) — a quantizer change edits one
+    * string, not four copies that could silently drift apart.
+    */
+  private def sq8EncCtes(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |p AS (
+       |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+       |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
+       |enc AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x ->
+       |           CAST(least(255.0, greatest(0.0,
+       |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
+       |           AS BIGINT)) AS code
+       |  FROM embeddings, p),
+       |q AS (SELECT code FROM enc WHERE vec_id = 0)""".stripMargin
+
+  /** Integer SDC of a corpus row `e` against the query `q`. */
+  private val sq8SdcSql: String =
+    """list_sum(list_transform(range(1, len(e.code) + 1),
+      |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i])))""".stripMargin
+
+  /** Full SQ8 top-k oracle: ids + rank + the integer score. */
+  private def sq8TopKOracle(corpusSql: String, k: Int): String =
+    s"""${sq8EncCtes(corpusSql)}
+       |SELECT vec_id AS neighbor_id,
+       |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
+       |       CAST(sdc AS BIGINT) AS sdc_l2
+       |FROM (
+       |  SELECT e.vec_id,
+       |         $sq8SdcSql AS sdc
+       |  FROM enc e, q
+       |  WHERE e.vec_id != 0)
+       |ORDER BY sdc, vec_id LIMIT $k""".stripMargin
+
   /** Expected all-zero row of [[operators.Quantization.adcTopKAudit]]
     * (the quantized-ranker audit column set — s10/s11).
     */
@@ -3215,28 +3253,7 @@ object SparkEntry {
           .head.getSeq[Double](0).toArray
         operators.Quantization.sq8TopKIndexed(s, idx, qv, k = 100, excludeId = Some(0L))
       },
-      Some("""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
-             |p AS (
-             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
-             |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
-             |enc AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, x ->
-             |           CAST(least(255.0, greatest(0.0,
-             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
-             |           AS BIGINT)) AS code
-             |  FROM embeddings, p),
-             |q AS (SELECT code FROM enc WHERE vec_id = 0)
-             |SELECT vec_id AS neighbor_id,
-             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
-             |       CAST(sdc AS BIGINT) AS sdc_l2
-             |FROM (
-             |  SELECT e.vec_id,
-             |         list_sum(list_transform(range(1, len(e.code) + 1),
-             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
-             |  FROM enc e, q
-             |  WHERE e.vec_id != 0)
-             |ORDER BY sdc, vec_id LIMIT 100""".stripMargin)
+      Some(sq8TopKOracle("SELECT * FROM embeddings WHERE vec_id % 3 = 0", 100))
     ),
     // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
     // checkpoint restart), st08 (replay idempotence), and st09 (sink
@@ -3880,27 +3897,7 @@ object SparkEntry {
       (s, d) =>
         operators.Quantization
           .sq8TopK(embeddings(s, d), "embedding", "vec_id", queryId = 0L, k = 5),
-      Some("""WITH p AS (
-             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
-             |  FROM (SELECT unnest(embedding) AS u FROM embeddings)),
-             |enc AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, x ->
-             |           CAST(least(255.0, greatest(0.0,
-             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
-             |           AS BIGINT)) AS code
-             |  FROM embeddings, p),
-             |q AS (SELECT code FROM enc WHERE vec_id = 0)
-             |SELECT vec_id AS neighbor_id,
-             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
-             |       CAST(sdc AS BIGINT) AS sdc_l2
-             |FROM (
-             |  SELECT e.vec_id,
-             |         list_sum(list_transform(range(1, len(e.code) + 1),
-             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
-             |  FROM enc e, q
-             |  WHERE e.vec_id != 0)
-             |ORDER BY sdc, vec_id LIMIT 5""".stripMargin)
+      Some(sq8TopKOracle("SELECT * FROM embeddings", 5))
     ),
     // incremental SQ8 ANN ingest: index built on the corpus 2/3, the
     // delta 1/3 appended under the FROZEN corpus params (saturating at
@@ -3927,28 +3924,7 @@ object SparkEntry {
         operators.Quantization
           .sq8TopKIndexed(s, idx, qv, k = 5, excludeId = Some(0L))
       },
-      Some("""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 3 != 0),
-             |p AS (
-             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
-             |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
-             |enc AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, x ->
-             |           CAST(least(255.0, greatest(0.0,
-             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
-             |           AS BIGINT)) AS code
-             |  FROM embeddings, p),
-             |q AS (SELECT code FROM enc WHERE vec_id = 0)
-             |SELECT vec_id AS neighbor_id,
-             |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
-             |       CAST(sdc AS BIGINT) AS sdc_l2
-             |FROM (
-             |  SELECT e.vec_id,
-             |         list_sum(list_transform(range(1, len(e.code) + 1),
-             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
-             |  FROM enc e, q
-             |  WHERE e.vec_id != 0)
-             |ORDER BY sdc, vec_id LIMIT 5""".stripMargin)
+      Some(sq8TopKOracle("SELECT * FROM embeddings WHERE vec_id % 3 != 0", 5))
     ),
     // two-stage retrieval (the IVFADC+R refinement idea over SQ8): an
     // integer-SDC shortlist of k×4 candidates, then an EXACT re-rank of
@@ -3971,21 +3947,10 @@ object SparkEntry {
           emb, "embedding", "vec_id", idx, qv, k = 5, refine = 4,
           excludeId = Some(0L))
       },
-      Some("""WITH p AS (
-             |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
-             |  FROM (SELECT unnest(embedding) AS u FROM embeddings)),
-             |enc AS (
-             |  SELECT vec_id,
-             |         list_transform(embedding, x ->
-             |           CAST(least(255.0, greatest(0.0,
-             |             floor((CAST(x AS DOUBLE) - p.mn) / (p.mx - p.mn) * 255.0)))
-             |           AS BIGINT)) AS code
-             |  FROM embeddings, p),
-             |q AS (SELECT code FROM enc WHERE vec_id = 0),
+      Some(s"""${sq8EncCtes("SELECT * FROM embeddings")},
              |cand AS (
              |  SELECT e.vec_id,
-             |         list_sum(list_transform(range(1, len(e.code) + 1),
-             |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i]))) AS sdc
+             |         $sq8SdcSql AS sdc
              |  FROM enc e, q
              |  WHERE e.vec_id != 0
              |  ORDER BY sdc, vec_id LIMIT 20),

@@ -695,7 +695,10 @@ object Quantization {
     val p = sq8Train(df, vecCol)
     val qCodes =
       SQ8Kernels.encodeLocal(lookupQueryVec(df, vecCol, idCol, queryId), p.mn, p.span)
-    val scored = sq8Encode(df.filter(col(idCol) =!= queryId), vecCol, p)
+    // NULL vectors are excluded, not ranked: a NULL SDC would sort
+    // NULLS-FIRST into the top-k ahead of every real neighbor
+    val scored = sq8Encode(
+      df.filter(col(idCol) =!= queryId && col(vecCol).isNotNull), vecCol, p)
       .withColumn("_sdc", sq8Sdc(col("_sq8"), qCodes))
       .orderBy(col("_sdc").asc, col(idCol).asc)
       .limit(k)
@@ -735,27 +738,39 @@ object Quantization {
       name: String,
       buckets: Int = 32
   ): Sq8Index = {
-    val p = sq8Train(df, vecCol)
-    val dim = df
+    // params + dim in ONE corpus scan (the same pass sq8Train makes);
+    // min(size) == max(size) proves EVERY row's dim, not just a sampled
+    // one — a mixed-dim corpus fails here, before anything is written
+    val r = df
       .filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)))
-      .head(1)
-      .headOption
-      .map(_.getInt(0))
-      .getOrElse(
-        throw new IllegalArgumentException(
-          s"writeSq8Index: no rows to infer vector dim from column '$vecCol'"
-        )
+      .agg(
+        min(array_min(col(vecCol))).cast("double").as("mn"),
+        max(array_max(col(vecCol))).cast("double").as("mx"),
+        min(size(col(vecCol))).as("dmin"),
+        max(size(col(vecCol))).as("dmax")
       )
-    val idx = Sq8Index(s"${name}_codes", p, dim, buckets)
+      .head()
+    require(
+      !r.isNullAt(0) && !r.isNullAt(1),
+      s"writeSq8Index: column '$vecCol' has no non-null vectors"
+    )
+    require(
+      r.getInt(2) == r.getInt(3),
+      s"writeSq8Index: mixed vector dims in '$vecCol' " +
+        s"(${r.getInt(2)} .. ${r.getInt(3)})"
+    )
+    val idx = Sq8Index(
+      s"${name}_codes", SQ8Params(r.getDouble(0), r.getDouble(1)),
+      r.getInt(2), buckets)
     writeSq8Table(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
     idx
   }
 
   /** Fold a delta into the index under the handle's frozen params.
-    * The dim probe is one 1-row job per BATCH — it fails a
-    * wrong-corpus append before any row lands (the SDC kernel would
-    * only catch it at probe time, after the table is poisoned).
+    * The dim guard checks EVERY row of the batch (a short-circuiting
+    * take(1) over the mismatches — per-BATCH cost, bounded by the
+    * micro-batch) and fails a wrong-corpus append before any row
+    * lands: the SDC kernel would only catch the poison at probe time.
     *
     * Replay-idempotent under the at-least-once foreachBatch contract
     * ([[ReplaySafe]]: the index is the ledger): ids the table already
@@ -771,14 +786,14 @@ object Quantization {
       idx: Sq8Index
   ): Unit = {
     delta
-      .filter(col(vecCol).isNotNull)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= idx.dim)
       .select(size(col(vecCol)))
       .head(1)
       .headOption
       .foreach { r =>
-        require(
-          r.getInt(0) == idx.dim,
-          s"appendToSq8Index: delta dim ${r.getInt(0)} != index dim ${idx.dim}"
+        throw new IllegalArgumentException(
+          s"appendToSq8Index: delta has a dim-${r.getInt(0)} vector but " +
+            s"the index dim is ${idx.dim}"
         )
       }
     val spark = delta.sparkSession
@@ -824,6 +839,7 @@ object Quantization {
     val qLit = array(query.map(lit): _*)
     Similarity.rankLimited(
       vectors
+        .filter(col(vecCol).isNotNull)
         .join(broadcast(cands), col(idCol) === col("neighbor_id"), "left_semi")
         .withColumn(
           "_d",
@@ -847,6 +863,11 @@ object Quantization {
   ): Unit =
     Dedup.compactBucketedIndexTable(spark, idx.codeTable, idx.buckets, Seq("_vid"))
 
+  /** NULL vectors never enter the table: they carry no geometry, and a
+    * NULL `_code` row would score NULL SDC and — under Spark's
+    * NULLS-FIRST ascending sort — eat top-k slots ahead of every real
+    * neighbor.
+    */
   private def writeSq8Table(
       df: DataFrame,
       vecCol: String,
@@ -855,7 +876,7 @@ object Quantization {
       mode: org.apache.spark.sql.SaveMode
   ): Unit =
     Dedup.writeBucketedTable(
-      sq8Encode(df, vecCol, idx.params, "_code")
+      sq8Encode(df.filter(col(vecCol).isNotNull), vecCol, idx.params, "_code")
         .select(col(idCol).as("_vid"), col("_code")),
       idx.codeTable,
       idx.buckets,
@@ -1046,17 +1067,30 @@ object SQ8Kernels {
 
   /** `floor((x - mn) / span * 255)` clamped to [0, 255]. The chain stays
     * in double until the final cast — the exact expression the DuckDB
-    * oracle replays (`least(255.0, greatest(0.0, floor(...)))`), so codes
-    * are bit-identical cross-engine: subtraction, division, and
-    * multiplication of identical doubles are each correctly rounded, and
-    * floor of identical doubles is identical. `span == 0` (a constant
-    * corpus) maps everything to code 0.
+    * oracle replays (`least(255.0, greatest(0.0, floor(...)))`), so for
+    * FINITE inputs with `span > 0` (every real corpus) codes are
+    * bit-identical cross-engine: subtraction, division, and
+    * multiplication of identical doubles are each correctly rounded,
+    * and floor of identical doubles is identical.
+    *
+    * Degenerate inputs have NO engine-neutral chain — measured: Spark's
+    * own least/greatest HOF sends NaN to 0, DuckDB sends it to 255
+    * (greatest(0, NaN) = NaN, least(255, NaN) = 255) and sends
+    * div-by-zero to 0 (x/0 is NULL there, and least/greatest skip
+    * NULLs). That divergence is exactly why the production semantics
+    * live in THIS kernel rather than a HOF: it pins the ORACLE's
+    * (DuckDB's) measured outcomes, so a degenerate row can never flip a
+    * hash. NaN element → 255; `span == 0` → 0 for every x; ±Infinity
+    * saturate to 255/0.
     */
   def codeOf(x: Double, mn: Double, span: Double): Int =
     if (span == 0d) 0
     else {
       val v = math.floor((x - mn) / span * 255.0)
-      if (v <= 0.0) 0 else if (v >= 255.0) 255 else v.toInt
+      if (java.lang.Double.isNaN(v)) 255
+      else if (v >= 255.0) 255
+      else if (v <= 0.0) 0
+      else v.toInt
     }
 
   def encode(vec: ArrayData, mn: Double, span: Double): ArrayData = {

@@ -110,6 +110,9 @@ object Streams {
       dir: String,
       n: Int = 3
   ): org.apache.spark.sql.types.StructType = {
+    // fail the n < 2 contract here, not in the percentile expression
+    // below (an empty quantile array dies in analysis with no hint)
+    require(n >= 2, "need at least two chunks to exercise cross-batch state")
     // exact interpolated percentiles of the event time — deterministic
     // boundaries for a given fixture
     val qs = (1 until n).map(_.toDouble / n)

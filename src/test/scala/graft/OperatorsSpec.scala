@@ -3710,6 +3710,22 @@ class OperatorsSpec extends AnyFunSuite {
       .head
       .getSeq[Int](0)
     assert(sat === Seq(255, 0))
+    // degenerate inputs pin the ORACLE's (DuckDB's) measured outcomes —
+    // there is no engine-neutral chain for them (Spark's HOF sends NaN
+    // to 0, DuckDB to 255; DuckDB's div-by-zero is NULL → 0), which is
+    // why the kernel, not a HOF, defines the production semantics
+    assert(SQ8Kernels.codeOf(Double.NaN, 0.0, 1.0) === 255)
+    assert(SQ8Kernels.codeOf(0.5, 0.5, 0.0) === 0)
+    assert(SQ8Kernels.codeOf(1.0, 0.5, 0.0) === 0)
+    assert(SQ8Kernels.codeOf(0.0, 0.5, 0.0) === 0)
+    assert(SQ8Kernels.codeOf(Double.PositiveInfinity, 0.0, 1.0) === 255)
+    assert(SQ8Kernels.codeOf(Double.NegativeInfinity, 0.0, 1.0) === 0)
+    val weird = Seq(Vec(1L, Array(Float.NaN, 0.1f, 0.9f))).toDS.toDF
+    val wrow = Quantization
+      .sq8Encode(weird, "embedding", Quantization.SQ8Params(0.0, 1.0))
+      .select(col("_sq8"))
+      .head
+    assert(wrow.getSeq[Int](0) === Seq(255, 25, 229))
   }
 
   test("sq8TopK: integer scores rank-consistent, recall@5 vs brute L2 on the fixture (s13 gate)") {
