@@ -200,6 +200,9 @@ object Quantization {
     }
     Similarity.rankLimited(
       base
+        // NULL codes (a null source vector) must not rank: NULL ADC
+        // sorts NULLS-FIRST under asc and would eat top-k slots
+        .filter(col("_pq").isNotNull)
         .withColumn("_adc", adcScore(col("_pq"), lut))
         .orderBy(col("_adc").asc, col(idCol).asc)
         .limit(k),
@@ -322,6 +325,8 @@ object Quantization {
     Similarity.rankLimited(
       base
         .filter(col("_centroid").isin(probes.map(Integer.valueOf): _*))
+        // see pqSearchEncoded: NULL codes must not rank NULLS-FIRST
+        .filter(col("_pq").isNotNull)
         .withColumn("_adc", scoreCol)
         .orderBy(col("_adc").asc, col(idx.idCol).asc)
         .limit(topK),
@@ -570,6 +575,9 @@ object Quantization {
     val qLit = array(query.map(lit): _*)
     Similarity.rankLimited(
       vectors
+        // see pqSearchEncoded: a null raw vector scores NULL distance
+        // and would rank NULLS-FIRST under asc
+        .filter(col(vecCol).isNotNull)
         .join(
           broadcast(cands),
           col(idx.idCol) === col("neighbor_id"),

@@ -3859,6 +3859,36 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sq8_gate_refine_codes")
   }
 
+  test("null embeddings never rank in the ascending-distance searchers") {
+    // a NULL vector scores NULL distance/ADC, and Spark's ascending
+    // sort is NULLS FIRST — unfiltered, the null row would take rank 1
+    // in every distance-ranked (not cosine-desc-ranked) searcher
+    val clean = (0L until 8L)
+      .map(i => Vec(i, Array.tabulate(8)(j => (i + j).toFloat)))
+    val vecs = clean.toDF("vec_id", "embedding")
+      .unionByName(Seq((99L, null: Array[Float])).toDF("vec_id", "embedding"))
+    val qv = Array.tabulate(8)(_.toDouble)
+    // PQ ADC search over an encoded frame carrying a NULL-codes row
+    val cb = Quantization.pqTrain(clean.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", m = 2, k = 2, iters = 1)
+    val enc = Quantization.pqEncode(vecs, "embedding", cb)
+    val pq = Quantization.pqSearchEncoded(enc, "vec_id", qv, cb, k = 9)
+      .collect().map(_.getLong(0))
+    assert(pq.length === 8 && !pq.contains(99L), pq.toSeq)
+    // IVF-PQ reranked: the exact pass scans the null-bearing raw table
+    val idx = Quantization.ivfPqBuild(clean.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", nCentroids = 2, refineIters = 1, m = 2, k = 2)
+    val rr = Quantization.ivfPqSearchReranked(idx, vecs, "embedding", qv,
+      topK = 9, nProbe = 2, refine = 2)
+      .collect().map(_.getLong(0))
+    assert(!rr.contains(99L), rr.toSeq)
+    graft.CacheUtil.release(idx.encoded)
+    // SQ8 end-to-end form over the null-bearing frame
+    val sq = Quantization.sq8TopK(vecs, "embedding", "vec_id", queryId = 0L, k = 9)
+      .collect().map(_.getLong(0))
+    assert(sq.length === 7 && !sq.contains(99L), sq.toSeq)
+  }
+
   test("lshNearDups precision-exact + recall vs brute on the fixture (d07 gate)") {
     // fixture pairs all sit at cosine 0.3-0.5 — near-threshold, the hard
     // case for hyperplane LSH. nPlanes=2/nTables=8 gives theoretical
