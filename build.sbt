@@ -16,6 +16,11 @@ Test / parallelExecution := false
 // suite can never ship silently in a round snapshot (round-7 retro)
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-C", "graft.JsonTestReporter")
 run / fork := true
+// Pass the forked main's stdout through VERBATIM: sbt's default logger
+// prefixes every line with "[info] ", so the Bench JSON line — which a
+// strict line parser must see starting with '{' — never matched
+// (sixteen rounds of "parsed: null" despite rc 0).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -444,7 +444,12 @@ object Bench {
   private val isolatedFloorQueries: Set[String] = Set(
     "st04_stream_passages", "st05_stream_minhash", "st06_stream_semdedup",
     "st07_stream_restart", "st08_stream_replay", "st09_stream_sink",
-    "st10_stream_exactly_once", "st11_sink_manifest", "m05_binaryfile_ingest")
+    "st10_stream_exactly_once", "st11_sink_manifest", "m05_binaryfile_ingest",
+    // the 128-bit simhash class is per-JVM bimodal (d22 read 3.97 then
+    // 1.93 across two same-code solo JVMs in r16; documented since r12)
+    // — carry its floor in the artifact so the judge separates JVM mode
+    // from code without a manual A/B, like the st family above
+    "d21_simhash128", "d22_incremental_simhash128", "d13_incremental_lsh")
 
   private[graft] def batchesOf(tokens: Seq[String]): Seq[Seq[String]] = {
     // Small-fixture ("@sf0.01") tokens batch among THEMSELVES: mixing

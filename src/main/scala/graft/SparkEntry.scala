@@ -45,13 +45,19 @@ object SparkEntry {
       .mkString("SELECT ", ", ", "")
 
   /** The SQ8 oracle's shared derivation: train the quantizer on
-    * `corpusSql`, encode EVERY embedding under those params, query =
-    * vec 0's codes. ONE text source for the double chain all four SQ8
-    * rows replay (s13/s14/st13/s15) — a quantizer change edits one
-    * string, not four copies that could silently drift apart.
+    * `trainSql`, encode EVERY embedding under those params, query =
+    * vec 0's codes. ONE text source for the double chain the SQ8 rows
+    * replay (s13/s14/st13/s15/s18) — a quantizer change edits one
+    * string, not copies that could silently drift apart.
+    *
+    * SCOPE: `trainSql` parameterizes TRAINING ONLY — `enc` always
+    * encodes the full hard-coded `embeddings` table and `q` hardwires
+    * `vec_id = 0` (every SQ8 row probes the full corpus with vector 0;
+    * a row wanting a subset probe or another query id needs its own
+    * CTE chain, not this helper).
     */
-  private def sq8EncCtes(corpusSql: String): String =
-    s"""WITH corpus AS ($corpusSql),
+  private def sq8EncCtes(trainSql: String): String =
+    s"""WITH corpus AS ($trainSql),
        |p AS (
        |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
        |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
@@ -3244,9 +3250,13 @@ object SparkEntry {
         // the fold ran on the stream's CLONED session — refresh before
         // the main session reads the table (the round-13 gotcha)
         s.catalog.refreshTable(idx.codeTable)
+        // writeSq8Table drops NULL vectors by design — count against the
+        // same contract, or a fixture with a null vector fails the row
+        // even though the index is correct
         require(
-          s.table(idx.codeTable).count() == emb.count(),
-          "streamed SQ8 index must hold every vector exactly once")
+          s.table(idx.codeTable).count() ==
+            emb.filter(col("embedding").isNotNull).count(),
+          "streamed SQ8 index must hold every non-null vector exactly once")
         val qv = emb
           .filter(col("vec_id") === 0L)
           .select(col("embedding").cast("array<double>"))

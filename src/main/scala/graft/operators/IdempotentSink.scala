@@ -131,6 +131,16 @@ object IdempotentSink {
     * [[writeBatch]] heals it by deleting and recommitting). Serving a
     * tag-less marker whole-dir would union every attempt's litter into
     * the frame — the doubling this protocol exists to prevent.
+    *
+    * VERSIONING: a pre-v2 store (markers written before the manifest
+    * protocol: no tag, no file list) reads as uncommitted BY DESIGN —
+    * its batches become invisible to [[read]], they do not fail loudly.
+    * A genuine v1 store must be upgraded before reads resume: re-run
+    * the writer (writeBatch's heal path deletes the tag-less marker and
+    * recommits the batch with a v2 manifest), or rewrite each marker by
+    * hand with the `file:` list of its batch dir. This repo's sink
+    * stores are regenerated per run, so no live store crosses the
+    * format boundary.
     */
   private val ManifestTag = "manifest-v2"
   private val FileLinePrefix = "file:"

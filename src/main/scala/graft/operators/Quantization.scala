@@ -829,6 +829,12 @@ object Quantization {
     * closed form and re-ranks with its own exact distance; the final
     * ranks are stable because exact-distance gaps dwarf engine float
     * noise (the s01 argument) — output is ids + rank.
+    *
+    * CONTRACT: `vectors` must cover every id in the index's code table
+    * (it is the raw corpus the index was built+appended from). The
+    * re-rank is a semi-join, so a shortlist id missing from `vectors`
+    * — e.g. a stale frame probed after appends — silently drops and
+    * fewer than k rows return; pass the current corpus, not a snapshot.
     */
   def sq8TopKRefined(
       vectors: DataFrame,
@@ -1101,11 +1107,23 @@ object SQ8Kernels {
       else v.toInt
     }
 
+  /** NULL elements are rejected, not encoded: `getDouble` on a null
+    * slot reads 0.0 from UnsafeArrayData (a silent wrong code — the
+    * DuckDB oracle would yield NULL there), so the kernel fails fast
+    * like [[sdc]]'s length check. NULL *vectors* are handled above this
+    * kernel (nullSafeEval skips them; the write/search paths filter
+    * them); element-level nulls have no geometry and are a corpus bug.
+    */
   def encode(vec: ArrayData, mn: Double, span: Double): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"sq8_encode: vector has a NULL element at position $i — " +
+            "null elements carry no geometry and would silently encode " +
+            "as 0.0 on unsafe rows")
       out(i) = codeOf(vec.getDouble(i), mn, span)
       i += 1
     }
@@ -1151,6 +1169,19 @@ object SQ8Kernels {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def prettyName: String = "sq8_encode"
 
+    // analysis-time input check: applied to a mistyped column (e.g.
+    // array<bigint>), ArrayData.getInt/getDouble on unsafe rows would
+    // silently read wrong byte slots instead of failing
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq8_encode requires array<double>, got ${other.catalogString}")
+      }
+
     override protected def nullSafeEval(input: Any): Any =
       SQ8Kernels.encode(input.asInstanceOf[ArrayData], mn, span)
 
@@ -1182,6 +1213,18 @@ object SQ8Kernels {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "sq8_sdc"
+
+    // see SQ8Encode: a mistyped codes column must fail analysis, not
+    // read wrong 4-byte slots from unsafe rows
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(IntegerType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq8_sdc requires array<int> codes, got ${other.catalogString}")
+      }
 
     override protected def nullSafeEval(input: Any): Any =
       SQ8Kernels.sdc(input.asInstanceOf[ArrayData], q)
