@@ -3975,6 +3975,82 @@ object SparkEntry {
              |  CROSS JOIN qv)
              |ORDER BY d, vec_id LIMIT 5""".stripMargin)
     ),
+    // IVF-SQ8: the partition-pruned probe for the quantized family —
+    // plain SQ8 probes scan the whole code table (a 25 TB scan per
+    // query at the 100 TB north star); here the codes live partitioned
+    // by coarse list and the probe's `_centroid IN (...)` prunes
+    // directories before any IO, scoring nProbe/nCentroids of the
+    // compressed bytes in pure int64 SDC. Coarse centroids are
+    // float-sum k-means means → the probed SET is seed-dependent →
+    // rows-only (the s03/s05 class); s17 is the oracle-backed audit
+    // twin and OperatorsSpec gates nProbe=all == full-scan SQ8, the
+    // partition-pruned plan shape, and a recall floor vs exact.
+    Q(
+      "s16_ivfsq8_search",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val path =
+          s"/root/repo/target/tmp/s16_idx_${d.replaceAll("[^0-9.]", "")}"
+        val idx = operators.Quantization
+          .ivfSq8Build(emb, "embedding", "vec_id", path, nCentroids = 16)
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        operators.Quantization
+          .ivfSq8Search(s, idx, qv, k = 5, nProbe = 4, excludeId = Some(0L))
+      },
+      None
+    ),
+    // ADC-family audit of the IVF-SQ8 emitter (s16's search path): the
+    // s10/s11 invariant row — emitted integer SDC recomputed bit-exact
+    // through an INDEPENDENT join against the written codes, ranks a
+    // proper prefix, monotone scores, no neighbor beating the corpus
+    // brute best — plus a recall leg: the pruned top-5 must cover the
+    // FULL-SCAN SQ8 top-5 (same params, same integer scores, only the
+    // candidate pool differs) at ≥ the fixture floor.
+    Q(
+      "s17_ivfsq8_audit",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val path =
+          s"/root/repo/target/tmp/s17_idx_${d.replaceAll("[^0-9.]", "")}"
+        val idx = operators.Quantization
+          .ivfSq8Build(emb, "embedding", "vec_id", path, nCentroids = 16)
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        val qCodes = operators.SQ8Kernels
+          .encodeLocal(qv, idx.params.mn, idx.params.span)
+        val res = operators.Quantization
+          .ivfSq8Search(s, idx, qv, k = 5, nProbe = 4, excludeId = Some(0L))
+          .withColumnRenamed("sdc_l2", "adc")
+        val codes = s.read
+          .parquet(s"$path/codes")
+          .select(col("_vid").as("vec_id"), col("_code"))
+        val audit = operators.Quantization.adcTopKAudit(
+          res, codes,
+          operators.Quantization.sq8Sdc(col("enc._code"), qCodes),
+          emb, "embedding", "vec_id", queryId = 0L, k = 5)
+        // recall leg: the full-scan SQ8 top-5 under the same params
+        // (integer-exact, so set membership is unambiguous)
+        val full = codes
+          .filter(col("vec_id") =!= 0L)
+          .withColumn(
+            "_sdc", operators.Quantization.sq8Sdc(col("_code"), qCodes))
+          .orderBy(col("_sdc").asc, col("vec_id").asc)
+          .limit(5)
+          .collect().map(_.getLong(0)).toSet
+        val probed = res.select(col("neighbor_id"))
+          .collect().map(_.getLong(0)).toSet
+        val recall = (full intersect probed).size.toDouble / 5.0
+        audit.withColumn(
+          "probe_recall_below_floor",
+          lit(if (recall >= 0.6) 0L else 1L))
+      },
+      Some(adcAuditOracle + ", CAST(0 AS BIGINT) AS probe_recall_below_floor")
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

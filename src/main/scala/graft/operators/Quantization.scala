@@ -850,9 +850,29 @@ object Quantization {
     val cands =
       sq8TopKIndexed(vectors.sparkSession, idx, query, k * refine, excludeId)
         .select(col("neighbor_id"))
+    exactRerank(vectors, vecCol, idCol, cands, query, k)
+  }
+
+  /** Shared exact re-rank stage (the "+R" of IVFADC+R over any
+    * shortlist emitter): rescore only the candidate ids by exact
+    * squared L2 against the raw vectors — a broadcast semi-join, so
+    * the exact pass touches `|cands|` rows regardless of corpus size —
+    * and keep the true top-k. `vectors` must cover every candidate id
+    * (see the [[sq8TopKRefined]] contract).
+    */
+  private def exactRerank(
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      cands: DataFrame,
+      query: Array[Double],
+      k: Int
+  ): DataFrame = {
     val qLit = array(query.map(lit): _*)
     Similarity.rankLimited(
       vectors
+        // a null raw vector scores NULL distance and would rank
+        // NULLS-FIRST under asc
         .filter(col(vecCol).isNotNull)
         .join(broadcast(cands), col(idCol) === col("neighbor_id"), "left_semi")
         .withColumn(
@@ -923,6 +943,256 @@ object Quantization {
       .orderBy(col("_sdc").asc, col("_vid").asc)
       .limit(k)
     Similarity.rankLimited(scored, "_vid", keep = Seq("_sdc" -> "sdc_l2"))
+  }
+
+  // ------------------------------------------------------------ IVF-SQ8
+
+  /** A written IVF-SQ8 index: the partition-pruned probe for the
+    * scalar-quantized family. Every plain SQ8 probe ([[sq8TopKIndexed]],
+    * [[sq8TopK]]) scans the WHOLE code table — right for batch analytics
+    * over the 4×-compressed layout, but at the 100 TB north star that is
+    * a 25 TB scan per query. This member combines the two halves the
+    * repo already owns: the IVF inverted-list layout ([[Similarity
+    * .ivfWrite]] — codes partitioned by coarse list, so a probe's
+    * `_centroid IN (...)` filter prunes partition DIRECTORIES before any
+    * IO) with the SQ8 code table, so a probe reads `nProbe/nCentroids`
+    * of the compressed bytes and still ranks in pure int64 SDC.
+    *
+    * Codes quantize the RAW vectors (not residuals) under ONE per-tensor
+    * [[SQ8Params]] range: the query is encoded once and a single
+    * [[sq8Sdc]] column scores every probed list — no per-list LUT
+    * dispatch — and the SDC stays bit-exact cross-engine (the audit twin
+    * recomputes it through an independent join). Residual quantization's
+    * accuracy niche is already covered by [[ivfPqBuild]]; the coarse
+    * centroids here are float-sum k-means means, so the probed SET is
+    * seed-dependent (rows-only registry row, like s03/s05) while every
+    * emitted SCORE is integer-exact.
+    *
+    * Layout under `path`: `codes/` — `( _vid, _code )` parquet
+    * partitioned by `_centroid`; `coarse/` — the centroid vectors
+    * (driver-readable sidecar, [[Similarity.ivfWrite]] convention);
+    * `params/` — one row `(mn, mx, dim)`, the frozen quantizer.
+    */
+  final case class IvfSq8Index(
+      path: String,
+      coarse: Array[Array[Double]],
+      params: SQ8Params,
+      dim: Int,
+      idCol: String
+  )
+
+  /** Build and persist: coarse quantizer (stride-seeded + Lloyd — the
+    * IVF machinery), per-tensor SQ8 params + an exact every-row dim
+    * guard in ONE corpus scan (the [[writeSq8Index]] shape), then one
+    * assign+encode pass written partitioned by list. NULL vectors never
+    * enter the table ([[writeSq8Table]]'s contract). Deterministic for
+    * a given corpus. Build-time cost: the Lloyd iterations dominate,
+    * same as [[Similarity.ivfBuild]].
+    */
+  def ivfSq8Build(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      nCentroids: Int = 16,
+      refineIters: Int = 1
+  ): IvfSq8Index = {
+    val nn = df.filter(col(vecCol).isNotNull)
+    val r = nn
+      .agg(
+        min(array_min(col(vecCol))).cast("double").as("mn"),
+        max(array_max(col(vecCol))).cast("double").as("mx"),
+        min(size(col(vecCol))).as("dmin"),
+        max(size(col(vecCol))).as("dmax")
+      )
+      .head()
+    require(
+      !r.isNullAt(0) && !r.isNullAt(1),
+      s"ivfSq8Build: column '$vecCol' has no non-null vectors"
+    )
+    require(
+      r.getInt(2) == r.getInt(3),
+      s"ivfSq8Build: mixed vector dims in '$vecCol' " +
+        s"(${r.getInt(2)} .. ${r.getInt(3)})"
+    )
+    val params = SQ8Params(r.getDouble(0), r.getDouble(1))
+    val dim = r.getInt(2)
+    val coarse = Similarity.kMeansRefine(
+      nn,
+      vecCol,
+      Similarity.ivfInitCentroids(nn, vecCol, idCol, nCentroids),
+      refineIters
+    )
+    writeIvfSq8Codes(nn, vecCol, idCol, coarse, params,
+      path, org.apache.spark.sql.SaveMode.Overwrite)
+    val spark = df.sparkSession
+    import spark.implicits._
+    coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq
+      .toDF("cid", "cvec")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/coarse")
+    Seq((params.mn, params.mx, dim))
+      .toDF("mn", "mx", "dim")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$path/params")
+    IvfSq8Index(path, coarse, params, dim, idCol)
+  }
+
+  /** One assign+encode pass into the partitioned layout — shared by
+    * build (overwrite) and append (append). No shuffle: the centroid
+    * argmin and the encode are per-row compiled expressions; the write
+    * splits rows into partition directories without exchanging them.
+    */
+  private def writeIvfSq8Codes(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      coarse: Array[Array[Double]],
+      params: SQ8Params,
+      path: String,
+      mode: org.apache.spark.sql.SaveMode
+  ): Unit =
+    Similarity
+      .ivfAssign(df.filter(col(vecCol).isNotNull), vecCol, coarse)
+      .withColumn("_code", sq8EncodeExpr(col(vecCol), params))
+      .select(col(idCol).as("_vid"), col("_centroid"), col("_code"))
+      .write
+      .mode(mode)
+      .partitionBy("_centroid")
+      .parquet(s"$path/codes")
+
+  /** Load a written index's driver-side state (coarse centroids +
+    * frozen params) WITHOUT opening the codes table.
+    */
+  def ivfSq8Read(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String
+  ): IvfSq8Index = {
+    val coarse = Similarity.readCentroids(spark, s"$path/coarse")
+    val p = spark.read.parquet(s"$path/params").head()
+    IvfSq8Index(
+      path,
+      coarse,
+      SQ8Params(
+        p.getDouble(p.fieldIndex("mn")), p.getDouble(p.fieldIndex("mx"))),
+      p.getInt(p.fieldIndex("dim")),
+      idCol
+    )
+  }
+
+  /** Fold a delta in under the FROZEN quantizers (coarse centroids AND
+    * SQ8 params — the never-retrain ingest contract of
+    * [[Similarity.ivfAppend]] / [[appendToSq8Index]]): assign + encode
+    * per-row (out-of-range elements saturate at the trained edges),
+    * append to the partitioned layout; untouched lists gain no files.
+    * The dim guard checks EVERY row of the delta before anything lands
+    * (the [[appendToSq8Index]] policy — the SDC kernel would only catch
+    * a wrong-corpus append at probe time).
+    */
+  def ivfSq8Append(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    Similarity.failIfCompacting(spark, s"$path/codes")
+    val idx = ivfSq8Read(spark, path, idCol)
+    delta
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= idx.dim)
+      .select(size(col(vecCol)))
+      .head(1)
+      .headOption
+      .foreach { r =>
+        throw new IllegalArgumentException(
+          s"ivfSq8Append: delta has a dim-${r.getInt(0)} vector but " +
+            s"the index dim is ${idx.dim}"
+        )
+      }
+    writeIvfSq8Codes(delta, vecCol, idCol, idx.coarse, idx.params,
+      path, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Compact the codes table after many [[ivfSq8Append]]s — same
+    * rename-aside swap and crash-recovery contract as
+    * [[Similarity.ivfCompact]]; probes are result-identical before and
+    * after (gated). Quantizers untouched.
+    */
+  def ivfSq8Compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): Unit =
+    Similarity.compactPartitionedDir(spark, s"$path/codes", "_centroid")
+
+  /** The pruned probe: rank centroids against the query ON THE DRIVER
+    * (tiny, zero jobs), encode the query once, then integer SDC +
+    * TakeOrdered over ONLY the probed lists — the `_centroid IN (...)`
+    * filter is a partition-pruning predicate on the written layout, so
+    * untouched lists never leave disk (plan-gated). Output:
+    * (neighbor_id, rank, sdc_l2), scores integer-exact like every SQ8
+    * emitter.
+    */
+  def ivfSq8Search(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: IvfSq8Index,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(
+      query.length == idx.dim,
+      s"ivfSq8Search: query dim ${query.length} != index dim ${idx.dim}"
+    )
+    val qCodes = SQ8Kernels.encodeLocal(query, idx.params.mn, idx.params.span)
+    val probes = idx.coarse.zipWithIndex
+      .map { case (cv, ci) => (Similarity.sqDistLocal(query, cv), ci) }
+      .sortBy(p => (p._1, p._2))
+      .take(nProbe)
+      .map(_._2)
+    val base = spark.read
+      .parquet(s"${idx.path}/codes")
+      .filter(col("_centroid").isin(probes.map(Integer.valueOf): _*))
+    val candidates =
+      excludeId.map(id => base.filter(col("_vid") =!= id)).getOrElse(base)
+    val scored = candidates
+      // the write path excludes NULL vectors, but defend the rank chain
+      // anyway: a NULL code row would sort NULLS-FIRST under asc
+      .filter(col("_code").isNotNull)
+      .withColumn("_sdc", sq8Sdc(col("_code"), qCodes))
+      .orderBy(col("_sdc").asc, col("_vid").asc)
+      .limit(k)
+    Similarity.rankLimited(scored, "_vid", keep = Seq("_sdc" -> "sdc_l2"))
+  }
+
+  /** Two-stage pruned retrieval: [[ivfSq8Search]] over-fetches
+    * `k × refine` candidates from the probed lists, then the shared
+    * exact re-rank touches only those rows (broadcast semi-join against
+    * the raw vectors — see [[sq8TopKRefined]]'s coverage contract).
+    */
+  def ivfSq8SearchRefined(
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      idx: IvfSq8Index,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      excludeId: Option[Long] = None
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cands =
+      ivfSq8Search(vectors.sparkSession, idx, query, k * refine, nProbe, excludeId)
+        .select(col("neighbor_id"))
+    exactRerank(vectors, vecCol, idCol, cands, query, k)
   }
 
   /** Fetch the query vector by id, naming the id/column in the error when

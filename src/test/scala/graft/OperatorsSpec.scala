@@ -3859,6 +3859,105 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS sq8_gate_refine_codes")
   }
 
+  test("ivfSq8: nProbe=all == frozen-params full scan incl. append; pruned codes-only plan; compaction parity; recall + refined lift (s16 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    val corpus = emb.filter($"vec_id" % 3 =!= 0)
+    val delta = emb.filter($"vec_id" % 3 === 0)
+    val path = "/root/repo/target/tmp/ivfsq8_gate"
+    val idx = Quantization.ivfSq8Build(
+      corpus, "embedding", "vec_id", path, nCentroids = 8)
+    // frozen params are exactly a plain SQ8 train on the build corpus
+    assert(idx.params === Quantization.sq8Train(corpus, "embedding"))
+    // sidecar round-trip: coarse + params come back bit-identical
+    val loaded = Quantization.ivfSq8Read(spark, path, "vec_id")
+    assert(loaded.coarse.flatten.toSeq === idx.coarse.flatten.toSeq)
+    assert(loaded.params === idx.params && loaded.dim === idx.dim)
+    Quantization.ivfSq8Append(spark, delta, path, "embedding", "vec_id")
+    val qv = emb
+      .filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    def probe(nProbe: Int) = Quantization
+      .ivfSq8Search(spark, loaded, qv, k = 10, nProbe = nProbe, excludeId = Some(1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().sortBy(_.getInt(1))
+      .map(r => (r.getLong(0), r.getAs[Long]("sdc_l2"))).toSeq
+    // nProbe = all lists → candidate pool = build + append → must equal a
+    // frozen-params encode of the union scored directly: ids AND integer
+    // scores (this is simultaneously the append-parity gate — the delta
+    // rows are only visible via the append)
+    val all = rows(probe(8))
+    val qCodes = SQ8Kernels.encodeLocal(qv, idx.params.mn, idx.params.span)
+    val direct = Quantization
+      .sq8Encode(emb.filter($"vec_id" =!= 1L), "embedding", idx.params)
+      .withColumn("_sdc", Quantization.sq8Sdc($"_sq8", qCodes))
+      .orderBy($"_sdc".asc, $"vec_id".asc)
+      .limit(10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("_sdc"))).toSeq
+    assert(all === direct)
+    assert(direct.exists { case (id, _) => id % 3 == 0 },
+      "gate is vacuous: no appended row reaches the top-10")
+    // the pruned probe is a partition-pruned scan of the codes table into
+    // per-partition heaps: directory-level pruning, no floats, no shuffle
+    val prunedDf = probe(2)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_centroid"),
+      s"probe scan is not partition-pruned:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"probe lost its TakeOrdered shape:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange"),
+      s"probe plan contains a shuffle:\n${plan.take(2000)}")
+    assert(!spark.read.parquet(s"$path/codes").columns.contains("embedding"))
+    // pruned results carry the same integer scores as the full ranking
+    // (the probe only narrows the candidate pool, never rescores)
+    val directMap = Quantization
+      .sq8Encode(emb.filter($"vec_id" =!= 1L), "embedding", idx.params)
+      .withColumn("_sdc", Quantization.sq8Sdc($"_sq8", qCodes))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("_sdc")).toMap
+    val pruned = rows(prunedDf)
+    assert(pruned.forall { case (id, s) => directMap(id) == s },
+      s"pruned probe rescored: $pruned")
+    // compaction: identical probes before and after
+    Quantization.ivfSq8Compact(spark, path)
+    assert(rows(probe(8)) === all, "compaction changed probe results")
+    // recall@10 vs exact L2, probing half the lists — same floor as the
+    // s05 gate (the gaussian fixture is IVF's worst case: no cluster
+    // structure, so pruning recall is the measured fixture value)
+    val recalls = Seq(0L, 1L, 2L, 3L, 4L).map { qid =>
+      val q = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0).toArray
+      val exact = emb.filter($"vec_id" =!= qid)
+        .withColumn("_d", VectorFunctions.sqDist($"embedding", array(q.map(lit): _*)))
+        .orderBy($"_d".asc, $"vec_id".asc).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val got = Quantization
+        .ivfSq8Search(spark, loaded, q, k = 10, nProbe = 4, excludeId = Some(qid))
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.4, s"mean recall@10 $mean below the fixture floor (got $recalls)")
+    // refined two-stage over all lists recovers the exact top-5 in order
+    // (the s15 property, through the pruned emitter's shortlist)
+    val refined = Quantization
+      .ivfSq8SearchRefined(emb, "embedding", "vec_id", loaded, qv,
+        k = 5, nProbe = 8, refine = 4, excludeId = Some(1L))
+      .collect().sortBy(_.getInt(1)).map(_.getLong(0)).toSeq
+    val brute = emb.filter($"vec_id" =!= 1L)
+      .withColumn("_d", VectorFunctions.sqDist($"embedding", array(qv.map(lit): _*)))
+      .orderBy($"_d".asc, $"vec_id".asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(refined === brute, s"$refined != $brute")
+    // a wrong-dim delta fails BEFORE any row lands
+    val bad = Seq(Vec(99999L, Array(1f, 2f))).toDS.toDF
+    val e = intercept[IllegalArgumentException] {
+      Quantization.ivfSq8Append(spark, bad, path, "embedding", "vec_id")
+    }
+    assert(e.getMessage.contains("dim"))
+    assert(spark.read.parquet(s"$path/codes")
+      .filter($"_vid" === 99999L).count() === 0L)
+  }
+
   test("null embeddings never rank in the ascending-distance searchers") {
     // a NULL vector scores NULL distance/ADC, and Spark's ascending
     // sort is NULLS FIRST — unfiltered, the null row would take rank 1
@@ -3887,6 +3986,13 @@ class OperatorsSpec extends AnyFunSuite {
     val sq = Quantization.sq8TopK(vecs, "embedding", "vec_id", queryId = 0L, k = 9)
       .collect().map(_.getLong(0))
     assert(sq.length === 7 && !sq.contains(99L), sq.toSeq)
+    // IVF-SQ8: the write path drops the NULL row, so the pruned probe
+    // never sees (or ranks) it
+    val np = "/root/repo/target/tmp/ivfsq8_nullgate"
+    val nidx = Quantization.ivfSq8Build(vecs, "embedding", "vec_id", np, nCentroids = 2)
+    val iv = Quantization.ivfSq8Search(spark, nidx, qv, k = 9, nProbe = 2)
+      .collect().map(_.getLong(0))
+    assert(iv.length === 8 && !iv.contains(99L), iv.toSeq)
   }
 
   test("lshNearDups precision-exact + recall vs brute on the fixture (d07 gate)") {
