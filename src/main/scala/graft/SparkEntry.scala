@@ -3211,6 +3211,76 @@ object SparkEntry {
              |  ON l.user_id = r.user_id
              | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
     ),
+    // LEFT-OUTER stream-stream interval join (st12's missing half): the
+    // unmatched-left emission — "errors with NO click in the trailing
+    // hour" — which the inner join cannot express and every funnel/
+    // attribution pipeline needs next. A null-padded row emits ONCE, at
+    // state EVICTION, when the watermark proves no future click can
+    // reach back; two mechanics the inner join never exercises, both
+    // measured on this fixture and handled here: (a) the last real
+    // batch can never evict its own rows, so a trailing sentinel batch
+    // (one far-future error + click, on users the fixture never has,
+    // never matching each other) advances BOTH sides' watermarks — and
+    // the sentinel filter must run AFTER the sink, because an id filter
+    // inside the streaming query is predicate-pushed through the join
+    // and the watermark node to the scan, deleting the sentinel before
+    // it can advance anything; (b) the eviction itself runs in a
+    // trailing NO-DATA batch that processAllAvailable does not await —
+    // [[streaming.Streams.drain]] polls (batchId, watermark) to
+    // quiescence. FULL oracle: the batch LEFT JOIN — a lost null row, a
+    // double emission, or a sentinel leak all break the hash.
+    Q(
+      "st14_stream_join_outer",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val srcDir = s"/root/repo/target/tmp/st14_src_${d.replaceAll("[^0-9.]", "")}"
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        import s.implicits._
+        val sentinels = Seq(
+          (-1L, new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000),
+            -1L, "error"),
+          (-2L, new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000 + 60000L),
+            -2L, "click"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+        val schema = streaming.Streams
+          .writeTsOrderedChunks(ev, "ts", srcDir, n = 3, finalChunks = Seq(sentinels))
+        val raw = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val joined = streaming.Streams.intervalJoin(
+          left = raw.filter(col("event_type") === "error")
+            .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+          right = raw.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+          window = "1 hour", watermark = "2 hours", joinType = "left_outer")
+        val name = s"st14_out_${streamOutSeq.incrementAndGet()}"
+        val q = joined
+          .select(col("err_id"), col("click_id"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .start()
+        try streaming.Streams.drain(q)
+        finally q.stop()
+        // post-sink: the sentinel error never emits (the watermark never
+        // passes it) — the filter is defense, and on the BATCH table it
+        // cannot be pushed into the already-finished stream
+        val out = s.table(name).filter(col("err_id") >= 0).localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""SELECT l.event_id AS err_id, r.event_id AS click_id
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'error') l
+             |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
+    ),
     // STREAMING ANN INGEST (new r16): the foreachBatch composition the
     // st-family lacked — every streaming row so far grows a DEDUP
     // index; this one grows the SQ8 ANN index. Micro-batch 0 TRAINS the

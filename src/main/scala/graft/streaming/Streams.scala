@@ -72,6 +72,41 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Block until the query is FULLY settled: all source data processed
+    * AND every trailing no-data batch committed. `processAllAvailable`
+    * only promises the former — but watermark-driven state eviction
+    * (outer-join null emissions, late-window closes) runs in a no-data
+    * batch AFTER the last data batch, which the engine schedules on its
+    * own trigger loop (measured on the st14 fixture: the unmatched-left
+    * rows never appeared behind a bare processAllAvailable). Polls
+    * (batchId, watermark) until unchanged across two consecutive
+    * settle windows; the watermark only moves on data, so the engine
+    * runs at most finitely many trailing no-data batches and this
+    * terminates. `maxWaitMs` bounds a wedged query loudly.
+    */
+  def drain(
+      q: StreamingQuery,
+      settleMs: Long = 250L,
+      maxWaitMs: Long = 60000L
+  ): Unit = {
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var last: (Long, String) = (-1L, "")
+    var stable = 0
+    while (stable < 2) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"drain: query did not settle within ${maxWaitMs} ms (at $last)")
+      Thread.sleep(settleMs)
+      q.processAllAvailable()
+      val cur = Option(q.lastProgress)
+        .map(p => (p.batchId, String.valueOf(p.eventTime.get("watermark"))))
+        .getOrElse((-2L, ""))
+      if (cur == last) stable += 1
+      else { stable = 0; last = cur }
+    }
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until the file source is drained (local smoke path).
     */
@@ -108,24 +143,41 @@ object Streams {
       df: DataFrame,
       tsCol: String,
       dir: String,
-      n: Int = 3
+      n: Int = 3,
+      finalChunks: Seq[DataFrame] = Nil
   ): org.apache.spark.sql.types.StructType = {
     // fail the n < 2 contract here, not in the percentile expression
     // below (an empty quantile array dies in analysis with no hint)
     require(n >= 2, "need at least two chunks to exercise cross-batch state")
     // exact interpolated percentiles of the event time — deterministic
-    // boundaries for a given fixture
+    // boundaries for a given fixture. `finalChunks` (if any) are written
+    // as EXTRA trailing micro-batches and do NOT move the quantile
+    // boundaries of the real data — the watermark-advancing-sentinel
+    // shape outer joins need (an unmatched row's null emission only
+    // fires once the watermark passes its eviction point, which the
+    // last REAL batch can never trigger for its own rows). TWO trailing
+    // sentinel batches make the emission deterministic: the watermark a
+    // batch RUNS under is derived from the event times of the batches
+    // BEFORE it, so sentinel batch 1 raises the watermark and sentinel
+    // batch 2 is the data batch that applies it — eviction never has to
+    // ride the engine's trailing no-data batch, which
+    // `processAllAvailable` does not promise to wait for. The caller
+    // must keep each chunk's event times above the previous chunk's
+    // maximum or the ordered-chunks property breaks.
     val qs = (1 until n).map(_.toDouble / n)
     val bounds = df
       .select(expr(
         s"percentile(unix_micros($tsCol), array(${qs.mkString(",")}))"))
       .head.getSeq[Double](0).map(_.toLong)
     val micros = unix_micros(col(tsCol))
-    writeOrderedChunkFiles(df, dir, n) { k =>
-      val lo = if (k == 0) None else Some(bounds(k - 1))
-      val hi = if (k == n - 1) None else Some(bounds(k))
-      df.filter(lo.map(micros >= lit(_)).getOrElse(lit(true)))
-        .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
+    writeOrderedChunkFiles(df, dir, n + finalChunks.size) { k =>
+      if (k >= n) finalChunks(k - n)
+      else {
+        val lo = if (k == 0) None else Some(bounds(k - 1))
+        val hi = if (k == n - 1) None else Some(bounds(k))
+        df.filter(lo.map(micros >= lit(_)).getOrElse(lit(true)))
+          .filter(hi.map(micros < lit(_)).getOrElse(lit(true)))
+      }
     }
   }
 
@@ -200,6 +252,20 @@ object Streams {
     * `watermark >= window`, no row is ever late and no state a future
     * batch needs is evicted, so the append stream equals the batch
     * interval join row-for-row.
+    *
+    * `joinType = "left_outer"` adds the unmatched-left emission — the
+    * "error with NO click in the trailing hour" shape attribution and
+    * funnel pipelines need, which the inner join cannot express. A left
+    * row's null-padded result emits ONCE, when the watermark proves no
+    * future right row can reach back to it (right events matching a
+    * left row at time T all have ts ≤ T, so T < watermark suffices) —
+    * i.e. at eviction, not at arrival. Parity corollary: the last real
+    * batch can never trigger its OWN rows' null emissions (the
+    * watermark only advances past them on a LATER batch), so a finite
+    * fixture needs a trailing watermark-advancing sentinel batch on
+    * BOTH sides ([[writeTsOrderedChunks]]'s `finalChunk` — the global
+    * watermark is the MIN across both stream sides); an unbounded
+    * production stream advances naturally.
     */
   def intervalJoin(
       left: DataFrame,
@@ -208,7 +274,8 @@ object Streams {
       leftTs: String,
       rightTs: String,
       window: String = "1 hour",
-      watermark: String = "2 hours"
+      watermark: String = "2 hours",
+      joinType: String = "inner"
   ): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).as("l")
     val r = right
@@ -218,6 +285,7 @@ object Streams {
       r,
       col(s"l.$key") === col(s"r._r_$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $window") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+        col(s"r.$rightTs") <= col(s"l.$leftTs"),
+      joinType)
   }
 }

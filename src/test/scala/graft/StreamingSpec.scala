@@ -135,6 +135,70 @@ class StreamingSpec extends AnyFunSuite {
       s"stream interval join diverged from the batch expectation: $got")
   }
 
+  test("left-outer interval join emits unmatched errors exactly once, after the watermark passes them (st14 twin)") {
+    def th(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // the st12 fixture: matched errors 4←2 (cross-batch) and 6←5; errors
+    // 7 and 9 have NO click in their trailing hour (click 8 is AFTER
+    // error 7; click 1 is 2.5 h before error 9) — the left-outer rows.
+    // Their null emissions fire at EVICTION: a trailing sentinel batch
+    // raises the watermark past every real error (it is the MIN across
+    // both stream sides, so the batch carries one error + one click, on
+    // users the fixture never has and that never match each other), and
+    // the eviction itself runs in a NO-DATA batch after the last data
+    // batch — awaited via Streams.drain (a bare processAllAvailable
+    // returns before it; measured: the null rows never emitted).
+    // Sentinels stay in state forever (the watermark never passes THEM)
+    // and are filtered AFTER the sink: an id filter inside the
+    // streaming query would be predicate-pushed through the join and
+    // the watermark node to the scan, deleting the sentinel before it
+    // can advance the watermark (measured: wm stuck at the real-data
+    // max and zero null emissions).
+    val rows = Seq(
+      (1L, th("00:00"), 3L, "click"),
+      (2L, th("00:10"), 1L, "click"),
+      (3L, th("00:20"), 5L, "view"),
+      (4L, th("01:00"), 1L, "error"),
+      (5L, th("01:10"), 2L, "click"),
+      (6L, th("01:15"), 2L, "error"),
+      (7L, th("02:00"), 4L, "error"),
+      (8L, th("02:10"), 4L, "click"),
+      (9L, th("02:30"), 3L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    def sentinels(errHm: String, clickHm: String, base: Long) = Seq(
+      (base, th(errHm), -1L, "error"),
+      (base - 1L, th(clickHm), -2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("st14_gate").toString + "/src"
+    val schema = Streams.writeTsOrderedChunks(
+      rows, "ts", dir, n = 3,
+      finalChunks = Seq(sentinels("06:30", "06:31", -1L)))
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) === 4, "3 real chunks + sentinel batch")
+    val raw = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = Streams.intervalJoin(
+      left = raw.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+      right = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+      key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+      window = "1 hour", watermark = "2 hours", joinType = "left_outer")
+    val q = joined.select(col("err_id"), col("click_id"))
+      .writeStream.format("memory").queryName("st14_gate_out")
+      .outputMode("append").start()
+    try Streams.drain(q)
+    finally q.stop()
+    val rowsOut = spark.table("st14_gate_out")
+      .filter(col("err_id") >= 0).collect()
+    spark.catalog.dropTempView("st14_gate_out")
+    val got = rowsOut
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.length === got.toSet.size, s"a row emitted more than once: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (4L, Some(2L)), (6L, Some(5L)), (7L, None), (9L, None)),
+      s"left-outer stream join diverged from the batch expectation: ${got.toSeq}")
+  }
+
   test("watermark drops late rows: out-of-order micro-batches through MemoryStream (NEXT §6)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
