@@ -55,12 +55,38 @@ object SparkEntry {
     * `vec_id = 0` (every SQ8 row probes the full corpus with vector 0;
     * a row wanting a subset probe or another query id needs its own
     * CTE chain, not this helper).
+    *
+    * `clip = Some((lo, hi))` replays [[operators.Quantization
+    * .sq8TrainClipped]]'s NEAREST-RANK bounds: the elements at
+    * ascending ranks floor(lo·(n−1)) / ceil(hi·(n−1)) — rank-selected
+    * corpus VALUES, bit-identical cross-engine like min/max (an
+    * interpolated percentile would be ulp-formula-dependent); the rank
+    * itself is one double multiply + floor/ceil of identical inputs.
     */
-  private def sq8EncCtes(trainSql: String): String =
+  private def sq8EncCtes(
+      trainSql: String,
+      clip: Option[(Double, Double)] = None
+  ): String = {
+    val pCte = clip match {
+      case None =>
+        """p AS (
+          |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
+          |  FROM (SELECT unnest(embedding) AS u FROM corpus))""".stripMargin
+      case Some((lo, hi)) =>
+        s"""cnt AS (
+           |  SELECT count(*) AS n
+           |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
+           |p AS (
+           |  SELECT
+           |    max(CASE WHEN rn = (SELECT CAST(floor($lo*(n-1)) AS BIGINT)+1 FROM cnt)
+           |        THEN x END) AS mn,
+           |    max(CASE WHEN rn = (SELECT CAST(ceil($hi*(n-1)) AS BIGINT)+1 FROM cnt)
+           |        THEN x END) AS mx
+           |  FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn
+           |        FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS x FROM corpus)))""".stripMargin
+    }
     s"""WITH corpus AS ($trainSql),
-       |p AS (
-       |  SELECT CAST(min(u) AS DOUBLE) AS mn, CAST(max(u) AS DOUBLE) AS mx
-       |  FROM (SELECT unnest(embedding) AS u FROM corpus)),
+       |$pCte,
        |enc AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x ->
@@ -69,6 +95,7 @@ object SparkEntry {
        |           AS BIGINT)) AS code
        |  FROM embeddings, p),
        |q AS (SELECT code FROM enc WHERE vec_id = 0)""".stripMargin
+  }
 
   /** Integer SDC of a corpus row `e` against the query `q`. */
   private val sq8SdcSql: String =
@@ -76,8 +103,12 @@ object SparkEntry {
       |           i -> (e.code[i] - q.code[i]) * (e.code[i] - q.code[i])))""".stripMargin
 
   /** Full SQ8 top-k oracle: ids + rank + the integer score. */
-  private def sq8TopKOracle(corpusSql: String, k: Int): String =
-    s"""${sq8EncCtes(corpusSql)}
+  private def sq8TopKOracle(
+      corpusSql: String,
+      k: Int,
+      clip: Option[(Double, Double)] = None
+  ): String =
+    s"""${sq8EncCtes(corpusSql, clip)}
        |SELECT vec_id AS neighbor_id,
        |       CAST(row_number() OVER (ORDER BY sdc, vec_id) AS INT) AS rank,
        |       CAST(sdc AS BIGINT) AS sdc_l2
@@ -4044,6 +4075,26 @@ object SparkEntry {
              |  JOIN embeddings e ON e.vec_id = c.vec_id
              |  CROSS JOIN qv)
              |ORDER BY d, vec_id LIMIT 5""".stripMargin)
+    ),
+    // Quantile-clipped SQ8 (the faiss RangeStat_quantiles idea): the
+    // per-tensor min/max range hands ONE outlier element the entire
+    // code range — every other code's resolution collapses. Clipped
+    // training takes the range from the corpus elements at ranks
+    // floor(lo·(n−1)) / ceil(hi·(n−1)) instead; encode saturates the
+    // tails. NEAREST-RANK keeps the FULL oracle: a rank-selected bound
+    // is a corpus VALUE (bit-identical cross-engine like min/max),
+    // where an interpolated percentile would be ulp-formula-dependent.
+    // The planted-outlier recall gate lives in OperatorsSpec.
+    Q(
+      "s18_sq8_clipped_search",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val p = operators.Quantization
+          .sq8TrainClipped(emb, "embedding", lo = 0.01, hi = 0.99)
+        operators.Quantization
+          .sq8TopKWithParams(emb, "embedding", "vec_id", p, queryId = 0L, k = 5)
+      },
+      Some(sq8TopKOracle("SELECT * FROM embeddings", 5, clip = Some((0.01, 0.99))))
     ),
     // IVF-SQ8: the partition-pruned probe for the quantized family —
     // plain SQ8 probes scan the whole code table (a 25 TB scan per

@@ -655,6 +655,59 @@ object Quantization {
     SQ8Params(r.getDouble(0), r.getDouble(1))
   }
 
+  /** Quantile-clipped SQ8 training: the range is the corpus elements at
+    * ascending ranks `floor(lo·(n−1))` and `ceil(hi·(n−1))` instead of
+    * min/max. Why: the per-tensor min/max hands ONE outlier element the
+    * entire code range — every other code's resolution collapses (real
+    * embedding corpora have hot dimensions; faiss's ScalarQuantizer
+    * trains with the same quantile option, RangeStat_quantiles — a
+    * published idea, independent implementation). Encode already
+    * saturates at the range edges, so clipping trades the outliers'
+    * accuracy for everyone else's (gated: planted-outlier recall).
+    *
+    * NEAREST-RANK, not interpolated, deliberately: an interpolated
+    * percentile is `(1−g)·lower + g·higher` in one engine and
+    * `lower + g·(higher−lower)` in another — ulp-divergent formulas, so
+    * the clipped params (and with them every code) could flip a
+    * downstream hash. A rank-SELECTED element is a corpus value:
+    * bit-identical cross-engine exactly like min/max (the argument that
+    * makes the whole SQ8 family oracle-able). The rank itself is one
+    * double multiply + floor/ceil of identical inputs — also exact.
+    * `lo = 0, hi = 1` degenerates to [[sq8Train]] precisely (ranks 0
+    * and n−1 are the min and max).
+    *
+    * Scale note: rank selection runs as two TakeOrdered passes over the
+    * exploded elements (ascending for the low rank, descending for the
+    * high — each heap holds clip·n elements, NOT n). Train-time only;
+    * at extreme scale train on a sample or swap approx_percentile in
+    * (different codes, same contract — forfeits the exact oracle).
+    */
+  def sq8TrainClipped(
+      df: DataFrame,
+      vecCol: String,
+      lo: Double = 0.001,
+      hi: Double = 0.999
+  ): SQ8Params = {
+    require(0.0 <= lo && lo < hi && hi <= 1.0,
+      s"sq8TrainClipped: need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val els = df
+      .filter(col(vecCol).isNotNull)
+      .select(explode(col(vecCol).cast("array<double>")).as("_x"))
+    val n = els.count()
+    require(n > 0, s"sq8TrainClipped: column '$vecCol' has no non-null vectors")
+    val rLo = math.floor(lo * (n - 1)).toLong
+    val rHi = math.ceil(hi * (n - 1)).toLong
+    def at(sorted: DataFrame, offset: Long): Double = {
+      require(offset <= Int.MaxValue,
+        s"sq8TrainClipped: clip rank $offset exceeds the driver-side " +
+          "offset limit — train on a sample at this scale")
+      sorted.offset(offset.toInt).limit(1).head.getDouble(0)
+    }
+    val mn = at(els.orderBy(col("_x").asc), rLo)
+    val mx = at(els.orderBy(col("_x").desc), (n - 1) - rHi)
+    SQ8Params(mn, mx)
+  }
+
   /** Per-element code: `floor((x - mn) / span * 255)` clamped to
     * [0, 255], computed in double ([[SQ8Kernels.codeOf]]). Compiled
     * kernel per row — no HOF lambda in the scan (the
@@ -699,8 +752,21 @@ object Quantization {
       idCol: String,
       queryId: Long,
       k: Int
+  ): DataFrame =
+    sq8TopKWithParams(df, vecCol, idCol, sq8Train(df, vecCol), queryId, k)
+
+  /** [[sq8TopK]] under caller-supplied params — the entry point for the
+    * clipped quantizer ([[sq8TrainClipped]]) and for amortizing one
+    * train across queries.
+    */
+  def sq8TopKWithParams(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      p: SQ8Params,
+      queryId: Long,
+      k: Int
   ): DataFrame = {
-    val p = sq8Train(df, vecCol)
     val qCodes =
       SQ8Kernels.encodeLocal(lookupQueryVec(df, vecCol, idCol, queryId), p.mn, p.span)
     // NULL vectors are excluded, not ranked: a NULL SDC would sort

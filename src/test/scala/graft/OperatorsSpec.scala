@@ -3958,6 +3958,48 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"_vid" === 99999L).count() === 0L)
   }
 
+  test("sq8TrainClipped: lo=0/hi=1 degenerates to sq8Train; a planted outlier collapses unclipped recall but not clipped (s18 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+    // rank 0 / rank n-1 ARE the min and max — the closed-form sanity
+    // that the rank arithmetic lines up at the edges
+    assert(Quantization.sq8TrainClipped(emb, "embedding", lo = 0.0, hi = 1.0)
+      === Quantization.sq8Train(emb, "embedding"))
+    // contaminate ONE element of ONE vector: per-tensor min/max hands it
+    // the whole code range (span ~1e6 vs the fixture's ~±4), so every
+    // real element lands in a couple of adjacent cells and ranking
+    // collapses; the clipped train never sees it (encode saturates it)
+    val poisoned = emb.withColumn(
+      "embedding",
+      when(col("vec_id") === 7L,
+        expr("concat(array(CAST(1e6 AS FLOAT)), slice(embedding, 2, size(embedding) - 1))"))
+        .otherwise(col("embedding")))
+    val unclipped = Quantization.sq8Train(poisoned, "embedding")
+    val clipped = Quantization.sq8TrainClipped(poisoned, "embedding", lo = 0.001, hi = 0.999)
+    assert(unclipped.span > 100000.0, s"outlier must own the unclipped range: $unclipped")
+    assert(clipped.span < 100.0, s"clip must shed the outlier: $clipped")
+    def recall(p: Quantization.SQ8Params): Double = {
+      val rs = Seq(0L, 1L, 2L).map { qid =>
+        val qv = poisoned.filter($"vec_id" === qid)
+          .select($"embedding".cast("array<double>")).head.getSeq[Double](0).toArray
+        val exact = poisoned.filter($"vec_id" =!= qid)
+          .withColumn("_d", VectorFunctions.sqDist($"embedding", array(qv.map(lit): _*)))
+          .orderBy($"_d".asc, $"vec_id".asc).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        val got = Quantization
+          .sq8TopKWithParams(poisoned, "embedding", "vec_id", p, qid, k = 5)
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect got).size / 5.0
+      }
+      rs.sum / rs.size
+    }
+    val (rc, ru) = (recall(clipped), recall(unclipped))
+    assert(rc >= ru, s"clipped recall $rc below unclipped $ru")
+    // the fixture floor: clipped survives contamination near the clean
+    // s13 recall; unclipped collapses (measured — codes span ~2 cells)
+    assert(rc >= 0.6, s"clipped recall $rc below floor")
+    assert(ru <= rc, s"unclipped $ru should not beat clipped $rc")
+  }
+
   test("null embeddings never rank in the ascending-distance searchers") {
     // a NULL vector scores NULL distance/ADC, and Spark's ascending
     // sort is NULLS FIRST — unfiltered, the null row would take rank 1
