@@ -95,7 +95,7 @@ object Bench {
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
     "s14_sq8_incremental", "s15_sq8_refined", "s16_ivfsq8_search",
-    "s17_ivfsq8_audit", "s18_sq8_clipped_search",
+    "s18_sq8_clipped_search",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
@@ -125,7 +125,11 @@ object Bench {
       "d28_incremental128_audit", "d29_lsh_audit", "s07_ann_audit",
       "s09_semdedup_audit", "d32_incremental_simhash_audit",
       "d33_incremental_lsh_audit", "s10_pq_audit", "s11_ivfpq_audit",
-      "s12_semdedup_batch_audit")
+      "s12_semdedup_batch_audit",
+      // s17 re-runs the s16 emitter (its own IVF-SQ8 build + probe —
+      // s16 is still timed at full SF under its own key) plus the
+      // audit recompute joins — the s10/s11 policy
+      "s17_ivfsq8_audit")
 
   private val smallSuffix = "@sf0.01"
 

@@ -1161,6 +1161,12 @@ object Quantization {
     * The dim guard checks EVERY row of the delta before anything lands
     * (the [[appendToSq8Index]] policy — the SDC kernel would only catch
     * a wrong-corpus append at probe time).
+    *
+    * NOT replay-gated, matching [[Similarity.ivfAppend]] /
+    * [[ivfPqAppend]] (the partitioned-layout family): a caller driving
+    * this from an at-least-once source must dedupe batches itself —
+    * the replay-idempotent streaming-ANN ingest shape is
+    * [[appendToSq8Index]] over the bucketed catalog table (st13).
     */
   def ivfSq8Append(
       spark: org.apache.spark.sql.SparkSession,
