@@ -701,7 +701,14 @@ object Quantization {
       require(offset <= Int.MaxValue,
         s"sq8TrainClipped: clip rank $offset exceeds the driver-side " +
           "offset limit — train on a sample at this scale")
-      sorted.offset(offset.toInt).limit(1).head.getDouble(0)
+      val row = sorted.offset(offset.toInt).limit(1).head
+      // element-level NULLs are out of contract (sq8_encode fails fast on
+      // them) — but they sort NULLS-FIRST here and getDouble would read
+      // 0.0 silently, so fail at train time with the real cause
+      require(!row.isNullAt(0),
+        s"sq8TrainClipped: '$vecCol' has NULL elements — null elements " +
+          "carry no geometry and are out of the SQ8 contract")
+      row.getDouble(0)
     }
     val mn = at(els.orderBy(col("_x").asc), rLo)
     val mx = at(els.orderBy(col("_x").desc), (n - 1) - rHi)

@@ -155,15 +155,10 @@ object Streams {
     // boundaries of the real data — the watermark-advancing-sentinel
     // shape outer joins need (an unmatched row's null emission only
     // fires once the watermark passes its eviction point, which the
-    // last REAL batch can never trigger for its own rows). TWO trailing
-    // sentinel batches make the emission deterministic: the watermark a
-    // batch RUNS under is derived from the event times of the batches
-    // BEFORE it, so sentinel batch 1 raises the watermark and sentinel
-    // batch 2 is the data batch that applies it — eviction never has to
-    // ride the engine's trailing no-data batch, which
-    // `processAllAvailable` does not promise to wait for. The caller
-    // must keep each chunk's event times above the previous chunk's
-    // maximum or the ordered-chunks property breaks.
+    // last REAL batch can never trigger for its own rows; the eviction
+    // then runs in a trailing no-data batch, awaited via [[drain]]).
+    // The caller must keep each chunk's event times above the previous
+    // chunk's maximum or the ordered-chunks property breaks.
     val qs = (1 until n).map(_.toDouble / n)
     val bounds = df
       .select(expr(
@@ -263,9 +258,16 @@ object Streams {
     * batch can never trigger its OWN rows' null emissions (the
     * watermark only advances past them on a LATER batch), so a finite
     * fixture needs a trailing watermark-advancing sentinel batch on
-    * BOTH sides ([[writeTsOrderedChunks]]'s `finalChunk` — the global
-    * watermark is the MIN across both stream sides); an unbounded
-    * production stream advances naturally.
+    * BOTH sides ([[writeTsOrderedChunks]]'s `finalChunks` — the global
+    * watermark is the MIN across both stream sides) and the run must be
+    * awaited with [[drain]] (the eviction lands in a trailing no-data
+    * batch); an unbounded production stream advances naturally. Two
+    * pushdown traps, both measured: a row filter added to the streaming
+    * query is predicate-pushed through the join and the watermark node
+    * to the scan (it will delete a sentinel before it advances
+    * anything — filter the post-sink batch table instead), and a
+    * sentinel pair must not key-match each other or they become join
+    * rows.
     */
   def intervalJoin(
       left: DataFrame,
