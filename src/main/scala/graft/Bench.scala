@@ -91,7 +91,7 @@ object Bench {
     "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
     "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
     "st11_sink_manifest", "st12_stream_join", "st13_stream_sq8",
-    "st14_stream_join_outer",
+    "st14_stream_join_outer", "st15_stream_ivfsq8",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
     "s14_sq8_incremental", "s15_sq8_refined", "s16_ivfsq8_search",

@@ -3366,6 +3366,63 @@ object SparkEntry {
       },
       Some(sq8TopKOracle("SELECT * FROM embeddings WHERE vec_id % 3 = 0", 100))
     ),
+    // STREAMING INGEST OF THE PARTITIONED ANN LAYOUT (st13's pruned
+    // twin): foreachBatch grows the IVF-SQ8 index — batch 0 builds
+    // (coarse quantizer + frozen SQ8 params + partitioned codes),
+    // batches 1-2 fold in via [[operators.Quantization
+    // .ivfSq8AppendReplaySafe]], whose replay ledger is PARTITION-
+    // PRUNED: under the frozen coarse quantizer a replayed delta
+    // re-assigns to exactly the lists its first attempt wrote, so the
+    // seen-id scan reads only the touched `_centroid` partitions —
+    // at 100 TB a replay probe over a daily delta reads a few lists,
+    // never the corpus (the flat st13 ledger can't offer that). FULL
+    // oracle via the SQ8 closed-form property: the probe runs at
+    // nProbe = ALL lists, where the candidate pool is the whole corpus
+    // and the integer ranking equals the flat SQ8 full scan under
+    // batch 0's params — pruning itself is s16's (plan-gated) row;
+    // THIS row pins the streamed partitioned layout: a batch lost,
+    // doubled, or double-appended in flight breaks the top-100 hash.
+    Q(
+      "st15_stream_ivfsq8",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val srcDir =
+          s"/root/repo/target/tmp/st15_src_${d.replaceAll("[^0-9.]", "")}"
+        val idxPath =
+          s"/root/repo/target/tmp/st15_idx_${d.replaceAll("[^0-9.]", "")}"
+        val schema = streaming.Streams.writeIdModChunks(emb, "vec_id", srcDir, n = 3)
+        @volatile var idx: operators.Quantization.IvfSq8Index = null
+        val q = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            if (batchId == 0L)
+              idx = operators.Quantization
+                .ivfSq8Build(batch, "embedding", "vec_id", idxPath, nCentroids = 16)
+            else
+              operators.Quantization
+                .ivfSq8AppendReplaySafe(s, batch, idxPath, "embedding", "vec_id")
+            ()
+          }
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        require(
+          s.read.parquet(s"$idxPath/codes").count() ==
+            emb.filter(col("embedding").isNotNull).count(),
+          "streamed IVF-SQ8 index must hold every non-null vector exactly once")
+        val qv = emb
+          .filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        operators.Quantization.ivfSq8Search(
+          s, operators.Quantization.ivfSq8Read(s, idxPath, "vec_id"),
+          qv, k = 100, nProbe = 16, excludeId = Some(0L))
+      },
+      Some(sq8TopKOracle("SELECT * FROM embeddings WHERE vec_id % 3 = 0", 100))
+    ),
     // EXACTLY-ONCE END-TO-END: the capstone composition of st07 (real
     // checkpoint restart), st08 (replay idempotence), and st09 (sink
     // durability) — driven through Structured Streaming's ACTUAL

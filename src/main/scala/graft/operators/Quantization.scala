@@ -1184,20 +1184,77 @@ object Quantization {
   ): Unit = {
     Similarity.failIfCompacting(spark, s"$path/codes")
     val idx = ivfSq8Read(spark, path, idCol)
+    failOnWrongDim(delta, vecCol, idx.dim, "ivfSq8Append")
+    writeIvfSq8Codes(delta, vecCol, idCol, idx.coarse, idx.params,
+      path, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** [[ivfSq8Append]]'s replay-idempotent twin — the streaming-ingest
+    * form ([[ReplaySafe]]: the index is the ledger, st15). The ledger
+    * check is PARTITION-PRUNED, which the flat [[appendToSq8Index]]
+    * cannot offer: under the frozen coarse quantizer a replayed delta
+    * re-assigns to exactly the lists its first attempt wrote, so the
+    * seen-id scan reads ONLY the `_centroid` partitions the delta
+    * touches — at 100 TB a replay probe over a daily delta reads a few
+    * lists, never the corpus. (Sound because ids are unique across
+    * batches — the [[ReplaySafe]] contract — so a delta id can only
+    * pre-exist in a list the SAME delta maps to.) One row per id, so
+    * id-level healing suffices; first attempts skip nothing but the
+    * pruned scan.
+    */
+  def ivfSq8AppendReplaySafe(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      path: String,
+      vecCol: String,
+      idCol: String
+  ): Unit = {
+    Similarity.failIfCompacting(spark, s"$path/codes")
+    val idx = ivfSq8Read(spark, path, idCol)
+    failOnWrongDim(delta, vecCol, idx.dim, "ivfSq8AppendReplaySafe")
+    val assigned = Similarity
+      .ivfAssign(delta.filter(col(vecCol).isNotNull), vecCol, idx.coarse)
+    val touched = assigned
+      .select(col("_centroid")).distinct().collect().map(_.getInt(0))
+    val existing = spark.read
+      .parquet(s"$path/codes")
+      .filter(col("_centroid").isin(touched.map(Integer.valueOf): _*))
+    val rids = ReplaySafe.ids(delta, idCol)
+    val seen = ReplaySafe.seenIds(existing, "_vid", rids)
+    val fresh =
+      if (ReplaySafe.noneSeen(seen)) assigned
+      else ReplaySafe.dropSeen(assigned, idCol, seen)
+    fresh
+      .withColumn("_code", sq8EncodeExpr(col(vecCol), idx.params))
+      .select(col(idCol).as("_vid"), col("_centroid"), col("_code"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("_centroid")
+      .parquet(s"$path/codes")
+    graft.CacheUtil.release(rids)
+    graft.CacheUtil.release(seen)
+  }
+
+  /** The [[appendToSq8Index]] every-row dim guard, shared by both
+    * append forms: fail a wrong-corpus delta before anything lands.
+    */
+  private def failOnWrongDim(
+      delta: DataFrame,
+      vecCol: String,
+      dim: Int,
+      caller: String
+  ): Unit =
     delta
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= idx.dim)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= dim)
       .select(size(col(vecCol)))
       .head(1)
       .headOption
       .foreach { r =>
         throw new IllegalArgumentException(
-          s"ivfSq8Append: delta has a dim-${r.getInt(0)} vector but " +
-            s"the index dim is ${idx.dim}"
+          s"$caller: delta has a dim-${r.getInt(0)} vector but " +
+            s"the index dim is $dim"
         )
       }
-    writeIvfSq8Codes(delta, vecCol, idCol, idx.coarse, idx.params,
-      path, org.apache.spark.sql.SaveMode.Append)
-  }
 
   /** Compact the codes table after many [[ivfSq8Append]]s — same
     * rename-aside swap and crash-recovery contract as

@@ -3956,6 +3956,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dim"))
     assert(spark.read.parquet(s"$path/codes")
       .filter($"_vid" === 99999L).count() === 0L)
+    // replay-safe append (st15's ingest form): a replayed batch — the
+    // at-least-once foreachBatch case — appends NOTHING (the partition-
+    // pruned ledger sees its first attempt's rows), and a genuinely new
+    // delta still folds in
+    val shifted = delta
+      .select(($"vec_id" + 500000L).as("vec_id"), $"embedding")
+    Quantization.ivfSq8AppendReplaySafe(spark, shifted, path, "embedding", "vec_id")
+    val afterFirst = spark.read.parquet(s"$path/codes").count()
+    val probeAfterFirst = rows(probe(8))
+    Quantization.ivfSq8AppendReplaySafe(spark, shifted, path, "embedding", "vec_id")
+    assert(spark.read.parquet(s"$path/codes").count() === afterFirst,
+      "replayed append duplicated rows")
+    assert(rows(probe(8)) === probeAfterFirst, "replayed append changed probe results")
+    // the shifted copy of vec 1's nearest neighbor is only visible via
+    // the replay-safe append — non-vacuity of the fold
+    assert(afterFirst ===
+      spark.read.parquet(s"$path/codes").filter($"_vid" < 500000L).count()
+        + shifted.count())
   }
 
   test("sq8TrainClipped: lo=0/hi=1 degenerates to sq8Train; a planted outlier collapses unclipped recall but not clipped (s18 gate)") {
