@@ -450,16 +450,9 @@ object Quantization {
       .mode("overwrite")
       .partitionBy("_centroid")
       .parquet(s"$path/codes")
+    Similarity.writeCentroids(idx.encoded.sparkSession, idx.coarse, s"$path/coarse")
     val spark = idx.encoded.sparkSession
     import spark.implicits._
-    idx.coarse.zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toSeq
-      .toDF("cid", "cvec")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$path/coarse")
     val flat = for {
       (codes, sub) <- idx.cb.centroids.zipWithIndex
       (cv, code) <- codes.zipWithIndex
@@ -819,9 +812,24 @@ object Quantization {
       name: String,
       buckets: Int = 32
   ): Sq8Index = {
-    // params + dim in ONE corpus scan (the same pass sq8Train makes);
-    // min(size) == max(size) proves EVERY row's dim, not just a sampled
-    // one — a mixed-dim corpus fails here, before anything is written
+    val (params, dim) = sq8TrainWithDim(df, vecCol, "writeSq8Index")
+    val idx = Sq8Index(s"${name}_codes", params, dim, buckets)
+    writeSq8Table(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
+    idx
+  }
+
+  /** Params + dim in ONE corpus scan (the same pass [[sq8Train]] makes);
+    * min(size) == max(size) proves EVERY row's dim, not just a sampled
+    * one — a mixed-dim corpus fails here, before anything is written.
+    * Shared by the flat ([[writeSq8Index]]) and partitioned
+    * ([[ivfSq8Build]]) index builders so the train/guard semantics can
+    * never diverge between the families.
+    */
+  private def sq8TrainWithDim(
+      df: DataFrame,
+      vecCol: String,
+      caller: String
+  ): (SQ8Params, Int) = {
     val r = df
       .filter(col(vecCol).isNotNull)
       .agg(
@@ -833,18 +841,14 @@ object Quantization {
       .head()
     require(
       !r.isNullAt(0) && !r.isNullAt(1),
-      s"writeSq8Index: column '$vecCol' has no non-null vectors"
+      s"$caller: column '$vecCol' has no non-null vectors"
     )
     require(
       r.getInt(2) == r.getInt(3),
-      s"writeSq8Index: mixed vector dims in '$vecCol' " +
+      s"$caller: mixed vector dims in '$vecCol' " +
         s"(${r.getInt(2)} .. ${r.getInt(3)})"
     )
-    val idx = Sq8Index(
-      s"${name}_codes", SQ8Params(r.getDouble(0), r.getDouble(1)),
-      r.getInt(2), buckets)
-    writeSq8Table(df, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Overwrite)
-    idx
+    (SQ8Params(r.getDouble(0), r.getDouble(1)), r.getInt(2))
   }
 
   /** Fold a delta into the index under the handle's frozen params.
@@ -866,17 +870,7 @@ object Quantization {
       idCol: String,
       idx: Sq8Index
   ): Unit = {
-    delta
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) =!= idx.dim)
-      .select(size(col(vecCol)))
-      .head(1)
-      .headOption
-      .foreach { r =>
-        throw new IllegalArgumentException(
-          s"appendToSq8Index: delta has a dim-${r.getInt(0)} vector but " +
-            s"the index dim is ${idx.dim}"
-        )
-      }
+    failOnWrongDim(delta, vecCol, idx.dim, "appendToSq8Index")
     val spark = delta.sparkSession
     val rids = ReplaySafe.ids(delta, idCol)
     val seen = ReplaySafe.seenIds(spark.table(idx.codeTable), "_vid", rids)
@@ -1071,25 +1065,7 @@ object Quantization {
       refineIters: Int = 1
   ): IvfSq8Index = {
     val nn = df.filter(col(vecCol).isNotNull)
-    val r = nn
-      .agg(
-        min(array_min(col(vecCol))).cast("double").as("mn"),
-        max(array_max(col(vecCol))).cast("double").as("mx"),
-        min(size(col(vecCol))).as("dmin"),
-        max(size(col(vecCol))).as("dmax")
-      )
-      .head()
-    require(
-      !r.isNullAt(0) && !r.isNullAt(1),
-      s"ivfSq8Build: column '$vecCol' has no non-null vectors"
-    )
-    require(
-      r.getInt(2) == r.getInt(3),
-      s"ivfSq8Build: mixed vector dims in '$vecCol' " +
-        s"(${r.getInt(2)} .. ${r.getInt(3)})"
-    )
-    val params = SQ8Params(r.getDouble(0), r.getDouble(1))
-    val dim = r.getInt(2)
+    val (params, dim) = sq8TrainWithDim(df, vecCol, "ivfSq8Build")
     val coarse = Similarity.kMeansRefine(
       nn,
       vecCol,
@@ -1098,16 +1074,9 @@ object Quantization {
     )
     writeIvfSq8Codes(nn, vecCol, idCol, coarse, params,
       path, org.apache.spark.sql.SaveMode.Overwrite)
+    Similarity.writeCentroids(df.sparkSession, coarse, s"$path/coarse")
     val spark = df.sparkSession
     import spark.implicits._
-    coarse.zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toSeq
-      .toDF("cid", "cvec")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$path/coarse")
     Seq((params.mn, params.mx, dim))
       .toDF("mn", "mx", "dim")
       .coalesce(1)
@@ -1212,14 +1181,20 @@ object Quantization {
     Similarity.failIfCompacting(spark, s"$path/codes")
     val idx = ivfSq8Read(spark, path, idCol)
     failOnWrongDim(delta, vecCol, idx.dim, "ivfSq8AppendReplaySafe")
+    // materialize the assignment ONCE: the touched-list collect, the
+    // ledger ids, and the final write all derive from it — without this
+    // each would re-run the nCentroids-way argmin and re-read the
+    // micro-batch source (the dim guard above stays a separate
+    // short-circuit pass by design: it must fail before any work)
     val assigned = Similarity
       .ivfAssign(delta.filter(col(vecCol).isNotNull), vecCol, idx.coarse)
+      .localCheckpoint(true)
     val touched = assigned
       .select(col("_centroid")).distinct().collect().map(_.getInt(0))
     val existing = spark.read
       .parquet(s"$path/codes")
       .filter(col("_centroid").isin(touched.map(Integer.valueOf): _*))
-    val rids = ReplaySafe.ids(delta, idCol)
+    val rids = ReplaySafe.ids(assigned, idCol)
     val seen = ReplaySafe.seenIds(existing, "_vid", rids)
     val fresh =
       if (ReplaySafe.noneSeen(seen)) assigned
@@ -1233,6 +1208,7 @@ object Quantization {
       .parquet(s"$path/codes")
     graft.CacheUtil.release(rids)
     graft.CacheUtil.release(seen)
+    graft.CacheUtil.release(assigned)
   }
 
   /** The [[appendToSq8Index]] every-row dim guard, shared by both
@@ -1287,6 +1263,10 @@ object Quantization {
       query.length == idx.dim,
       s"ivfSq8Search: query dim ${query.length} != index dim ${idx.dim}"
     )
+    // nProbe = 0 would make the isin() filter vacuously false and
+    // return an empty result that looks like "no matches" — fail the
+    // misuse instead (the ivfSq8SearchRefined refine >= 1 convention)
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val qCodes = SQ8Kernels.encodeLocal(query, idx.params.mn, idx.params.span)
     val probes = idx.coarse.zipWithIndex
       .map { case (cv, ci) => (Similarity.sqDistLocal(query, cv), ci) }

@@ -271,16 +271,27 @@ object Similarity {
       .mode("overwrite")
       .partitionBy("_centroid")
       .parquet(s"$path/lists")
-    val spark = index.assigned.sparkSession
+    writeCentroids(index.assigned.sparkSession, index.centroids, s"$path/centroids")
+  }
+
+  /** The centroid-sidecar writer paired with [[readCentroids]] — ONE
+    * owner for the `(cid, cvec)` layout every partitioned ANN family
+    * round-trips through ([[ivfWrite]], `ivfPqWrite`, `ivfSq8Build`).
+    */
+  private[operators] def writeCentroids(
+      spark: SparkSession,
+      centroids: Array[Array[Double]],
+      path: String
+  ): Unit = {
     import spark.implicits._
-    index.centroids.zipWithIndex
+    centroids.zipWithIndex
       .map { case (v, i) => (i, v) }
       .toSeq
       .toDF("cid", "cvec")
       .coalesce(1)
       .write
       .mode("overwrite")
-      .parquet(s"$path/centroids")
+      .parquet(path)
   }
 
   /** Fold new vectors into a WRITTEN IVF index under the FROZEN-QUANTIZER

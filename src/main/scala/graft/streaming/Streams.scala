@@ -83,6 +83,13 @@ object Streams {
     * settle windows; the watermark only moves on data, so the engine
     * runs at most finitely many trailing no-data batches and this
     * terminates. `maxWaitMs` bounds a wedged query loudly.
+    *
+    * A reading only counts as stable when NO trigger is active:
+    * `lastProgress` updates at batch COMPLETION, so without the
+    * `isTriggerActive` guard two polls could both read the previous
+    * batch's progress while a long eviction batch (big state store, GC
+    * pause) is still mid-flight — and drain would return before its
+    * output reached the sink.
     */
   def drain(
       q: StreamingQuery,
@@ -102,7 +109,7 @@ object Streams {
       val cur = Option(q.lastProgress)
         .map(p => (p.batchId, String.valueOf(p.eventTime.get("watermark"))))
         .getOrElse((-2L, ""))
-      if (cur == last) stable += 1
+      if (cur == last && !q.status.isTriggerActive) stable += 1
       else { stable = 0; last = cur }
     }
   }
