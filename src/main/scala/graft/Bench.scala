@@ -721,7 +721,13 @@ object Bench {
         envInt("SPARK_GRAFT_FLOOR_BUDGET_SEC").getOrElse(900)
       val floorStart = System.nanoTime()
       def floorElapsed: Double = (System.nanoTime() - floorStart) / 1e9
-      val floorTokens = tokens.filter(isolatedFloorQueries.contains)
+      // CHEAPEST-FIRST by this run's own in-batch readings: a budget
+      // shed then drops the fewest floors (headline order put m05 — a
+      // ~1 s row — last, and a slow-box r17 pass shed exactly it while
+      // six 6-12 s st-floors had already run)
+      val floorTokens = tokens
+        .filter(isolatedFloorQueries.contains)
+        .sortBy(q => merged.getOrElse(q, Double.MaxValue))
       floorTokens.zipWithIndex.foreach { case (q, j) =>
         if (floorElapsed > floorBudgetSec || overBudget) {
           floorSkipped = floorSkipped :+ q
