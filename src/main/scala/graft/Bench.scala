@@ -91,11 +91,11 @@ object Bench {
     "st05_stream_minhash", "st06_stream_semdedup", "st07_stream_restart",
     "st08_stream_replay", "st09_stream_sink", "st10_stream_exactly_once",
     "st11_sink_manifest", "st12_stream_join", "st13_stream_sq8",
-    "st14_stream_join_outer", "st15_stream_ivfsq8",
+    "st14_stream_join_outer", "st15_stream_ivfsq8", "st16_stream_join_full",
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
     "s14_sq8_incremental", "s15_sq8_refined", "s16_ivfsq8_search",
-    "s18_sq8_clipped_search",
+    "s18_sq8_clipped_search", "s19_ivfsq8_many",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",
@@ -129,7 +129,11 @@ object Bench {
       // s17 re-runs the s16 emitter (its own IVF-SQ8 build + probe —
       // s16 is still timed at full SF under its own key) plus the
       // audit recompute joins — the s10/s11 policy
-      "s17_ivfsq8_audit")
+      "s17_ivfsq8_audit",
+      // s20 re-runs the s19 batched emitter PLUS one single-query
+      // ivfSq8Search per sampled query id for the parity check — the
+      // same re-runs-its-base-emitter class as s17
+      "s20_ivfsq8_many_audit")
 
   private val smallSuffix = "@sf0.01"
 
@@ -710,6 +714,12 @@ object Bench {
     // via SPARK_GRAFT_SKIP_FLOOR=1.
     var floors = Map.empty[String, Double]
     var floorSkipped = Seq.empty[String]
+    // floors whose every attempt ran contended (r17 verdict ask #2):
+    // recorded in the artifact so live + skipped + contended always sums
+    // to the declared floor set — previously these queries vanished from
+    // the accounting entirely (stderr-only), indistinguishable from
+    // "never attempted" without process stderr access
+    var floorContended = Seq.empty[String]
     if (!sys.env.get("SPARK_GRAFT_SKIP_FLOOR").contains("1")) {
       // floor-pass sub-budget (r15 verdict ask #1b): the pass spawns up
       // to ~9 extra solo JVMs (~1.5-2 min each) AFTER the batch loop has
@@ -752,9 +762,11 @@ object Bench {
         (if (clean.nonEmpty) clean else Nil)
           .flatMap(_.queries.get(q)) match {
           case Nil =>
-            if (attempts.nonEmpty)
+            if (attempts.nonEmpty && clean.isEmpty) {
+              floorContended = floorContended :+ q
               System.err.println(
                 s"[bench] floor for $q stayed contended across attempts — not recorded")
+            }
           case vs =>
             floors += q -> math.min(vs.min, merged.getOrElse(q, Double.MaxValue))
         }
@@ -766,7 +778,7 @@ object Bench {
           ref, contended, contendedQueries, leaked, sfDir,
           isolation = "fresh-jvm-batches", batches = batches.size,
           batchesDone = batches.size, isolatedFloor = floors,
-          floorSkipped = floorSkipped)
+          floorSkipped = floorSkipped, floorContended = floorContended)
         java.nio.file.Files.write(
           java.nio.file.Paths.get(
             sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
@@ -778,7 +790,7 @@ object Bench {
           ref, contended, contendedQueries, leaked, sfDir,
           isolation = "fresh-jvm-batches", batches = batches.size,
           batchesDone = batches.size, isolatedFloor = floors,
-          floorSkipped = floorSkipped))
+          floorSkipped = floorSkipped, floorContended = floorContended))
         Console.out.flush()
         }
       }
@@ -789,7 +801,7 @@ object Bench {
       ref, contended, contendedQueries, leaked, sfDir,
       isolation = "fresh-jvm-batches", batches = batches.size,
       batchesDone = batches.size, isolatedFloor = floors,
-      floorSkipped = floorSkipped)
+      floorSkipped = floorSkipped, floorContended = floorContended)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
@@ -803,7 +815,7 @@ object Bench {
       ref, contended, contendedQueries, leaked, sfDir,
       isolation = "fresh-jvm-batches", batches = batches.size,
       batchesDone = batches.size, isolatedFloor = floors,
-      floorSkipped = floorSkipped))
+      floorSkipped = floorSkipped, floorContended = floorContended))
     Console.out.flush()
   }
 
@@ -861,7 +873,8 @@ object Bench {
       batches: Int,
       batchesDone: Int,
       isolatedFloor: Map[String, Double],
-      floorSkipped: Seq[String]
+      floorSkipped: Seq[String],
+      floorContended: Seq[String] = Nil
   ): String = {
     val maxLen = 1800 // 2000-char tail minus sbt prefix + trailer lines
     val (smallRes, mainRes) = results.partition(_._1.endsWith(smallSuffix))
@@ -874,7 +887,7 @@ object Bench {
       .mkString("{", ",", "}")
     def build(k: Int): String = {
       val kept = byCost.take(k)
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","compact":true,"queries":${qmap(kept)},"queries_timed":${results.size},"queries_omitted":${results.size - kept.size},"per_query_artifact":"bench_out.json","failed":${arr(failed)},"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":${arr(contendedQueries)},"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$batchesDone,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":${qmap(isolatedFloor.toSeq.sortBy(_._1))},"floor_skipped":${arr(floorSkipped)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","compact":true,"queries":${qmap(kept)},"queries_timed":${results.size},"queries_omitted":${results.size - kept.size},"per_query_artifact":"bench_out.json","failed":${arr(failed)},"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":${arr(contendedQueries)},"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$batchesDone,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":${qmap(isolatedFloor.toSeq.sortBy(_._1))},"floor_skipped":${arr(floorSkipped)},"floor_contended":${arr(floorContended)}}"""
     }
     var k = math.min(results.size, 30)
     var line = build(k)
@@ -900,7 +913,8 @@ object Bench {
       batches: Int,
       batchesDone: Int = -1,
       isolatedFloor: Map[String, Double] = Map.empty,
-      floorSkipped: Seq[String] = Nil
+      floorSkipped: Seq[String] = Nil,
+      floorContended: Seq[String] = Nil
   ): String = {
     // single-jvm callers pass no batchesDone — their one batch is done
     val doneN = if (batchesDone < 0) batches else batchesDone
@@ -918,6 +932,8 @@ object Bench {
       .mkString("{", ",", "}")
     val floorSkippedJson =
       floorSkipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":$floorJson,"floor_skipped":$floorSkippedJson}"""
+    val floorContendedJson =
+      floorContended.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calib_sec":$calibSec%.3f,"calib_ref":$calibRefSec%.3f,"contended":$contended,"contended_queries":$contendedJson,"leaked_rdds":$leakedBlocks,"sf":"$sfDir","isolation":"$isolation","batches":$batches,"batches_done":$doneN,"small_fixture_sec":$smallTotal%.3f,"isolated_floor":$floorJson,"floor_skipped":$floorSkippedJson,"floor_contended":$floorContendedJson}"""
   }
 }

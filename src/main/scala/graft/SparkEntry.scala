@@ -119,6 +119,35 @@ object SparkEntry {
        |  WHERE e.vec_id != 0)
        |ORDER BY sdc, vec_id LIMIT $k""".stripMargin
 
+  /** BATCHED SQ8 top-k oracle (s19): per-query integer SDC ranking for
+    * EVERY query row selected by `querySelector`, replayed in closed
+    * form — sound because the Spark side probes at nProbe = ALL lists,
+    * where the candidate pool is the whole corpus and the ranking equals
+    * the flat full scan regardless of the (seed-dependent) coarse
+    * centroids; the emitted scores are int64-exact like every SQ8 row.
+    * Reuses [[sq8EncCtes]]'s train/encode chain (its single-query `q`
+    * CTE rides along unused).
+    */
+  private def sq8ManyOracle(
+      trainSql: String,
+      querySelector: String,
+      k: Int
+  ): String =
+    s"""${sq8EncCtes(trainSql)},
+       |qs AS (SELECT vec_id AS qid, code AS qcode FROM enc WHERE $querySelector),
+       |scored AS (
+       |  SELECT qs.qid, e.vec_id,
+       |         list_sum(list_transform(range(1, len(e.code) + 1),
+       |           i -> (e.code[i] - qs.qcode[i]) * (e.code[i] - qs.qcode[i]))) AS sdc
+       |  FROM enc e, qs
+       |  WHERE e.vec_id != qs.qid)
+       |SELECT qid AS query_id, vec_id AS neighbor_id,
+       |       CAST(rn AS INT) AS rank, CAST(sdc AS BIGINT) AS sdc_l2
+       |FROM (SELECT qid, vec_id, sdc,
+       |             row_number() OVER (PARTITION BY qid ORDER BY sdc, vec_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $k""".stripMargin
+
   /** Expected all-zero row of [[operators.Quantization.adcTopKAudit]]
     * (the quantized-ranker audit column set — s10/s11).
     */
@@ -3288,6 +3317,12 @@ object SparkEntry {
           key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
           window = "1 hour", watermark = "2 hours", joinType = "left_outer")
         val name = s"st14_out_${streamOutSeq.incrementAndGet()}"
+        // drain below blocks on the PROGRESS EVENT carrying the advanced
+        // watermark, and Spark throttles no-data-batch progress to one
+        // per 10 s by default — the eviction batch itself runs in
+        // milliseconds; without this the row pays a ~10-20 s wait for a
+        // reporting artifact (captured at query START, so set it here)
+        s.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250")
         val q = joined
           .select(col("err_id"), col("click_id"))
           .writeStream
@@ -3295,7 +3330,12 @@ object SparkEntry {
           .queryName(name)
           .outputMode("append")
           .start()
-        try streaming.Streams.drain(q)
+        // sentinel-implied watermark: the +6h sentinels drive the global
+        // watermark to maxTs+4h; every real row's eviction needs only
+        // > maxTs — drain to maxTs+2h so reading-stability alone can
+        // never return before the eviction batch ran (ADVICE r17)
+        try streaming.Streams.drain(q, untilWatermark =
+          Some(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
         finally q.stop()
         // post-sink: the sentinel error never emits (the watermark never
         // passes it) — the filter is defense, and on the BATCH table it
@@ -3308,6 +3348,88 @@ object SparkEntry {
              |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
              |      FROM events WHERE event_type = 'error') l
              |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'click') r
+             |  ON l.user_id = r.user_id
+             | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
+    ),
+    // FULL-OUTER stream-stream interval join — the remaining shape of
+    // the matrix (st12 inner, st14 left-outer): every error AND every
+    // click, matched where possible — the funnel-analysis query that
+    // otherwise double-runs left+right. New mechanics over st14: null
+    // emissions now fire on BOTH sides at their own eviction points —
+    // an unmatched LEFT (error) row evicts once the watermark passes
+    // its own ts, but an unmatched RIGHT (click) row at time T can be
+    // matched by errors up to T + 1h, so its eviction needs watermark
+    // > T + 1h; the +6h sentinels (one per side, on users the fixture
+    // never has, never matching each other) push the global watermark
+    // to maxTs+4h — past BOTH eviction frontiers. Same two measured
+    // traps as st14 (sentinel filter post-sink because predicate
+    // pushdown reaches the scan through the watermark node; the
+    // eviction lands in a trailing no-data batch awaited by
+    // [[streaming.Streams.drain]], here with the sentinel-implied
+    // watermark threshold). The post-sink filter must keep NULL ids —
+    // in a full join a null err_id IS an unmatched click, the row the
+    // shape exists to emit. FULL oracle: the batch FULL JOIN — a lost
+    // null row on either side, a double emission, or a sentinel leak
+    // all break the hash.
+    Q(
+      "st16_stream_join_full",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val srcDir = s"/root/repo/target/tmp/st16_src_${d.replaceAll("[^0-9.]", "")}"
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        import s.implicits._
+        val sentinels = Seq(
+          (-1L, new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000),
+            -1L, "error"),
+          (-2L, new java.sql.Timestamp(maxTs.getTime + 6L * 3600 * 1000 + 60000L),
+            -2L, "click"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+        val schema = streaming.Streams
+          .writeTsOrderedChunks(ev, "ts", srcDir, n = 3, finalChunks = Seq(sentinels))
+        val raw = s.readStream
+          .schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val joined = streaming.Streams.intervalJoin(
+          left = raw.filter(col("event_type") === "error")
+            .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+          right = raw.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+          key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+          window = "1 hour", watermark = "2 hours", joinType = "full_outer")
+        val name = s"st16_out_${streamOutSeq.incrementAndGet()}"
+        // see st14: the eviction batch is fast, its progress EVENT is
+        // throttled to 10 s by default — don't pay that wait in drain
+        s.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250")
+        val q = joined
+          .select(col("err_id"), col("click_id"))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode("append")
+          .start()
+        // unmatched-click eviction needs watermark > click_ts + 1h; all
+        // real clicks are <= maxTs, so maxTs+2h proves both frontiers
+        try streaming.Streams.drain(q, untilWatermark =
+          Some(new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)))
+        finally q.stop()
+        // post-sink sentinel filter (the watermark never passes the +6h
+        // sentinels, so they must not emit — defense): null-SAFE on both
+        // ids, because a full join's unmatched rows carry a NULL id on
+        // the other side and ARE the payload
+        val out = s.table(name)
+          .filter(coalesce(col("err_id"), lit(0L)) >= 0 &&
+            coalesce(col("click_id"), lit(0L)) >= 0)
+          .localCheckpoint(true)
+        s.catalog.dropTempView(name)
+        out
+      },
+      Some("""SELECT l.event_id AS err_id, r.event_id AS click_id
+             |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
+             |      FROM events WHERE event_type = 'error') l
+             |FULL JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts
              |      FROM events WHERE event_type = 'click') r
              |  ON l.user_id = r.user_id
              | AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts""".stripMargin)
@@ -4245,6 +4367,83 @@ object SparkEntry {
       Some(adcAuditOracle +
         ", CAST(0 AS BIGINT) AS echo_missed" +
         ", CAST(0 AS BIGINT) AS pruned_rank_dominance_violations")
+    ),
+    // BATCHED ANN retrieval (the r17 verdict's #1 ask): top-k for EVERY
+    // row of a query frame in ONE join-shaped plan — every other
+    // searcher takes one driver-side vector, and a daily-delta dedup
+    // against the index at the 100 TB north star is millions of
+    // queries (a driver loop = the per-query-job bottleneck SURVEY
+    // §7.4.8 forbids). Probe lists + query codes are per-row
+    // EXPRESSIONS, candidates come from ONE broadcast equi-join on
+    // `_centroid` (dynamic partition pruning reaches the scan —
+    // plan-gated in OperatorsSpec), scoring is the two-column int64
+    // SDC kernel, per-query top-k is one WindowGroupLimit. FULL
+    // oracle via the SQ8 closed-form property: at nProbe = ALL lists
+    // the candidate pool is the whole corpus and each query's ranking
+    // equals the flat full scan (seed-dependent centroids cancel);
+    // the PRUNED shape is s20's audit + the OperatorsSpec parity/plan
+    // gates.
+    Q(
+      "s19_ivfsq8_many",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val path =
+          s"/root/repo/target/tmp/s19_idx_${d.replaceAll("[^0-9.]", "")}"
+        val idx = operators.Quantization
+          .ivfSq8Build(emb, "embedding", "vec_id", path, nCentroids = 16)
+        val queries = emb.filter(pmod(col("vec_id"), lit(29)) === 0)
+        operators.Quantization.ivfSq8SearchMany(
+          s, idx, queries, "embedding", "vec_id", k = 10, nProbe = 16)
+      },
+      Some(sq8ManyOracle("SELECT * FROM embeddings", "vec_id % 29 = 0", 10))
+    ),
+    // s19's PRUNED-shape audit twin (the s17/s10 policy): the batched
+    // emitter at nProbe = 4 must return, for every sampled query id,
+    // EXACTLY the rows N independent single-query [[operators
+    // .Quantization.ivfSq8Search]] calls return — same neighbor ids,
+    // same ranks, same integer scores (the single-query path's probe
+    // set and scoring are the judged r17 surface; parity pins the
+    // join-shaped composition to it). Rank sets must be proper
+    // prefixes per query. Driver-side single-query loop = the audit
+    // apparatus, bounded by the 4-id sample, never the operator.
+    Q(
+      "s20_ivfsq8_many_audit",
+      (s, d) => {
+        import s.implicits._
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val path =
+          s"/root/repo/target/tmp/s20_idx_${d.replaceAll("[^0-9.]", "")}"
+        val idx = operators.Quantization
+          .ivfSq8Build(emb, "embedding", "vec_id", path, nCentroids = 16)
+        val qids = Seq(0L, 29L, 58L, 87L)
+        val queries = emb
+          .filter(col("vec_id").isin(qids.map(java.lang.Long.valueOf): _*))
+        val batched = operators.Quantization
+          .ivfSq8SearchMany(s, idx, queries, "embedding", "vec_id",
+            k = 5, nProbe = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+          .toSet
+        val single = qids.flatMap { qid =>
+          val qv = emb.filter(col("vec_id") === qid)
+            .select(col("embedding").cast("array<double>"))
+            .head.getSeq[Double](0).toArray
+          operators.Quantization
+            .ivfSq8Search(s, idx, qv, k = 5, nProbe = 4, excludeId = Some(qid))
+            .collect()
+            .map(r => (qid, r.getLong(0), r.getInt(1), r.getLong(2)))
+        }.toSet
+        val mismatched =
+          ((batched diff single) union (single diff batched)).size.toLong
+        val badRankSets = batched.groupBy(_._1).count { case (_, rows) =>
+          rows.map(_._3).toSeq.sorted != (1 to rows.size).toSeq
+        }.toLong
+        Seq((if (qids.nonEmpty) 1L else 0L, mismatched, badRankSets))
+          .toDF("has_queries", "mismatched_rows", "bad_rank_sets")
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS has_queries, " +
+        "CAST(0 AS BIGINT) AS mismatched_rows, " +
+        "CAST(0 AS BIGINT) AS bad_rank_sets")
     ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection

@@ -686,18 +686,43 @@ object Quantization {
     val els = df
       .filter(col(vecCol).isNotNull)
       .select(explode(col(vecCol).cast("array<double>")).as("_x"))
-    val n = els.count()
+    // element count AND null-element count in the same pass: element-level
+    // NULLs sort NULLS-FIRST in Spark but NULLS-LAST in the DuckDB
+    // oracle's row_number, so ANY null silently rank-shifts the selected
+    // bounds — with fewer nulls than floor(lo·(n−1)) the old rank-landing
+    // require never fired and the pipeline only failed later, at encode
+    // time, with no hint the TRAIN was already wrong (r17 verdict,
+    // "what's wrong" #3). Fail here, at the real cause.
+    val cnt = els.agg(
+      count(lit(1)).as("n"),
+      count(col("_x")).as("nn")
+    ).head()
+    val n = cnt.getLong(0)
+    val nullEls = n - cnt.getLong(1)
     require(n > 0, s"sq8TrainClipped: column '$vecCol' has no non-null vectors")
+    require(nullEls == 0L,
+      s"sq8TrainClipped: '$vecCol' has $nullEls NULL element(s) — null " +
+        "elements carry no geometry, rank-shift the clip bounds, and are " +
+        "out of the SQ8 contract (sq8_encode fails fast on them too)")
     val rLo = math.floor(lo * (n - 1)).toLong
     val rHi = math.ceil(hi * (n - 1)).toLong
     def at(sorted: DataFrame, offset: Long): Double = {
       require(offset <= Int.MaxValue,
         s"sq8TrainClipped: clip rank $offset exceeds the driver-side " +
           "offset limit — train on a sample at this scale")
+      // each rank pass buffers `offset` elements in per-partition heaps
+      // (orderBy + offset + limit plans as TakeOrdered): warn the caller
+      // LOUDLY before the heaps quietly approach a full-sort cost — at
+      // the default lo=0.001 this fires around a 100-billion-element
+      // corpus, well before the hard Int.MaxValue stop above
+      if (offset > 100000000L)
+        System.err.println(
+          s"[sq8TrainClipped] WARN clip rank $offset buffers that many " +
+            "elements in per-partition heaps per pass — train on a " +
+            "sample at this scale (same contract, bounded cost)")
       val row = sorted.offset(offset.toInt).limit(1).head
-      // element-level NULLs are out of contract (sq8_encode fails fast on
-      // them) — but they sort NULLS-FIRST here and getDouble would read
-      // 0.0 silently, so fail at train time with the real cause
+      // defense in depth: the agg above already rejected null elements,
+      // but a selected-rank NULL would silently read 0.0 via getDouble
       require(!row.isNullAt(0),
         s"sq8TrainClipped: '$vecCol' has NULL elements — null elements " +
           "carry no geometry and are out of the SQ8 contract")
@@ -872,14 +897,20 @@ object Quantization {
   ): Unit = {
     failOnWrongDim(delta, vecCol, idx.dim, "appendToSq8Index")
     val spark = delta.sparkSession
+    // same finally discipline as [[ivfSq8AppendReplaySafe]]: a failed
+    // ledger read or append must not leak the checkpointed id frames
     val rids = ReplaySafe.ids(delta, idCol)
-    val seen = ReplaySafe.seenIds(spark.table(idx.codeTable), "_vid", rids)
-    val fresh =
-      if (ReplaySafe.noneSeen(seen)) delta
-      else ReplaySafe.dropSeen(delta, idCol, seen)
-    writeSq8Table(fresh, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
-    graft.CacheUtil.release(rids)
-    graft.CacheUtil.release(seen)
+    var seen: DataFrame = null
+    try {
+      seen = ReplaySafe.seenIds(spark.table(idx.codeTable), "_vid", rids)
+      val fresh =
+        if (ReplaySafe.noneSeen(seen)) delta
+        else ReplaySafe.dropSeen(delta, idCol, seen)
+      writeSq8Table(fresh, vecCol, idCol, idx, org.apache.spark.sql.SaveMode.Append)
+    } finally {
+      graft.CacheUtil.release(rids)
+      if (seen != null) graft.CacheUtil.release(seen)
+    }
   }
 
   /** Two-stage SQ8 search (the IVFADC+R refinement idea, Jégou et al.
@@ -1189,26 +1220,34 @@ object Quantization {
     val assigned = Similarity
       .ivfAssign(delta.filter(col(vecCol).isNotNull), vecCol, idx.coarse)
       .localCheckpoint(true)
-    val touched = assigned
-      .select(col("_centroid")).distinct().collect().map(_.getInt(0))
-    val existing = spark.read
-      .parquet(s"$path/codes")
-      .filter(col("_centroid").isin(touched.map(Integer.valueOf): _*))
-    val rids = ReplaySafe.ids(assigned, idCol)
-    val seen = ReplaySafe.seenIds(existing, "_vid", rids)
-    val fresh =
-      if (ReplaySafe.noneSeen(seen)) assigned
-      else ReplaySafe.dropSeen(assigned, idCol, seen)
-    fresh
-      .withColumn("_code", sq8EncodeExpr(col(vecCol), idx.params))
-      .select(col(idCol).as("_vid"), col("_centroid"), col("_code"))
-      .write
-      .mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("_centroid")
-      .parquet(s"$path/codes")
-    graft.CacheUtil.release(rids)
-    graft.CacheUtil.release(seen)
-    graft.CacheUtil.release(assigned)
+    // release in a finally: an exception in the ledger read or the append
+    // write must not leak the checkpointed blocks for the life of the JVM
+    // (this runs once per micro-batch in long-lived stream/bench JVMs)
+    var rids: DataFrame = null
+    var seen: DataFrame = null
+    try {
+      val touched = assigned
+        .select(col("_centroid")).distinct().collect().map(_.getInt(0))
+      val existing = spark.read
+        .parquet(s"$path/codes")
+        .filter(col("_centroid").isin(touched.map(Integer.valueOf): _*))
+      rids = ReplaySafe.ids(assigned, idCol)
+      seen = ReplaySafe.seenIds(existing, "_vid", rids)
+      val fresh =
+        if (ReplaySafe.noneSeen(seen)) assigned
+        else ReplaySafe.dropSeen(assigned, idCol, seen)
+      fresh
+        .withColumn("_code", sq8EncodeExpr(col(vecCol), idx.params))
+        .select(col(idCol).as("_vid"), col("_centroid"), col("_code"))
+        .write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .partitionBy("_centroid")
+        .parquet(s"$path/codes")
+    } finally {
+      if (rids != null) graft.CacheUtil.release(rids)
+      if (seen != null) graft.CacheUtil.release(seen)
+      graft.CacheUtil.release(assigned)
+    }
   }
 
   /** The [[appendToSq8Index]] every-row dim guard, shared by both
@@ -1309,6 +1348,89 @@ object Quantization {
       ivfSq8Search(vectors.sparkSession, idx, query, k * refine, nProbe, excludeId)
         .select(col("neighbor_id"))
     exactRerank(vectors, vecCol, idCol, cands, query, k)
+  }
+
+  /** BATCHED pruned retrieval — top-k for EVERY row of a query DataFrame
+    * in ONE plan (the dominant production shape: dedup a daily delta
+    * against the corpus index, hard-negative mining, semantic lookup for
+    * N documents at once). Every other searcher in the stack takes one
+    * driver-side query; a driver loop over millions of query rows is the
+    * per-query-job bottleneck SURVEY §7.4.8 forbids. This is the
+    * join-shaped composition instead:
+    *
+    *  1. each query row gets its `nProbe` nearest list ids via
+    *     [[Similarity.ivfProbes]] and its own SQ8 codes via the encode
+    *     EXPRESSION — both pure per-row columns, no driver work;
+    *  2. the exploded `(query_id, _centroid, _qcode)` probe table —
+    *     nProbe rows per query, codes not vectors — is BROADCAST and
+    *     equi-joined to the partitioned code table on `_centroid`: the
+    *     corpus side never shuffles, and Catalyst's dynamic partition
+    *     pruning turns the broadcast into a `_centroid IN (...)`
+    *     partition filter on the scan (plan-gated), so lists no query
+    *     probes never leave disk — the same pruning [[ivfSq8Search]]
+    *     gets from its driver-side isin, derived at runtime instead;
+    *  3. scoring is the two-column integer SDC kernel ([[SQ8SdcCols]] —
+    *     the corpus code against THAT ROW's joined query code; emitted
+    *     scores stay integer-exact like every SQ8 emitter);
+    *  4. per-query top-k is a rank-limited window on `(query_id)` — the
+    *     d-family cap shape Spark plans as WindowGroupLimit, so each map
+    *     task keeps only k rows per query before the single exchange.
+    *
+    * At nProbe = nCentroids the candidate pool is the whole corpus and
+    * each query's ranking equals the flat full scan — closed-form
+    * cross-engine (the s19 FULL oracle); pruned probes are
+    * seed-dependent in SET but each emitted score stays exact, and the
+    * s20 audit twin checks per-query parity against N single-query
+    * [[ivfSq8Search]] calls.
+    *
+    * `excludeSelf` drops `neighbor_id == query_id` matches — the
+    * queries-drawn-from-the-corpus shape; external query ids never
+    * collide and the filter is free. Broadcast contract: the probe side
+    * is `|queries| × nProbe` rows of codes (bytes per row, not floats) —
+    * at a million-query delta, chunk the query frame or lift the
+    * broadcast hint; the plan shape survives either way.
+    */
+  def ivfSq8SearchMany(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: IvfSq8Index,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(k >= 1, s"k must be >= 1, got $k")
+    failOnWrongDim(queries, qVecCol, idx.dim, "ivfSq8SearchMany")
+    val probes = Similarity
+      .ivfProbes(queries.filter(col(qVecCol).isNotNull), qVecCol, idx.coarse, nProbe)
+      .withColumn("_qcode", sq8EncodeExpr(col(qVecCol), idx.params))
+      .select(
+        col(qIdCol).as("query_id"),
+        explode(col("_probes")).as("_centroid"),
+        col("_qcode"))
+    val codes = spark.read.parquet(s"${idx.path}/codes")
+    val scored = codes
+      // the write path excludes NULL vectors; defend the rank chain anyway
+      .filter(col("_code").isNotNull)
+      .join(broadcast(probes), Seq("_centroid"))
+      .filter(if (excludeSelf) col("_vid") =!= col("query_id") else lit(true))
+      .withColumn(
+        "_sdc",
+        Shim.toColumn(SQ8SdcCols(
+          Shim.toExpression(col("_code")), Shim.toExpression(col("_qcode")))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_sdc").asc, col("_vid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("_vid").as("neighbor_id"),
+        col("rank"),
+        col("_sdc").as("sdc_l2"))
   }
 
   /** Fetch the query vector by id, naming the id/column in the error when
@@ -1547,6 +1669,28 @@ object SQ8Kernels {
     }
     s
   }
+
+  /** [[sdc]]'s two-COLUMN twin — the batched-retrieval kernel: both sides
+    * are per-row code arrays (corpus code vs that row's joined query
+    * code), so no driver-side query literal exists. Identical arithmetic
+    * (int64 Σ(aᵢ−bᵢ)²), identical fail-fast length policy.
+    */
+  def sdcCols(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"sq8_sdc_cols requires equal code lengths, got " +
+          s"$n and ${b.numElements()}"
+      )
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = (a.getInt(i) - b.getInt(i)).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
   case class SQ8Encode(child: Expression, mn: Double, span: Double)
@@ -1629,4 +1773,45 @@ object SQ8Kernels {
 
     override protected def withNewChildInternal(newChild: Expression): SQ8Sdc =
       copy(child = newChild)
+  }
+
+  /** [[SQ8Sdc]]'s binary form for the batched probe: integer SDC between
+    * TWO code columns (corpus code × the joined query code). Same
+    * analysis-time type policy — a mistyped side must fail analysis, not
+    * read wrong 4-byte slots from unsafe rows.
+    */
+  case class SQ8SdcCols(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sq8_sdc_cols"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"sq8_sdc_cols requires two array<int> code columns, got " +
+              s"${l.catalogString} and ${r.catalogString}")
+      }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SQ8Kernels.sdcCols(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(
+        ctx: CodegenContext,
+        ev: ExprCode
+    ): ExprCode =
+      defineCodeGen(
+        ctx,
+        ev,
+        (a, b) => s"graft.operators.SQ8Kernels.sdcCols($a, $b)"
+      )
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression,
+        newRight: Expression
+    ): SQ8SdcCols = copy(left = newLeft, right = newRight)
   }

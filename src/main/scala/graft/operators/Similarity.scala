@@ -152,16 +152,16 @@ object Similarity {
     s
   }
 
-  /** Assign every row to its nearest centroid (index into `centroids`).
-    * Pure per-row column argmin over literal centroid vectors — no
-    * shuffle, no job.
+  /** The distance-sorted `(dist, cid)` struct array behind [[ivfAssign]]
+    * and [[ivfProbes]]: per-row distances to every literal centroid,
+    * sorted ascending by (dist, cid) — the same tie order the
+    * driver-side probe ranking uses ([[sqDistLocal]] + sortBy).
     */
-  def ivfAssign(
-      df: DataFrame,
+  private def centroidRanking(
       vecCol: String,
       centroids: Array[Array[Double]]
-  ): DataFrame = {
-    val scored = array_sort(
+  ): Column =
+    array_sort(
       array(centroids.zipWithIndex.map { case (cv, ci) =>
         struct(
           VectorFunctions
@@ -171,7 +171,38 @@ object Similarity {
         )
       }: _*)
     )
-    df.withColumn("_centroid", scored.getItem(0).getField("cid"))
+
+  /** Assign every row to its nearest centroid (index into `centroids`).
+    * Pure per-row column argmin over literal centroid vectors — no
+    * shuffle, no job.
+    */
+  def ivfAssign(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]]
+  ): DataFrame =
+    df.withColumn(
+      "_centroid", centroidRanking(vecCol, centroids).getItem(0).getField("cid"))
+
+  /** [[ivfAssign]] generalized to the PROBE side of batched retrieval:
+    * every row gets its `nProbe` nearest list ids as `_probes`
+    * (array<int>, ascending by distance then cid — the exact set and
+    * order the single-query probes pick driver-side). Still a pure
+    * per-row expression: no shuffle, no job, no driver loop — the
+    * composition that lets N queries probe in ONE plan.
+    */
+  def ivfProbes(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      nProbe: Int
+  ): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    df.withColumn(
+      "_probes",
+      transform(
+        slice(centroidRanking(vecCol, centroids), 1, nProbe),
+        s => s.getField("cid")))
   }
 
   /** Initial coarse centroids: an evenly-strided sample of the vectors

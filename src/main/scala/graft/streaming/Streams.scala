@@ -90,26 +90,45 @@ object Streams {
     * batch's progress while a long eviction batch (big state store, GC
     * pause) is still mid-flight — and drain would return before its
     * output reached the sink.
+    *
+    * `untilWatermark`: reading-stability alone can return EARLY — Spark
+    * throttles progress updates for no-data batches
+    * (spark.sql.streaming.noDataProgressEventInterval, default 10 s), so
+    * under load the trailing eviction batch may not have STARTED when two
+    * quiet settle windows elapse. A caller that knows the watermark its
+    * sentinels imply (st14/st16: sentinel ts − watermark delay) passes it
+    * here, and stability only counts once the reported watermark has
+    * reached it — the eviction batch that advances the watermark past the
+    * threshold must then have committed (progress surfaces within the
+    * no-data reporting interval, well inside `maxWaitMs`). Callers with
+    * no sentinel-implied threshold keep the stability-only behavior.
     */
   def drain(
       q: StreamingQuery,
       settleMs: Long = 250L,
-      maxWaitMs: Long = 60000L
+      maxWaitMs: Long = 60000L,
+      untilWatermark: Option[java.sql.Timestamp] = None
   ): Unit = {
     q.processAllAvailable()
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     var last: (Long, String) = (-1L, "")
     var stable = 0
+    def wmReached(wm: String): Boolean = untilWatermark.forall { t =>
+      try java.time.Instant.parse(wm).toEpochMilli >= t.getTime
+      catch { case _: RuntimeException => false } // "null"/absent/unparsed
+    }
     while (stable < 2) {
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(
-          s"drain: query did not settle within ${maxWaitMs} ms (at $last)")
+          s"drain: query did not settle within ${maxWaitMs} ms (at $last" +
+            untilWatermark.fold("")(t => s", awaiting watermark >= $t") + ")")
       Thread.sleep(settleMs)
       q.processAllAvailable()
       val cur = Option(q.lastProgress)
         .map(p => (p.batchId, String.valueOf(p.eventTime.get("watermark"))))
         .getOrElse((-2L, ""))
-      if (cur == last && !q.status.isTriggerActive) stable += 1
+      if (cur == last && !q.status.isTriggerActive && wmReached(cur._2))
+        stable += 1
       else { stable = 0; last = cur }
     }
   }

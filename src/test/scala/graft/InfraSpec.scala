@@ -50,13 +50,16 @@ class InfraSpec extends AnyFunSuite {
       contendedQueries = Seq("q998_contended"), leakedBlocks = 0,
       sfDir = "/root/testdata/sf0.1", isolation = "fresh-jvm-batches",
       batches = 36, batchesDone = 36, isolatedFloor = floors,
-      floorSkipped = Seq("st09_stream_sink"))
+      floorSkipped = Seq("st09_stream_sink"),
+      floorContended = Seq("d13_incremental_lsh"))
     assert(line.length <= 1800, s"compact line is ${line.length} chars")
     assert(!line.contains("\n"))
     // shape: the driver needs metric/value/queries and the floor keys
     assert(line.contains("\"metric\":\"total\""))
     assert(line.contains("\"isolated_floor\":{"))
     assert(line.contains("\"floor_skipped\":[\"st09_stream_sink\"]"))
+    // r17 verdict ask #2: contended floors must be accounted, not vanish
+    assert(line.contains("\"floor_contended\":[\"d13_incremental_lsh\"]"))
     assert(line.contains("\"queries_omitted\":"))
     // the kept queries are the most expensive ones
     assert(line.contains("q140_some_long_query_name"))

@@ -3976,6 +3976,82 @@ class OperatorsSpec extends AnyFunSuite {
         + shifted.count())
   }
 
+  test("ivfSq8SearchMany: batched == N single probes; one broadcast join + WindowGroupLimit + DPP; jobs don't scale with queries (s19/s20 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val path = "/root/repo/target/tmp/ivfsq8_many_gate"
+    val idx = Quantization.ivfSq8Build(
+      emb, "embedding", "vec_id", path, nCentroids = 8)
+    val qids = Seq(0L, 3L, 7L, 11L, 200L)
+    val queries = emb.filter($"vec_id".isin(qids.map(java.lang.Long.valueOf): _*))
+    def batchedRows(nProbe: Int) = Quantization
+      .ivfSq8SearchMany(spark, idx, queries, "embedding", "vec_id",
+        k = 5, nProbe = nProbe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    def singleRows(nProbe: Int) = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0).toArray
+      Quantization
+        .ivfSq8Search(spark, idx, qv, k = 5, nProbe = nProbe, excludeId = Some(qid))
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getInt(1), r.getAs[Long]("sdc_l2")))
+    }.toSet
+    // PRUNED parity: the join-shaped composition must reproduce the
+    // single-query probe path exactly — ids, ranks, integer scores
+    assert(batchedRows(2) === singleRows(2))
+    // nProbe=all parity == the flat full scan per query (the s19 FULL-
+    // oracle argument: seed-dependent centroids cancel at full coverage)
+    assert(batchedRows(8) === singleRows(8))
+    // plan shape: ONE broadcast equi-join (corpus never shuffles), ONE
+    // hash exchange (the per-query window), map-side partial top-k
+    // (WindowGroupLimit), and dynamic partition pruning reaching the
+    // codes scan — lists no query probes never leave disk
+    val df = Quantization.ivfSq8SearchMany(
+      spark, idx, queries, "embedding", "vec_id", k = 5, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(3000))
+    assert(plan.contains("dynamicpruningexpression"),
+      s"codes scan not dynamically partition-pruned:\n${plan.take(3000)}")
+    assert(plan.contains("sq8_sdc_cols"), plan.take(3000))
+    // job accounting: ~100 queries must run a CONSTANT number of Spark
+    // jobs (dim guard + broadcast + DPP subquery + the one action), not
+    // one per query — the driver-loop bottleneck this operator removes
+    val manyQueries = emb.filter($"vec_id" % 5 === 0) // 100 at sf0.001
+    val nq = manyQueries.count()
+    assert(nq >= 50, s"fixture too small for the job gate: $nq")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = Quantization.ivfSq8SearchMany(
+        spark, idx, manyQueries, "embedding", "vec_id", k = 5, nProbe = 2)
+        .count()
+      assert(n > 0)
+      // listener events post asynchronously; a short settle is enough at
+      // fixture scale (the bound below has 3× headroom regardless)
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 15,
+      s"batched search ran ${jobs.get()} jobs for $nq queries — per-query work?")
+    // a wrong-dim query frame fails before any scan
+    val bad = Seq(Vec(77777L, Array(1f, 2f))).toDS.toDF
+    val e = intercept[IllegalArgumentException] {
+      Quantization.ivfSq8SearchMany(
+        spark, idx, bad, "embedding", "vec_id", k = 5, nProbe = 2)
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+
   test("sq8TrainClipped: lo=0/hi=1 degenerates to sq8Train; a planted outlier collapses unclipped recall but not clipped (s18 gate)") {
     val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
     // rank 0 / rank n-1 ARE the min and max — the closed-form sanity
@@ -4016,6 +4092,31 @@ class OperatorsSpec extends AnyFunSuite {
     // s13 recall; unclipped collapses (measured — codes span ~2 cells)
     assert(rc >= 0.6, s"clipped recall $rc below floor")
     assert(ru <= rc, s"unclipped $ru should not beat clipped $rc")
+  }
+
+  test("sq8TrainClipped fails at TRAIN time on a planted NULL element, even off the selected ranks") {
+    // element-level NULLs sort NULLS-FIRST in Spark but NULLS-LAST in the
+    // DuckDB oracle's row_number — with fewer nulls than floor(lo·(n−1))
+    // the old rank-landing require never fired and train silently
+    // returned rank-shifted params; the failure then surfaced later, at
+    // encode time, with no hint the train was wrong. One null element in
+    // one vector (far below any selected rank at lo=0.25) must fail HERE.
+    val rows = (0L until 8L)
+      .map(i => Vec(i, Array.tabulate(8)(j => (i * 8 + j).toFloat)))
+    val withNull = rows.toDF("vec_id", "embedding")
+      .withColumn(
+        "embedding",
+        when(col("vec_id") === 3L,
+          expr("concat(slice(embedding, 1, 4), array(CAST(NULL AS FLOAT)), slice(embedding, 6, 3))"))
+          .otherwise(col("embedding")))
+    val e = intercept[IllegalArgumentException] {
+      Quantization.sq8TrainClipped(withNull, "embedding", lo = 0.25, hi = 0.75)
+    }
+    assert(e.getMessage.contains("NULL element"), e.getMessage)
+    // the clean frame trains fine under the same clip
+    val p = Quantization.sq8TrainClipped(
+      rows.toDF("vec_id", "embedding"), "embedding", lo = 0.25, hi = 0.75)
+    assert(p.span > 0.0)
   }
 
   test("null embeddings never rank in the ascending-distance searchers") {

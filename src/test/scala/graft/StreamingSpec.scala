@@ -199,6 +199,69 @@ class StreamingSpec extends AnyFunSuite {
       s"left-outer stream join diverged from the batch expectation: ${got.toSeq}")
   }
 
+  test("full-outer interval join emits unmatched rows on BOTH sides exactly once (st16 twin)") {
+    def th(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // the st14 fixture, read under FULL outer: the two matched pairs and
+    // the two unmatched errors carry over; NEW are the unmatched CLICKS —
+    // click 1 (user 3 at 00:00: user 3's only error is at 02:30, whose
+    // window [01:30, 02:30] starts after it) and click 8 (user 4 at
+    // 02:10: user 4's error is at 02:00, a click must PRECEDE its error).
+    // A right row at time T is only provably unmatched once the watermark
+    // passes T + 1h (a future error at up to T + 1h could still reach
+    // back), so the right-side eviction frontier is LATER than the left's
+    // — the mechanic st14 never exercises. Sentinels at 06:30/06:31 push
+    // the global watermark to 04:30 > 02:10 + 1h.
+    val rows = Seq(
+      (1L, th("00:00"), 3L, "click"),
+      (2L, th("00:10"), 1L, "click"),
+      (3L, th("00:20"), 5L, "view"),
+      (4L, th("01:00"), 1L, "error"),
+      (5L, th("01:10"), 2L, "click"),
+      (6L, th("01:15"), 2L, "error"),
+      (7L, th("02:00"), 4L, "error"),
+      (8L, th("02:10"), 4L, "click"),
+      (9L, th("02:30"), 3L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val sentinels = Seq(
+      (-1L, th("06:30"), -1L, "error"),
+      (-2L, th("06:31"), -2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("st16_gate").toString + "/src"
+    val schema = Streams.writeTsOrderedChunks(
+      rows, "ts", dir, n = 3, finalChunks = Seq(sentinels))
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250")
+    val raw = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = Streams.intervalJoin(
+      left = raw.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+      right = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+      key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+      window = "1 hour", watermark = "2 hours", joinType = "full_outer")
+    val q = joined.select(col("err_id"), col("click_id"))
+      .writeStream.format("memory").queryName("st16_gate_out")
+      .outputMode("append").start()
+    // drain to the sentinel-implied watermark (04:30); 04:00 proves both
+    // eviction frontiers (left needs > 02:30, right needs > 03:10)
+    try Streams.drain(q, untilWatermark = Some(th("04:00")))
+    finally q.stop()
+    val rowsOut = spark.table("st16_gate_out")
+      .filter(coalesce(col("err_id"), lit(0L)) >= 0 &&
+        coalesce(col("click_id"), lit(0L)) >= 0)
+      .collect()
+    spark.catalog.dropTempView("st16_gate_out")
+    val got = rowsOut.map(r => (
+      if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.length === got.toSet.size, s"a row emitted more than once: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (Some(4L), Some(2L)), (Some(6L), Some(5L)),
+      (Some(7L), None), (Some(9L), None),
+      (None, Some(1L)), (None, Some(8L))),
+      s"full-outer stream join diverged from the batch expectation: ${got.toSeq}")
+  }
+
   test("watermark drops late rows: out-of-order micro-batches through MemoryStream (NEXT §6)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
