@@ -95,7 +95,7 @@ object Bench {
     "s01_knn_brute", "s02_ann_lsh", "s03_ivf", "s04_pq_search", "s05_ivfpq",
     "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
     "s14_sq8_incremental", "s15_sq8_refined", "s16_ivfsq8_search",
-    "s18_sq8_clipped_search", "s19_ivfsq8_many",
+    "s18_sq8_clipped_search", "s19_ivfsq8_many", "s21_ivfsq8_many_refined",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",

@@ -61,6 +61,35 @@ object ScaleFixture {
       .reduce(_.unionByName(_))
   }
 
+  /** N× events: copy k shifts event_id AND user_id by k·stride, event
+    * times untouched. Within a copy every join/session/window structure
+    * is byte-isomorphic to the original; user ids are disjoint across
+    * copies, so cross-copy join matches are ZERO and the true
+    * stream-join workload (matched pairs, unmatched-side null
+    * emissions) scales exactly linearly with the factor — while the
+    * unchanged event-time distribution keeps the watermark walk (and so
+    * the number of micro-batches and state-eviction points) identical
+    * at every factor. Join STATE grows with the factor: exactly the
+    * scaling the st12/st14/st16 smoke is meant to expose.
+    */
+  private[graft] def shiftedEvents(ev: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    (0 until factor)
+      .map { k =>
+        if (k == 0) ev
+        else
+          ev.select(
+            (col("event_id") + lit(k * Stride)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(k * Stride)).as("user_id"),
+            col("event_type"),
+            col("value"),
+            col("props")
+          )
+      }
+      .reduce(_.unionByName(_))
+  }
+
   private[graft] def signFlippedEmbeddings(emb: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     (0 until factor)
@@ -89,6 +118,10 @@ object ScaleFixture {
       .appName(s"graft-scale-fixture-${factor}x")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // events has shipped as TIMESTAMP(NANOS); read it as LONG nanos and
+      // write it back as LONG — Tables.events / Streams.eventStream
+      // dual-dispatch on the footer type, so both generations round-trip
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     try {
@@ -105,11 +138,18 @@ object ScaleFixture {
         .write
         .mode("overwrite")
         .parquet(s"$dest/embeddings.parquet")
+      shiftedEvents(spark.read.parquet(s"$src/events.parquet"), factor)
+        .repartition(32)
+        .write
+        .mode("overwrite")
+        .parquet(s"$dest/events.parquet")
       // pass the remaining tables through untouched
       val srcPath = new org.apache.hadoop.fs.Path(src)
       fs.listStatus(srcPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .filterNot(s => Set("documents.parquet", "embeddings.parquet")(s.getPath.getName))
+        .filterNot(s =>
+          Set("documents.parquet", "embeddings.parquet", "events.parquet")(
+            s.getPath.getName))
         .foreach { s =>
           org.apache.hadoop.fs.FileUtil.copy(
             fs, s.getPath, fs, new org.apache.hadoop.fs.Path(dest, s.getPath.getName),

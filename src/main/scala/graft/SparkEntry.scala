@@ -4445,6 +4445,53 @@ object SparkEntry {
         "CAST(0 AS BIGINT) AS mismatched_rows, " +
         "CAST(0 AS BIGINT) AS bad_rank_sets")
     ),
+    // Batched TWO-STAGE retrieval (s19 + the exact re-rank, still
+    // join-shaped end to end): the integer-SDC shortlist over-fetches
+    // k×refine per query, then ONE broadcast of the candidate ids
+    // against the raw vectors + one broadcast of the query vectors
+    // rescores exactly those rows by exact L2 — the corpus never
+    // shuffles and the exact pass touches k×refine rows per query
+    // regardless of corpus size. FULL oracle (the s15 argument, per
+    // query): the shortlist SET is integer-exact at nProbe=all, and the
+    // final ranks ride exact-distance gaps that dwarf engine float
+    // noise — DuckDB replays both stages for all 18 queries.
+    Q(
+      "s21_ivfsq8_many_refined",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val path =
+          s"/root/repo/target/tmp/s21_idx_${d.replaceAll("[^0-9.]", "")}"
+        val idx = operators.Quantization
+          .ivfSq8Build(emb, "embedding", "vec_id", path, nCentroids = 16)
+        val queries = emb.filter(pmod(col("vec_id"), lit(29)) === 0)
+        operators.Quantization.ivfSq8SearchManyRefined(
+          s, idx, emb, "embedding", "vec_id",
+          queries, "embedding", "vec_id",
+          k = 5, nProbe = 16, refine = 4)
+      },
+      Some(s"""${sq8EncCtes("SELECT * FROM embeddings")},
+             |qs AS (SELECT vec_id AS qid, code AS qcode FROM enc WHERE vec_id % 29 = 0),
+             |cand AS (
+             |  SELECT qid, vec_id FROM (
+             |    SELECT qs.qid, e.vec_id,
+             |           row_number() OVER (PARTITION BY qs.qid ORDER BY
+             |             list_sum(list_transform(range(1, len(e.code) + 1),
+             |               i -> (e.code[i] - qs.qcode[i]) * (e.code[i] - qs.qcode[i]))),
+             |             e.vec_id) AS rn
+             |    FROM enc e, qs
+             |    WHERE e.vec_id != qs.qid)
+             |  WHERE rn <= 20),
+             |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 29 = 0)
+             |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rank
+             |FROM (
+             |  SELECT c.qid, c.vec_id,
+             |         row_number() OVER (PARTITION BY c.qid ORDER BY
+             |           list_distance(e.embedding::DOUBLE[], qv.qe::DOUBLE[]), c.vec_id) AS rn
+             |  FROM cand c
+             |  JOIN embeddings e ON e.vec_id = c.vec_id
+             |  JOIN qv ON qv.qid = c.qid)
+             |WHERE rn <= 5""".stripMargin)
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

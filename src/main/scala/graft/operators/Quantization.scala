@@ -1433,6 +1433,62 @@ object Quantization {
         col("_sdc").as("sdc_l2"))
   }
 
+  /** Two-stage BATCHED retrieval — [[ivfSq8SearchMany]]'s shortlist plus
+    * the exact re-rank, still join-shaped end to end (the batched twin of
+    * [[ivfSq8SearchRefined]]): the candidate table (`|queries| × k×refine`
+    * rows of ids — tiny) is broadcast against the raw vectors, each
+    * surviving (neighbor, query) pair joins its query VECTOR (a second
+    * broadcast) and is rescored by the exact two-column squared L2, and
+    * the true per-query top-k is one more WindowGroupLimit. The corpus
+    * never shuffles; the exact pass touches `k × refine` rows per query
+    * regardless of corpus size. Output: (query_id, neighbor_id, rank) —
+    * ranks ride exact-distance gaps (the s01/s15 argument), so at
+    * nProbe = nCentroids the whole chain is oracle-replayable (s21).
+    * `vectors` must cover every candidate id (the [[sq8TopKRefined]]
+    * coverage contract).
+    */
+  def ivfSq8SearchManyRefined(
+      spark: org.apache.spark.sql.SparkSession,
+      idx: IvfSq8Index,
+      vectors: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      refine: Int = 4,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val cands = ivfSq8SearchMany(
+      spark, idx, queries, qVecCol, qIdCol, k * refine, nProbe, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val qVecs = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(
+        col(qIdCol).as("query_id"),
+        col(qVecCol).cast("array<double>").as("_qv"))
+    val scored = vectors
+      // a null raw vector scores NULL distance and would rank NULLS-FIRST
+      .filter(col(vecCol).isNotNull)
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_nv"))
+      .join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn(
+        "_d", graft.functions.VectorFunctions.sqDist(col("_nv"), col("_qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_d").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Fetch the query vector by id, naming the id/column in the error when
     * absent (a bare `.head()` surfaces a missing id as "next on empty
     * iterator" with no hint the query id was wrong).

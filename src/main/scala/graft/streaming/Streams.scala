@@ -280,7 +280,12 @@ object Streams {
     * row's null-padded result emits ONCE, when the watermark proves no
     * future right row can reach back to it (right events matching a
     * left row at time T all have ts ≤ T, so T < watermark suffices) —
-    * i.e. at eviction, not at arrival. Parity corollary: the last real
+    * i.e. at eviction, not at arrival. `"full_outer"` adds the
+    * unmatched-RIGHT emission too, whose eviction frontier is LATER: a
+    * right row at time T can still be matched by a left row up to
+    * T + window, so its null emission needs watermark > T + window —
+    * size the sentinel lead (and any [[drain]] threshold) off the
+    * right frontier, not the left one. Parity corollary: the last real
     * batch can never trigger its OWN rows' null emissions (the
     * watermark only advances past them on a LATER batch), so a finite
     * fixture needs a trailing watermark-advancing sentinel batch on

@@ -4050,6 +4050,29 @@ class OperatorsSpec extends AnyFunSuite {
         spark, idx, bad, "embedding", "vec_id", k = 5, nProbe = 2)
     }
     assert(e.getMessage.contains("dim"))
+    // batched REFINED == per-query single refined (ids + ranks) at the
+    // pruned shape — the exact re-rank composes join-shaped too
+    val refinedBatched = Quantization.ivfSq8SearchManyRefined(
+      spark, idx, emb, "embedding", "vec_id", queries, "embedding", "vec_id",
+      k = 3, nProbe = 2, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val refinedSingle = qids.flatMap { qid =>
+      val qv = emb.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>")).head.getSeq[Double](0).toArray
+      Quantization
+        .ivfSq8SearchRefined(emb, "embedding", "vec_id", idx, qv,
+          k = 3, nProbe = 2, refine = 4, excludeId = Some(qid))
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(refinedBatched === refinedSingle)
+    // the refined plan still never shuffles the corpus: every join is a
+    // broadcast, the only hash exchanges are the two per-query windows
+    val rdf = Quantization.ivfSq8SearchManyRefined(
+      spark, idx, emb, "embedding", "vec_id", queries, "embedding", "vec_id",
+      k = 3, nProbe = 2, refine = 4)
+    val rplan = rdf.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(rplan).size <= 2, rplan.take(3000))
+    assert("SortMergeJoin".r.findAllIn(rplan).isEmpty, rplan.take(3000))
   }
 
   test("sq8TrainClipped: lo=0/hi=1 degenerates to sq8Train; a planted outlier collapses unclipped recall but not clipped (s18 gate)") {

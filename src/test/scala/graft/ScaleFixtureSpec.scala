@@ -98,4 +98,52 @@ class ScaleFixtureSpec extends AnyFunSuite {
       assert(math.abs(cos) < 0.6, s"vec $i copy $k still correlated: cos=$cos")
     }
   }
+
+  test("shiftedEvents: N× rows, join pairs + unmatched counts scale exactly linearly, event-time walk unchanged") {
+    import java.sql.Timestamp
+    def th(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    // the st14/st16 twin fixture: 2 matched pairs, 2 unmatched errors,
+    // 2 unmatched clicks per copy
+    val ev = Seq(
+      (1L, th("00:00"), 3L, "click"),
+      (2L, th("00:10"), 1L, "click"),
+      (4L, th("01:00"), 1L, "error"),
+      (5L, th("01:10"), 2L, "click"),
+      (6L, th("01:15"), 2L, "error"),
+      (7L, th("02:00"), 4L, "error"),
+      (8L, th("02:10"), 4L, "click"),
+      (9L, th("02:30"), 3L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    val tripled = ScaleFixture.shiftedEvents(ev, 3)
+    assert(tripled.count() === 3 * ev.count())
+    // the batch full-outer interval join: (matched, unmatched-err,
+    // unmatched-click) — the stream-join workload the smoke measures
+    def counts(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val l = df.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+      val r = df.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("ru"), col("ts").as("click_ts"))
+      val j = l.join(r,
+        col("u") === col("ru") &&
+          col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("err_ts"),
+        "full_outer")
+      (j.filter(col("err_id").isNotNull && col("click_id").isNotNull).count(),
+        j.filter(col("click_id").isNull).count(),
+        j.filter(col("err_id").isNull).count())
+    }
+    val (m1, ue1, uc1) = counts(ev)
+    assert((m1, ue1, uc1) === ((2L, 2L, 2L)), "base fixture drifted")
+    assert(counts(tripled) === ((3 * m1, 3 * ue1, 3 * uc1)),
+      "cross-copy matches present or a copy lost rows — the join workload is not linear")
+    // event times untouched: the watermark walk (micro-batch boundaries,
+    // eviction points) is identical at every factor
+    assert(
+      tripled.select(col("ts")).distinct().collect().map(_.getTimestamp(0)).toSet ===
+        ev.select(col("ts")).distinct().collect().map(_.getTimestamp(0)).toSet)
+    // ids stay disjoint across copies (the linearity mechanism)
+    assert(tripled.select(col("user_id")).distinct().count() === 3 * 4L)
+  }
 }

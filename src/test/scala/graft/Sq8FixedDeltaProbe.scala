@@ -73,10 +73,31 @@ object Sq8FixedDeltaProbe {
         Quantization.ivfSq8Search(spark, ivfIdx, qv, k = 10, nProbe = 4,
           excludeId = Some(0L)).collect()
       }
+      // ---- st15's ingest form: the PARTITION-PRUNED replay ledger ----
+      // a second fixed delta (ids shifted again) through the replay-safe
+      // append, then the SAME call replayed: the ledger scan reads only
+      // the _centroid partitions the delta touches, so BOTH costs must
+      // stay flat as the corpus grows — the claim st15 rides on
+      val delta2 = delta
+        .select((col("vec_id") + lit(100000000000L)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val before = spark.read.parquet(s"$path/codes").count()
+      val (_, rsApp) = timed {
+        Quantization.ivfSq8AppendReplaySafe(spark, delta2, path, "embedding", "vec_id")
+      }
+      val afterFirst = spark.read.parquet(s"$path/codes").count()
+      require(afterFirst == before + delta2.count(),
+        "replay-safe append must land every delta row exactly once")
+      val (_, replay) = timed {
+        Quantization.ivfSq8AppendReplaySafe(spark, delta2, path, "embedding", "vec_id")
+      }
+      require(spark.read.parquet(s"$path/codes").count() == afterFirst,
+        "a replayed delta appended rows")
       println(f"[sq8-fdsp] corpus=$n%7d build=$build%6.2f append=$app%6.2f " +
         f"flatProbe=$probe%6.2f ivfBuild=$ivfBuild%6.2f ivfAppend=$ivfApp%6.2f " +
-        f"prunedProbe=$ivfProbe%6.2f")
+        f"prunedProbe=$ivfProbe%6.2f rsAppend=$rsApp%6.2f replay=$replay%6.2f")
       spark.sql("DROP TABLE IF EXISTS sq8_fdsp_codes")
+      graft.CacheUtil.release(delta2)
     }
     spark.stop()
   }
