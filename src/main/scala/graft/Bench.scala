@@ -96,6 +96,7 @@ object Bench {
     "s06_semdedup", "s08_semdedup_incremental", "s13_sq8_search",
     "s14_sq8_incremental", "s15_sq8_refined", "s16_ivfsq8_search",
     "s18_sq8_clipped_search", "s19_ivfsq8_many", "s21_ivfsq8_many_refined",
+    "s22_knn_many",
     "p01_hash_split", "p02_stratified_sample", "p03_upsample_mix",
     "p04_chunk_tokens", "p05_pack_greedy", "p06_pack_texts",
     "p07_shuffle", "p08_sample_k", "p09_cap_per_group", "p10_cap_tokens",

@@ -4492,6 +4492,33 @@ object SparkEntry {
              |  JOIN qv ON qv.qid = c.qid)
              |WHERE rn <= 5""".stripMargin)
     ),
+    // Batched EXACT top-k — the brute baseline of the batched-retrieval
+    // family (s19/s21 are its quantized scale paths; this is what their
+    // recall means): every query row against the whole corpus in ONE
+    // plan — broadcast nested-loop scoring with the compiled two-column
+    // cosine, per-query WindowGroupLimit, corpus scanned once and never
+    // shuffled, job count constant in the query count. FULL oracle (the
+    // s01 argument per query: adjacent-cosine gaps dwarf engine float
+    // noise at the fixture).
+    Q(
+      "s22_knn_many",
+      (s, d) => {
+        val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val queries = emb.filter(pmod(col("vec_id"), lit(29)) === 0)
+        operators.Similarity.knnMany(
+          emb, "embedding", "vec_id", queries, "embedding", "vec_id", k = 5)
+      },
+      Some("""SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rank
+             |FROM (
+             |  SELECT q.vec_id AS qid, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |           list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+             |           e.vec_id) AS rn
+             |  FROM embeddings e
+             |  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 29 = 0) q
+             |    ON e.vec_id != q.vec_id)
+             |WHERE rn <= 5""".stripMargin)
+    ),
     // ---- multimodal plumbing (north-star) ------------------------------
     // binary payload + metadata projection
     Q(

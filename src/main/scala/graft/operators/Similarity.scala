@@ -58,6 +58,55 @@ object Similarity {
     rankLimited(scored, idCol)
   }
 
+  /** BATCHED exact top-k — [[knn]] for EVERY row of a query DataFrame in
+    * ONE plan: the EXACT baseline of the batched-retrieval family (the
+    * quantized scale path is [[Quantization.ivfSq8SearchMany]]; this is
+    * what its recall is measured against, and the right tool outright
+    * when the query set is small enough that |corpus| × |queries| exact
+    * scoring is affordable — recall 1.0 by definition). Query vectors
+    * broadcast (one row each, no codes — keep the query set bounded or
+    * take the quantized path); the corpus scans ONCE and never shuffles:
+    * scoring is the compiled two-column cosine over the broadcast
+    * nested-loop pairs, per-query top-k is a rank-limited window Spark
+    * plans as WindowGroupLimit (map-side partial top-k before the one
+    * hash exchange). Work is inherently |corpus| × |queries| — brute is
+    * the contract; the job COUNT stays constant in the query count.
+    * Output: (query_id, neighbor_id, rank) — ranks ride cosine gaps
+    * (the s01 argument). `excludeSelf` drops `neighbor_id == query_id`
+    * (the queries-drawn-from-the-corpus shape).
+    */
+  def knnMany(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qVecCol: String,
+      qIdCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("_qv"))
+    val scored = df
+      // a NULL corpus vector scores NULL cosine; desc sorts NULLS LAST so
+      // it cannot outrank real rows, but drop it anyway — a k-row window
+      // over a mostly-null corpus would surface null-cosine rows
+      .filter(col(vecCol).isNotNull)
+      .join(
+        broadcast(q),
+        if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .withColumn("_cos", VectorFunctions.cosine(col(vecCol), col("_qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_cos").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (seeded driver-side; tiny,
     * broadcast as literals and constant-folded by Catalyst).
     */

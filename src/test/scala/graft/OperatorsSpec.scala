@@ -4075,6 +4075,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert("SortMergeJoin".r.findAllIn(rplan).isEmpty, rplan.take(3000))
   }
 
+  test("knnMany: batched exact == N single knn calls; broadcast nested-loop + WindowGroupLimit, one exchange (s22 gate)") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
+      .select($"vec_id", $"embedding")
+    val qids = Seq(0L, 3L, 7L, 11L, 200L)
+    val queries = emb.filter($"vec_id".isin(qids.map(java.lang.Long.valueOf): _*))
+    val batched = Similarity
+      .knnMany(emb, "embedding", "vec_id", queries, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val single = qids.flatMap { qid =>
+      Similarity.knn(emb, "embedding", "vec_id", qid, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(batched === single)
+    // plan: the corpus never shuffles — queries ride a broadcast
+    // nested-loop (the exclusion predicate is the join condition), the
+    // only hash exchange is the per-query window, partial top-k map-side
+    val df = Similarity.knnMany(
+      emb, "embedding", "vec_id", queries, "embedding", "vec_id", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(3000))
+    // null corpus vectors and null query vectors never rank
+    val withNull = emb.unionByName(
+      Seq((99999L, null: Array[Float])).toDF("vec_id", "embedding"))
+    val got = Similarity.knnMany(
+      withNull, "embedding", "vec_id",
+      withNull.filter($"vec_id".isin(0L, 99999L)), "embedding", "vec_id", k = 5)
+      .collect()
+    assert(got.forall(_.getLong(0) == 0L), "a null query emitted rows")
+    assert(got.forall(_.getLong(1) != 99999L), "a null corpus vector ranked")
+  }
+
   test("sq8TrainClipped: lo=0/hi=1 degenerates to sq8Train; a planted outlier collapses unclipped recall but not clipped (s18 gate)") {
     val emb = Tables.embeddings(spark, SparkTestSession.sfDir)
     // rank 0 / rank n-1 ARE the min and max — the closed-form sanity

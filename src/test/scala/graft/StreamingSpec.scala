@@ -262,6 +262,58 @@ class StreamingSpec extends AnyFunSuite {
       s"full-outer stream join diverged from the batch expectation: ${got.toSeq}")
   }
 
+  test("right-outer interval join == full-outer's right half (the 4th shape, mirror of st14)") {
+    // completes the inner/left/full/right matrix evidence: right_outer
+    // must emit every click (matched where possible) and NO unmatched
+    // errors — the exact mirror of st14's left_outer on the same fixture
+    def th(hm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val rows = Seq(
+      (1L, th("00:00"), 3L, "click"),
+      (2L, th("00:10"), 1L, "click"),
+      (4L, th("01:00"), 1L, "error"),
+      (5L, th("01:10"), 2L, "click"),
+      (6L, th("01:15"), 2L, "error"),
+      (7L, th("02:00"), 4L, "error"),
+      (8L, th("02:10"), 4L, "click"),
+      (9L, th("02:30"), 3L, "error")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val sentinels = Seq(
+      (-1L, th("06:30"), -1L, "error"),
+      (-2L, th("06:31"), -2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("st_ro_gate").toString + "/src"
+    val schema = Streams.writeTsOrderedChunks(
+      rows, "ts", dir, n = 3, finalChunks = Seq(sentinels))
+    spark.conf.set("spark.sql.streaming.noDataProgressEventInterval", "250")
+    val raw = spark.readStream
+      .schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val joined = Streams.intervalJoin(
+      left = raw.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts")),
+      right = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts")),
+      key = "user_id", leftTs = "err_ts", rightTs = "click_ts",
+      window = "1 hour", watermark = "2 hours", joinType = "right_outer")
+    val q = joined.select(col("err_id"), col("click_id"))
+      .writeStream.format("memory").queryName("st_ro_gate_out")
+      .outputMode("append").start()
+    try Streams.drain(q, untilWatermark = Some(th("04:00")))
+    finally q.stop()
+    val got = spark.table("st_ro_gate_out")
+      .filter(coalesce(col("err_id"), lit(0L)) >= 0 &&
+        coalesce(col("click_id"), lit(0L)) >= 0)
+      .collect()
+      .map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    spark.catalog.dropTempView("st_ro_gate_out")
+    assert(got.length === got.toSet.size, s"a row emitted more than once: ${got.toSeq}")
+    assert(got.toSet === Set(
+      (Some(4L), Some(2L)), (Some(6L), Some(5L)),
+      (None, Some(1L)), (None, Some(8L))),
+      s"right-outer stream join diverged from the batch expectation: ${got.toSeq}")
+  }
+
   test("watermark drops late rows: out-of-order micro-batches through MemoryStream (NEXT §6)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
