@@ -1389,6 +1389,13 @@ object Quantization {
     * is `|queries| × nProbe` rows of codes (bytes per row, not floats) —
     * at a million-query delta, chunk the query frame or lift the
     * broadcast hint; the plan shape survives either way.
+    *
+    * ID CONTRACT: query ids must be UNIQUE within `queries` (the
+    * [[ReplaySafe]] convention) — a duplicated id would double its
+    * candidate rows through the join and interleave duplicate neighbors
+    * into that query's rank sequence. `dropDuplicates(qIdCol)` first if
+    * the source can repeat. Applies to [[ivfSq8SearchManyRefined]] and
+    * [[Similarity.knnMany]] identically.
     */
   def ivfSq8SearchMany(
       spark: org.apache.spark.sql.SparkSession,

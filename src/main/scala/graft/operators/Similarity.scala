@@ -73,7 +73,10 @@ object Similarity {
     * the contract; the job COUNT stays constant in the query count.
     * Output: (query_id, neighbor_id, rank) — ranks ride cosine gaps
     * (the s01 argument). `excludeSelf` drops `neighbor_id == query_id`
-    * (the queries-drawn-from-the-corpus shape).
+    * (the queries-drawn-from-the-corpus shape). Query ids must be
+    * UNIQUE within `queries` (the [[Quantization.ivfSq8SearchMany]] id
+    * contract — a duplicate would interleave duplicate neighbors into
+    * that query's ranks).
     */
   def knnMany(
       df: DataFrame,
